@@ -14,8 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+      // default; read it as a long of epoch-nanos (set here so it holds
+      // for any session the driver owns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every fixture table as a temp view (for spark.sql use). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
