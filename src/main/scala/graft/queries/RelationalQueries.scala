@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,10 +14,12 @@ import graft.Tables
   *
   * Scale notes (100 TB stance):
   *  - dimension joins (region/nation/customer/supplier/part) are
-  *    broadcast explicitly — no shuffle of the fact table;
-  *  - aggregations are partial (map-side combine) by construction;
-  *  - top-k uses orderBy+limit which Spark plans as
-  *    TakeOrderedAndProject (no global sort materialization).
+  *    broadcast explicitly — the fact table is never shuffled for them;
+  *  - aggregations use partial (map-side) combine by construction;
+  *  - top-k is orderBy+limit → Spark plans TakeOrderedAndProject
+  *    (per-partition heaps + driver merge, no global sort);
+  *  - ties in any ordered output are fully broken by integer keys so
+  *    results are deterministic under any partitioning.
   */
 object RelationalQueries {
 
@@ -50,13 +53,257 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // --- q2_filter_project: pushdown-friendly scan ----------------------
+  // Filters + projection reach the parquet scan (PushedFilters/ReadSchema).
+  def q2Filter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag")
+
+  val q2FilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 10""".stripMargin
+
+  // --- q3_join_agg: 3-way join, broadcast dimension -------------------
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("l_quantity").as("sum_qty"))
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // --- q4_semi_anti: EXISTS / NOT EXISTS as semi/anti joins ------------
+  def q4SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    val withUrgent = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"),
+      "left_semi").select(col("c_custkey"), lit("has_urgent").as("status"))
+    val noUrgent = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"),
+      "left_anti").select(col("c_custkey"), lit("no_urgent").as("status"))
+    withUrgent.unionAll(noUrgent)
+  }
+
+  val q4SemiAntiSql: String =
+    """SELECT c_custkey, 'has_urgent' AS status FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT c_custkey, 'no_urgent' AS status FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // --- q5_window: ranking / offset / running frames --------------------
+  // Ordering fully determined by integer keys (no float-tie ambiguity).
+  def q5Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      lag("o_orderkey", 1).over(w).as("prev_order"),
+      count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .as("running_orders"))
+  }
+
+  val q5WindowSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  lag(o_orderkey, 1) OVER w AS prev_order,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin
+
+  // --- q6_topk: top-k via TakeOrderedAndProject ------------------------
+  // sum of whole-number doubles is exact; ties broken by l_orderkey.
+  def q6TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+      .orderBy(col("sum_qty").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  val q6TopKSql: String =
+    """SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey
+      |ORDER BY sum_qty DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  // --- q7_rollup: grouping sets / rollup -------------------------------
+  def q7Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+
+  val q7RollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // --- q8_setops: intersect / except -----------------------------------
+  def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val buyersO = o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val buyersF = o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val both = buyersO.intersect(buyersF)
+      .select(col("o_custkey"), lit("both").as("side"))
+    val onlyO = buyersO.except(buyersF)
+      .select(col("o_custkey"), lit("only_open").as("side"))
+    both.unionAll(onlyO)
+  }
+
+  val q8SetOpsSql: String =
+    """SELECT o_custkey, 'both' AS side FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_custkey, 'only_open' AS side FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin
+
+  // --- q9_distinct: exact distinct aggregation -------------------------
+  def q9Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+
+  val q9DistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --- q10_scalar: string/date/math scalar functions -------------------
+  def q10Scalar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("prio_upper"),
+      substring(col("o_orderstatus"), 1, 1).as("status_c"),
+      length(col("o_orderpriority")).as("prio_len"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      dayofmonth(col("o_orderdate")).as("o_day"),
+      round(col("o_totalprice"), 1).as("price_r1"),
+      (col("o_orderkey") % 7).as("key_mod"),
+      concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+        .as("status_prio"))
+
+  val q10ScalarSql: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS prio_upper,
+      |  substring(o_orderstatus, 1, 1) AS status_c,
+      |  length(o_orderpriority) AS prio_len,
+      |  year(o_orderdate) AS o_year,
+      |  month(o_orderdate) AS o_month,
+      |  day(o_orderdate) AS o_day,
+      |  round(o_totalprice, 1) AS price_r1,
+      |  o_orderkey % 7 AS key_mod,
+      |  o_orderstatus || '-' || o_orderpriority AS status_prio
+      |FROM orders""".stripMargin
+
+  // --- q11_sql_subquery: SQL surface with scalar + IN subqueries -------
+  def q11Subquery(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n =>
+      t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderstatus = 'O')""".stripMargin)
+  }
+
+  val q11SubquerySql: String =
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      |  AND c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_orderstatus = 'O')""".stripMargin
+
+  // --- q12_json: JSON extraction on the events payload -----------------
+  def q12Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  val q12JsonSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // --- q13_star_join: snowflake join over all dimensions ---------------
+  def q13Star(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+  }
+
+  val q13StarSql: String =
+    """SELECT r_name, n_name, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
   // --------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2Filter _),
+    "q3_join_agg" -> (q3JoinAgg _),
+    "q4_semi_anti" -> (q4SemiAnti _),
+    "q5_window" -> (q5Window _),
+    "q6_topk" -> (q6TopK _),
+    "q7_rollup" -> (q7Rollup _),
+    "q8_setops" -> (q8SetOps _),
+    "q9_distinct" -> (q9Distinct _),
+    "q10_scalar" -> (q10Scalar _),
+    "q11_subquery" -> (q11Subquery _),
+    "q12_json" -> (q12Json _),
+    "q13_star_join" -> (q13Star _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+    "q2_filter_project" -> q2FilterSql,
+    "q3_join_agg" -> q3JoinAggSql,
+    "q4_semi_anti" -> q4SemiAntiSql,
+    "q5_window" -> q5WindowSql,
+    "q6_topk" -> q6TopKSql,
+    "q7_rollup" -> q7RollupSql,
+    "q8_setops" -> q8SetOpsSql,
+    "q9_distinct" -> q9DistinctSql,
+    "q10_scalar" -> q10ScalarSql,
+    "q11_subquery" -> q11SubquerySql,
+    "q12_json" -> q12JsonSql,
+    "q13_star_join" -> q13StarSql
   )
 }
