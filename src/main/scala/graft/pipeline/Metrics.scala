@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.time.{Duration, Instant}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+/** Pipeline metrics — parity with the reference's `Metrics` /
+  * `MetricsReport` (/root/reference/metrics.go:15-51, 259-282): same
+  * counter set (consumed / processed / inserted / norm / custom /
+  * bytes), same JSON report field names, same human formatting
+  * (underscore-grouped counts, byte units, Go-style durations —
+  * /root/reference/util.go:9-56).
+  */
+final class PipelineMetrics(
+    val kafkaClients: Int = 1,
+    val kafkaQueueCap: Int = 122880,
+    val processorRoutines: Int = Runtime.getRuntime.availableProcessors(),
+    val arrowQueueCap: Int = 4,
+    val thresholdMB: Long = 100,
+    val duckConnections: Int = 1,
+    val normalizerFields: Option[Int] = None,
+    val customArrows: Option[Int] = None) {
+
+  val messagesConsumed = new AtomicLong
+  val recordsProcessed = new AtomicLong
+  val recordsInserted = new AtomicLong
+  val normRecordsInserted = new AtomicLong
+  val customRecordsInserted = new AtomicLong
+  val bytesProcessed = new AtomicLong
+  val decodeErrors = new AtomicLong
+  val catchUpSkips = new AtomicLong
+  val filesClosed = new AtomicLong
+  val filesMB = new AtomicLong
+  private val fileDurationsMs = new ConcurrentLinkedQueue[Long]()
+
+  val startTime: Instant = Instant.now()
+  private val endTime = new AtomicReference[Instant](null)
+  val firstError = new AtomicReference[Throwable](null)
+
+  def recordError(t: Throwable): Unit = firstError.compareAndSet(null, t)
+  def error: Option[Throwable] = Option(firstError.get())
+  def markEnd(): Unit = endTime.compareAndSet(null, Instant.now())
+  def recordFileDuration(ms: Long): Unit = {
+    fileDurationsMs.add(ms)
+    while (fileDurationsMs.size() > 100) fileDurationsMs.poll() // sliding 100
+  }
+
+  // ---- formatting parity (/root/reference/util.go:9-56) ----
+  private[pipeline] def groupUnderscore(n: Double): String = {
+    val whole = math.floor(math.abs(n)).toLong
+    val frac = f"${math.abs(n) - whole}%.2f".drop(1) // ".xx"
+    val sign = if (n < 0) "-" else ""
+    val grouped = whole.toString.reverse.grouped(3).mkString("_").reverse
+    s"$sign$grouped$frac"
+  }
+
+  private[pipeline] def humanBytes(b: Long): String = {
+    val units = Seq("B", "KB", "MB", "GB", "TB", "PB")
+    var v = b.toDouble; var i = 0
+    while (v >= 1024 && i < units.length - 1) { v /= 1024; i += 1 }
+    f"$v%.2f ${units(i)}"
+  }
+
+  private[pipeline] def goDuration(d: Duration): String = {
+    val totalMs = d.toMillis
+    val h = totalMs / 3600000; val m = (totalMs % 3600000) / 60000
+    val s = (totalMs % 60000) / 1000.0
+    (if (h > 0) s"${h}h" else "") + (if (m > 0 || h > 0) s"${m}m" else "") +
+      f"$s%.3fs"
+  }
+
+  /** JSON report with the reference's exact field names
+    * (/root/reference/metrics.go:259-282, README.md:151-173). */
+  def report(): String = {
+    val end = Option(endTime.get()).getOrElse(Instant.now())
+    val dur = Duration.between(startTime, end)
+    val secs = math.max(dur.toMillis / 1000.0, 1e-9)
+    val totalRows = recordsInserted.get + normRecordsInserted.get +
+      customRecordsInserted.get
+    val fields = Seq(
+      "num_cpu" -> Runtime.getRuntime.availableProcessors().toString,
+      "runtime_os" -> ("\"" + sys.props.getOrElse("os.name", "?")
+        .toLowerCase + "\""),
+      "kafka_clients" -> kafkaClients.toString,
+      "kafka_queue_cap" -> kafkaQueueCap.toString,
+      "processor_routines" -> processorRoutines.toString,
+      "arrow_queue_cap" -> arrowQueueCap.toString,
+      "duckdb_threshold_mb" -> thresholdMB.toString,
+      "duckdb_connections" -> duckConnections.toString) ++
+      customArrows.map(n => "custom_arrows" -> n.toString) ++
+      normalizerFields.map(n => "normalizer_fields" -> n.toString) ++ Seq(
+      "start_time" -> ("\"" + startTime.toString + "\""),
+      "end_time" -> ("\"" + end.toString + "\""),
+      "records" -> ("\"" + groupUnderscore(recordsProcessed.get.toDouble) + "\""),
+      "norm_records" -> ("\"" + groupUnderscore(normRecordsInserted.get.toDouble) + "\""),
+      "data_transferred" -> ("\"" + humanBytes(bytesProcessed.get) + "\""),
+      "duration" -> ("\"" + goDuration(dur) + "\""),
+      "records_per_second" -> ("\"" + groupUnderscore(recordsProcessed.get / secs) + "\""),
+      "total_rows_per_second" -> ("\"" + groupUnderscore(totalRows / secs) + "\""),
+      "transfer_rate" -> ("\"" + f"${bytesProcessed.get / secs / 1048576}%.2f MB/second" + "\""),
+      "duckdb_files" -> filesClosed.get.toString,
+      "duckdb_files_MB" -> filesMB.get.toString) ++ {
+        val ds = {
+          val it = fileDurationsMs.iterator(); var n = 0; var sum = 0L
+          while (it.hasNext) { sum += it.next(); n += 1 }
+          if (n == 0) None else Some(sum.toDouble / n)
+        }
+        ds.map(avg => "file_avg_duration" ->
+          ("\"" + goDuration(Duration.ofMillis(avg.toLong)) + "\""))
+      }
+    fields.map { case (k, v) => s""""$k": $v""" }
+      .mkString("{\n  ", ",\n  ", "\n}")
+  }
+
+  /** One-line JSONL variant (parity: `ReportJSONL`,
+    * /root/reference/metrics.go:182-200). */
+  def reportJsonl(): String = report().replaceAll("\n\\s*", " ")
+
+  /** Conservation check (the reference's de-facto correctness bar,
+    * SURVEY.md §5): consumed = processed + errors + skips. */
+  def conservationHolds: Boolean =
+    messagesConsumed.get == recordsProcessed.get + decodeErrors.get +
+      catchUpSkips.get
+}

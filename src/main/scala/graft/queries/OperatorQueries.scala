@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.normalize.{Normalizer, NormalizerSpec}
+import graft.ops.Stages
 
 /** Pipeline-operator queries (SURVEY.md §2.1) expressed as batch
   * DataFrame programs over the fixture tables, each with a DuckDB
@@ -61,11 +62,95 @@ object OperatorQueries {
       |  deals[1].id AS first_deal
       |FROM nested LEFT JOIN LATERAL unnest(deals) AS d(u) ON true""".stripMargin
 
+  /** S5+P1+P2 — munge (strip 6-byte Confluent prefix from binary) then
+    * JSON-decode with dead-letter routing; every 7th payload is
+    * corrupted to exercise the corrupt path. */
+  def mungeDecode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val msgs = ev.select(
+      concat(unhex(lit("0" * 12)),
+        when(col("event_id") % 7 === 0, lit("garbage{"))
+          .otherwise(col("props")).cast("binary")).as("value"),
+      current_timestamp().as("timestamp"))
+    val munged = Stages.munge(Stages.confluentStrip)(msgs)
+    val decoded = Stages.decodeJson(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))(munged)
+    decoded
+      .select(when(col("_corrupt").isNull, lit("ok"))
+        .otherwise(lit("__corrupt")).as("status"), col("k"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+  }
+
+  val mungeDecodeSql: String =
+    """WITH msg AS (
+      |  SELECT CASE WHEN event_id % 7 = 0 THEN 'garbage{' ELSE props END
+      |    AS payload FROM events),
+      |dec AS (
+      |  SELECT CASE WHEN json_valid(payload)
+      |      THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k,
+      |    CASE WHEN json_valid(payload) THEN 'ok' ELSE '__corrupt' END
+      |      AS status
+      |  FROM msg)
+      |SELECT status, count(*) AS n, sum(k) AS sum_k
+      |FROM dec GROUP BY status""".stripMargin
+
+  /** K1/K2/K4+Q1 — whole-pipeline smoke as a batch query: messages →
+    * pipeline (munge, decode, rotate-per-batch, runner) → returns the
+    * segment manifest. Not SQL-expressible → rows-only check. */
+  def pipelineSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Decoders, Pipeline, PipelineConfig}
+    import graft.sink.RotationPolicy
+    import graft.sources.DataFrameSource
+    val root = java.nio.file.Files.createTempDirectory("graft-op").toString
+    val ev = Tables.load(s, dir, "events")
+    val msgs = ev.select(
+      concat(unhex(lit("0" * 12)), col("props").cast("binary")).as("value"),
+      current_timestamp().as("timestamp"))
+    val pipe = Pipeline(s, PipelineConfig(
+      source = DataFrameSource(msgs), // batch-fed below
+      outputDir = s"$root/out",
+      destTable = "events_raw",
+      munger = Some(Stages.confluentStrip),
+      decode = Decoders.json(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))),
+      rotation = RotationPolicy(thresholdMB = 0, durationSec = 100000,
+        clamp = false)))
+    pipe.processBatch(msgs)
+    pipe.close()
+    s.read.parquet(s"$root/out/_manifest")
+      .select("seg_index", "size_mb", "tables")
+  }
+
+  /** S4 — deterministic mock source: generated rows for a nested
+    * schema, marshalled and decoded back (round-trip). Rows-only. */
+  def mockSource(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("site", StructType(Seq(StructField("name", StringType)))),
+      StructField("score", DoubleType),
+      StructField("tags", ArrayType(StringType))))
+    val gen = graft.mock.MockGen.batch(s, schema, 1000, seed = 42)
+    val msgs = graft.mock.MockGen.asMessages(gen, prefixBytes = 6)
+    val munged = Stages.munge(Stages.confluentStrip)(msgs)
+    Stages.decodeJson(schema)(munged)
+      .where(col("_corrupt").isNull)
+      .select(col("id"), col("site.name").as("site_name"), col("score"),
+        size(col("tags")).as("n_tags"))
+  }
+
   val all: Map[String, Q] = Map(
-    "op_normalize" -> (normalize _)
+    "op_normalize" -> (normalize _),
+    "op_munge_decode" -> (mungeDecode _),
+    "op_pipeline_sink" -> (pipelineSink _),
+    "op_mock_source" -> (mockSource _)
   )
 
   val oracles: Map[String, String] = Map(
-    "op_normalize" -> normalizeSql
+    "op_normalize" -> normalizeSql,
+    "op_munge_decode" -> mungeDecodeSql
   )
 }
