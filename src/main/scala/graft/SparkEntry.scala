@@ -8,9 +8,10 @@ object SparkEntry {
     RelationalQueries.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ OperatorQueries.all
+    RelationalQueries.all ++ OperatorQueries.all ++ LlmQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ OperatorQueries.oracles
+    RelationalQueries.oracles ++ OperatorQueries.oracles ++
+      LlmQueries.oracles
 }

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the correctness baseline; LSH
+  * (random-hyperplane) bucketing and label-blocked near-dup as the
+  * scale paths.
+  *
+  * Scale stance: brute-force is O(|Q|·|C|) — only sane when |Q| is
+  * small and broadcastable (it is here: queries are broadcast, the
+  * corpus is never shuffled). The LSH variant buckets both sides so
+  * the join is bucket-local; recall is tunable with more tables /
+  * multi-probe.
+  */
+object Similarity {
+
+  /** Sequential-order dot product over two double arrays. Both Spark
+    * and DuckDB accumulate left-to-right in IEEE doubles, so results
+    * are bit-comparable with the DuckDB oracle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), ranked by rounded cosine with
+    * id tie-break (fully deterministic output set). Queries are
+    * broadcast — corpus stays partition-local. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Deterministic ±1 random hyperplanes: sign(j, d) from xxhash64. */
+  private def planeSign(j: Int, d: Column, seed: Long): Column =
+    when(pmod(xxhash64(lit(j), d, lit(seed)), lit(2)) === 0, lit(1.0d))
+      .otherwise(lit(-1.0d))
+
+  /** `nBits`-bit random-hyperplane signature of an embedding: bit j =
+    * sign of the projection onto pseudo-random ±1 plane j. Pure
+    * expression; at scale this is the bucketing key for ANN. */
+  def lshSignature(vec: Column, nBits: Int = 16, seed: Long = 42L): Column = {
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * planeSign(j, d, seed)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: queries probe only their own bucket.
+    * Trades recall for a bucket-local join — the 100 TB path (the
+    * brute-force cross join is the fallback for small query sets). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nBits: Int = 12, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshSignature(col("qv"), nBits, seed))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshSignature(col("cv"), nBits, seed))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Embedding near-duplicate pairs, blocked on `blockCol` (e.g. a
+    * cluster/label key — blocking keeps the self-join key-local; at
+    * scale the block key comes from LSH or a coarse quantizer). */
+  def cosineDupPairs(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blockCol: String = "label"): DataFrame = {
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val a = v.select(col("blk"), col("id").as("id_a"), col("vec").as("va"))
+    val b = v.select(col("blk"), col("id").as("id_b"), col("vec").as("vb"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .where(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (n-gram/stopword heuristic), quality scoring, token
+  * counting, document fingerprinting. All pure Catalyst expressions —
+  * map-only, codegen'd, no shuffle: at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Lowercase word tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword-granularity count: letter runs, digit runs, and
+    * single punctuation marks each count as one token (the common
+    * pre-tokenizer split). */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+      lit(0)))
+
+  /** Stopword lists per language for the lang-ID heuristic. Tiny on
+    * purpose: the heuristic (count stopword hits per language, argmax
+    * with a fixed tie order) is the operator; richer lists are data. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "zai", "bu"))
+
+  /** Per-language stopword-hit score. */
+  def langScore(toks: Column, lang: String): Column = {
+    val list = array(stopwords.toMap.apply(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(list, t)))
+  }
+
+  /** Language-ID: argmax of stopword scores, ties broken by the fixed
+    * order of `stopwords`; all-zero scores → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwords.map { case (l, _) => l -> langScore(toks, l) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality signals: lengths, punctuation ratio, stopword ratio, mean
+    * word length, and a keep/drop verdict — the standard pretraining
+    * quality-filter shape (C4/Gopher-style thresholds). */
+  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val stopHits = langScore(toks, "en")
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("punct_ratio", round(punct / greatest(nChars, lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(stopHits / greatest(nTokens, lit(1)), 4))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(t, "\\s+", "")) /
+          greatest(nTokens, lit(1)), 4))
+      .withColumn("verdict",
+        when(nTokens >= 5 && nTokens <= 100000 &&
+          col("punct_ratio") < 0.2 && col("mean_word_len") < 15,
+          lit("keep")).otherwise(lit("drop")))
+  }
+
+  /** Canonical content fingerprint: md5 of whitespace-normalized,
+    * lowercased text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (default 3) — empty when the doc has fewer
+    * than n tokens. Guarded: Spark's `sequence` counts DOWN when start
+    * > stop, so short docs must short-circuit to an empty array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

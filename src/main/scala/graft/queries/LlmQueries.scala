@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures. The fixtures contain no natural duplicates
+  * (verified), so dedup queries PLANT deterministic duplicates derived
+  * from the tables themselves; the oracle reproduces the planting, so
+  * the check exercises the real operator logic end-to-end.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  /** documents ∪ exact copies of every 10th doc (new ids). */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+  private val corpusExactSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |WHERE doc_id % 10 = 0""".stripMargin
+
+  /** documents ∪ near-copies of every 7th doc (4 tokens appended). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.where(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" graft dup probe tail"))))
+  }
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text || ' graft dup probe tail'
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  // --- llm_exact_dedup ------------------------------------------------
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithExactDups(s, dir))
+
+  val exactDedupSql: String =
+    s"""WITH corpus AS ($corpusExactSql)
+       |SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       |    AS fingerprint,
+       |  min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM corpus GROUP BY 1""".stripMargin
+
+  // --- llm_ngram_jaccard ----------------------------------------------
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithNearDups(s, dir),
+      threshold = 0.5, maxDf = 1000000)
+
+  val ngramJaccardSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM tok),
+       |inv AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(count(*) / (a.sz + b.sz - count(*)), 4) AS jaccard
+       |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+       |HAVING round(count(*) / (a.sz + b.sz - count(*)), 4) >= 0.5""".stripMargin
+
+  // --- llm_minhash_lsh (xxhash64-based → rows-only check) ---------------
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  // --- llm_simhash (rows-only) -----------------------------------------
+  def simhashDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsWithNearDups(s, dir), maxHamming = 10)
+      .orderBy("id_a", "id_b")
+
+  // --- llm_embed_dup ----------------------------------------------------
+  /** embeddings ∪ scaled copies (cosine exactly 1) of every 5th vector. */
+  private def embsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("embedding"))
+    e.unionByName(e.where(col("vec_id") % 5 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding", transform(col("embedding"), x => x * 1.5)))
+  }
+
+  def embedDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(embsWithDups(s, dir), threshold = 0.999)
+
+  val embedDupSql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+      |  FROM embeddings WHERE vec_id % 5 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.embedding, b.embedding) /
+      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
+      |FROM corpus a JOIN corpus b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.embedding, b.embedding) /
+      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.999""".stripMargin
+
+  // --- llm_ann_topk ------------------------------------------------------
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e, k = 5)
+  }
+
+  val annTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id,
+      |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id,
+      |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_dot_product(qv, cv) /
+      |      (sqrt(list_dot_product(qv, qv)) *
+      |       sqrt(list_dot_product(cv, cv))), 6) AS sim
+      |  FROM c, q WHERE query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, sim FROM ranked
+      |WHERE rank <= 5""".stripMargin
+
+  // --- llm_ann_lsh (rows-only scale path) --------------------------------
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3, nBits = 8)
+  }
+
+  // --- llm_lang_id --------------------------------------------------------
+  def langId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  val langIdSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+      val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
+        s"t -> list_contains($listSql, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents),
+       |m AS (SELECT *, $mx AS mx FROM scored)
+       |SELECT doc_id, CASE
+       |    $cases
+       |    ELSE 'und' END AS lang_pred
+       |FROM m""".stripMargin
+  }
+
+  // --- llm_quality --------------------------------------------------------
+  def quality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualitySignals(docs(s, dir))
+      .select("doc_id", "n_chars", "n_tokens", "punct_ratio",
+        "stopword_ratio", "mean_word_len", "verdict")
+
+  val qualitySql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) /
+      |      greatest(length(text), 1), 4) AS punct_ratio,
+      |    round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        t -> list_contains(['the','and','of','to','in','is','a'], t))) /
+      |      greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
+      |      AS stopword_ratio,
+      |    round(length(regexp_replace(text, '\s+', '', 'g')) /
+      |      greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
+      |      AS mean_word_len
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+      |  mean_word_len,
+      |  CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+      |    AND punct_ratio < 0.2 AND mean_word_len < 15
+      |    THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM sig""".stripMargin
+
+  // --- llm_token_count ----------------------------------------------------
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.bpeishCount(col("text")).as("bpeish_tokens"),
+      length(col("text")).as("n_chars"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      |    AS bpeish_tokens,
+      |  length(text) AS n_chars
+      |FROM documents""".stripMargin
+
+  // --- llm_fingerprint ----------------------------------------------------
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      |    AS fingerprint
+      |FROM documents""".stripMargin
+
+  // --- llm_multimodal -----------------------------------------------------
+  /** documents.text bytes stand in for media blobs; metadata extraction
+    * runs through the real mapPartitions plumbing (stubbed codec), then
+    * resize + frame-sampling plans are pure arithmetic. */
+  def multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).select(col("doc_id"),
+      col("text").cast("binary").as("media"))
+    val meta = Multimodal.extractMeta(media)
+    val resized = Multimodal.resizePlan(meta, maxEdge = 256)
+    val sampled = Multimodal.sampleFrames(meta, stride = 10)
+      .groupBy("id").agg(count(lit(1)).as("n_sampled"))
+    meta.join(resized.select("id", "target_w", "target_h"), Seq("id"))
+      .join(sampled, Seq("id"))
+      .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
+        col("height"), col("n_frames"), col("target_w"), col("target_h"),
+        col("n_sampled"))
+  }
+
+  val multimodalSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    CAST(64 + octet_length(encode(text)) % 1856 AS INT) AS width,
+      |    CAST(64 + (octet_length(encode(text)) * 7) % 1016 AS INT) AS height,
+      |    CAST(1 + octet_length(encode(text)) % 240 AS INT) AS n_frames
+      |  FROM documents),
+      |plan AS (
+      |  SELECT *,
+      |    least(256.0 / greatest(width, 1), 256.0 / greatest(height, 1), 1.0)
+      |      AS scale
+      |  FROM meta)
+      |SELECT doc_id, n_bytes, width, height, n_frames,
+      |  CAST(floor(width * scale) AS INT) AS target_w,
+      |  CAST(floor(height * scale) AS INT) AS target_h,
+      |  CAST((n_frames - 1) // 10 + 1 AS BIGINT) AS n_sampled
+      |FROM plan""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "llm_exact_dedup" -> (exactDedup _),
+    "llm_ngram_jaccard" -> (ngramJaccard _),
+    "llm_minhash_lsh" -> (minhashLsh _),
+    "llm_simhash" -> (simhashDup _),
+    "llm_embed_dup" -> (embedDup _),
+    "llm_ann_topk" -> (annTopK _),
+    "llm_ann_lsh" -> (annLsh _),
+    "llm_lang_id" -> (langId _),
+    "llm_quality" -> (quality _),
+    "llm_token_count" -> (tokenCount _),
+    "llm_fingerprint" -> (fingerprint _),
+    "llm_multimodal" -> (multimodal _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_exact_dedup" -> exactDedupSql,
+    "llm_ngram_jaccard" -> ngramJaccardSql,
+    "llm_embed_dup" -> embedDupSql,
+    "llm_ann_topk" -> annTopKSql,
+    "llm_lang_id" -> langIdSql,
+    "llm_quality" -> qualitySql,
+    "llm_token_count" -> tokenCountSql,
+    "llm_fingerprint" -> fingerprintSql,
+    "llm_multimodal" -> multimodalSql
+  )
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.LlmQueries
+
+class LlmSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups planted copies under one fingerprint") {
+    val out = LlmQueries.exactDedup(spark, sf0001)
+    assert(out.count() == 500) // 500 distinct texts
+    val dupGroups = out.where(col("n_copies") === 2).count()
+    assert(dupGroups == 50) // every 10th doc planted
+    // representative is the original, not the planted id
+    assert(out.where(col("keep_id") >= 1000000).count() == 0)
+  }
+
+  test("ngram jaccard finds every planted near-dup pair") {
+    val pairs = LlmQueries.ngramJaccard(spark, sf0001)
+    val planted = pairs
+      .where(col("id_b") === col("id_a") + 1000000).count()
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count()
+    assert(planted == expected)
+  }
+
+  test("minhash LSH recall vs exact jaccard is high, precision exact") {
+    val exact = LlmQueries.ngramJaccard(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = LlmQueries.minhashLsh(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verifies candidates with EXACT jaccard → no false positives
+    assert(lsh.subsetOf(exact))
+    // recall over planted+natural pairs ≥ 90%
+    assert(lsh.size.toDouble / exact.size >= 0.9,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: planted near-dups collide within small hamming distance") {
+    val pairs = LlmQueries.simhashDup(spark, sf0001)
+    val planted = pairs.where(col("id_b") === col("id_a") + 1000000).count()
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count()
+    assert(planted >= (expected * 0.8).toLong, s"$planted/$expected")
+  }
+
+  test("embedding scaled copies have cosine exactly 1 and are all found") {
+    val out = LlmQueries.embedDup(spark, sf0001)
+    assert(out.count() == 100) // 500/5 planted
+    assert(out.where(col("sim") === 1.0).count() == 100)
+  }
+
+  test("brute-force ANN: self excluded, k respected, rank deterministic") {
+    val out = LlmQueries.annTopK(spark, sf0001).cache()
+    assert(out.count() == 50) // 10 queries × k=5
+    assert(out.where(col("query_id") === col("neighbor_id")).count() == 0)
+    val r = out.groupBy("query_id").agg(max("rank").as("mx"),
+      count(lit(1)).as("n")).collect()
+    assert(r.forall(row => row.getAs[Int]("mx") == 5 &&
+      row.getAs[Long]("n") == 5))
+    out.unpersist()
+  }
+
+  test("LSH ANN returns a subset quality-bounded by brute force") {
+    val brute = LlmQueries.annTopK(spark, sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = LlmQueries.annLsh(spark, sf0001)
+    // every LSH hit for queries <10 is sane: neighbor exists in corpus
+    val ids = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.select("neighbor_id").as[Long].collect().forall(ids))
+  }
+
+  test("lang id picks a language deterministically; quality verdicts total") {
+    val lang = LlmQueries.langId(spark, sf0001)
+    assert(lang.count() == 500)
+    assert(lang.where(col("lang_pred").isNull).count() == 0)
+    val q = LlmQueries.quality(spark, sf0001)
+    assert(q.where(col("verdict").isin("keep", "drop")).count() == 500)
+  }
+
+  test("multimodal metadata round-trips through mapPartitions plumbing") {
+    val out = LlmQueries.multimodal(spark, sf0001)
+    val row = out.where(col("doc_id") === 0).head()
+    val nBytes = row.getAs[Long]("n_bytes")
+    assert(nBytes > 0)
+    assert(row.getAs[Int]("width") == (64 + nBytes % 1856).toInt)
+    assert(row.getAs[Int]("target_w") <= 256)
+    assert(row.getAs[Long]("n_sampled") ==
+      (row.getAs[Int]("n_frames") - 1) / 10 + 1)
+  }
+}
