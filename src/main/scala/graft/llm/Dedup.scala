@@ -23,11 +23,15 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct shingle set per doc: (id, shingles array). */
+  /** Distinct shingle set per doc: (id, shingles array). Tokens are
+    * materialized in their own projection first — see
+    * TextAnalysis.shinglesFromTokens for why. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), n).as("sh"))
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        TextAnalysis.shinglesFromTokens(col("toks"), n).as("sh"))
 
   /** N-gram Jaccard near-dup pairs via inverted index:
     * explode shingles → drop shingles with document frequency >
@@ -40,21 +44,27 @@ object Dedup {
       maxDf: Int = 1000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
       .withColumn("sz", size(col("sh")))
-    val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val capped = inv.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("s")))
-      .where(col("df") <= maxDf)
-    val a = capped.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = capped.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("s"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+    // Inverted index on HASHED shingles: the join/shuffle key is a
+    // long, not a multi-word string (64-bit collisions are ~1e-8 at
+    // this scale and deterministic).
+    val inv = sets.select(col("id"), col("sz"),
+      explode(shingleHashes(col("sh"))).as("h"))
+    // Hot-shingle cap via a broadcast anti-join blacklist: the list of
+    // shingles with df > maxDf is tiny by construction — cheaper than
+    // a per-shingle window sort over the full inverted index.
+    val hot = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val capped = inv.join(broadcast(hot), Seq("h"), "left_anti")
+    // True self-join (same plan on both sides) → Spark reuses the
+    // shuffle exchange instead of recomputing the whole lineage twice.
+    capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id"), col("a.sz"), col("b.sz"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard", round(
-        col("common") / (col("sz_a") + col("sz_b") - col("common")), 4))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("common") /
+          (col("a.sz") + col("b.sz") - col("common")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** Deterministic MinHash parameters (seeded, reproducible). */
@@ -65,17 +75,29 @@ object Dedup {
       math.abs(r.nextLong()) % P))
   }
 
-  /** MinHash signature as an array column: for each of `k` hash
-    * functions, min over shingles of (a*h32(s)+b) mod P, where
-    * h32 = xxhash64 folded to [0, P). Pure expression — computed in
-    * the scan projection, no shuffle. Empty shingle set → NULL sig. */
-  def minhashSignature(sh: Column, k: Int = 32, seed: Long = 42L): Column = {
+  /** Base shingle hashes folded to [0, P): compute ONCE per doc and
+    * materialize — higher-order-function lambdas don't get codegen
+    * subexpression elimination, so inlining this into all k minhash
+    * expressions would re-hash every shingle k times. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(P)))
+
+  /** MinHash signature from pre-computed shingle hashes: for each of
+    * `k` affine hash functions, min over (a*h+b) mod P. Computed in a
+    * SINGLE aggregate pass over the shingle array (k parallel minima
+    * per element) rather than k separate array traversals —
+    * higher-order functions are interpreted, so traversal count is
+    * the dominant cost. Empty set → NULL sig. */
+  def minhashSignature(h32: Column, k: Int = 32, seed: Long = 42L): Column = {
     val params = hashParams(k, seed)
-    val sigs = params.map { case (a, b) =>
-      array_min(transform(sh, s =>
-        pmod(lit(a) * pmod(xxhash64(s), lit(P)) + lit(b), lit(P))))
-    }
-    when(size(sh) > 0, array(sigs: _*)).otherwise(lit(null))
+    val aArr = array(params.map(p => lit(p._1)): _*)
+    val bArr = array(params.map(p => lit(p._2)): _*)
+    val sig = aggregate(h32,
+      array_repeat(lit(P), k),
+      (acc, h) => zip_with(zip_with(aArr, bArr,
+          (a, b) => pmod(a * h + b, lit(P))), acc,
+        (cand, cur) => least(cand, cur)))
+    when(size(h32) > 0, sig).otherwise(lit(null))
   }
 
   /** MinHash+LSH near-dup pairs: signature → `bands` band keys →
@@ -86,10 +108,20 @@ object Dedup {
       textCol: String = "text", n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
     val rows = k / bands
+    // Shingle hashes are the verification payload too: Jaccard over
+    // the hashed sets equals Jaccard over the string sets (modulo
+    // ~1e-8 hash collisions) and ships longs, not strings, through
+    // the candidate shuffle.
     val sets = shingleSets(df, idCol, textCol, n)
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k, seed))
-    val banded = sets.select(col("id"), col("sh"),
+      .select(col("id"), array_distinct(shingleHashes(col("sh"))).as("h32"))
+      .withColumn("sig", minhashSignature(col("h32"), k, seed))
+    // Band rows carry ONLY (id, band, band_key): candidate generation
+    // and dedup shuffle bare longs. The shingle-hash arrays join back
+    // in afterwards, once per surviving pair — not once per band
+    // collision (arrays through a SortAggregate dedup measured 7×
+    // slower at sf0.1).
+    val banded = sets.select(col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         bnd => hash(concat_ws("_",
@@ -98,37 +130,47 @@ object Dedup {
           bnd))))
       .withColumnRenamed("col", "band_key")
       .withColumnRenamed("pos", "band")
-    val l = banded.select(col("band"), col("band_key"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("band_key"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(r, Seq("band", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    // True self-join; the shuffle_hash hint pins BOTH sides to the
+    // same shuffle exchange (a broadcast on one side would break
+    // exchange reuse and recompute the signature lineage twice).
+    val cand = banded.as("l").hint("shuffle_hash")
+      .join(banded.as("r").hint("shuffle_hash"),
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val hs = sets.select(col("id"), col("h32"))
     cand
+      .join(hs.select(col("id").as("id_a"), col("h32").as("ha")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("h32").as("hb")), Seq("id_b"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb"))), 4))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash from token md5 bits: per token take the first 16
-    * hex chars of md5 as a 64-bit value; each output bit is the sign
-    * of the vote sum across tokens. Deterministic across runs and
-    * engines (md5-based, not JVM-hash-based). */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Per-token 64-bit hashes from md5 (deterministic across engines):
+    * two 32-bit halves of the md5 hex combined into one long. Compute
+    * ONCE per doc and materialize — the 64 bit-vote expressions below
+    * would otherwise each re-md5 every token (no subexpression
+    * elimination inside higher-order-function lambdas). */
+  def tokenMd5s(text: Column): Column =
+    transform(TextAnalysis.tokens(text), t => md5(t))
+
+  def tokenHashes64(md5s: Column): Column =
+    transform(md5s, m =>
+      shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long")))
+
+  /** 64-bit SimHash from pre-computed token hashes: each output bit is
+    * the sign of the per-bit vote sum across tokens. */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 64).map { j =>
-      // bit j of md5-derived 64-bit token hash, voted across tokens
-      val nibbleIdx = j / 4 + 1
-      val bitInNibble = j % 4
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(
-          (conv(substring(md5(t), nibbleIdx, 1), 16, 10).cast("int")
-            .bitwiseAND(lit(1 << bitInNibble))) > 0, lit(1))
-          .otherwise(lit(-1)))
+      val vote = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === 1L,
+          lit(1)).otherwise(lit(-1)))
       when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -140,7 +182,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sim"))
+      tokenMd5s(col(textCol)).as("m5"))
+      .withColumn("hs", tokenHashes64(col("m5")))
+      .withColumn("sim", simhashFromHashes(col("hs")))
+      .drop("m5", "hs")
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16)

@@ -32,13 +32,18 @@ object Similarity {
     * broadcast — corpus stays partition-local. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Norms are materialized per side BEFORE the join — computed once
+    // per vector, not once per (query, corpus) pair.
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -75,12 +80,15 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", lshSignature(col("qv"), nBits, seed))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", lshSignature(col("cv"), nBits, seed))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -97,11 +105,15 @@ object Similarity {
       blockCol: String = "label"): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val a = v.select(col("blk"), col("id").as("id_a"), col("vec").as("va"))
-    val b = v.select(col("blk"), col("id").as("id_b"), col("vec").as("vb"))
+      .withColumn("nrm", norm(col("vec"))) // once per vector, pre-join
+    val a = v.select(col("blk"), col("id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = v.select(col("blk"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -82,15 +82,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Word n-gram shingles (default 3) — empty when the doc has fewer
-    * than n tokens. Guarded: Spark's `sequence` counts DOWN when start
-    * > stop, so short docs must short-circuit to an empty array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from a MATERIALIZED token array column.
+    * `toks` must be a plain column reference, not the `tokens(text)`
+    * expression: an inlined expression would be re-evaluated at every
+    * `element_at` inside the lambda (≈ 3×|shingles| full-text regex
+    * scans per document — measured 3× query slowdown at sf0.1).
+    * Guarded: Spark's `sequence` counts DOWN when start > stop, so
+    * short docs short-circuit to an empty array. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 }

@@ -16,10 +16,18 @@ object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The fixture parquet files are single-split (a few MB), so a scan
+    * yields ONE task; the per-doc compute (tokenize/shingle/hash) is
+    * heavy relative to row width, so we spread rows across all cores
+    * first. On a real multi-TB table the scan already yields thousands
+    * of splits and this repartition would be dropped — partitioning is
+    * the caller's decision, not baked into the operators. */
   private def docs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
 
   /** documents ∪ exact copies of every 10th doc (new ids). */
   private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
