@@ -142,15 +142,43 @@ object OperatorQueries {
         size(col("tags")).as("n_tags"))
   }
 
+  /** As-of join — enrich each event with the latest order at or before
+    * the event time for the same customer (SURVEY.md §2.2 "as-of";
+    * graft.operators.AsofJoin). Right side pre-deduplicated on
+    * (key, time) so tie resolution is deterministic in both engines. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"), col("user_id"),
+      // ts is epoch-nanos (LongType); integer-divide to micros —
+      // float division would lose precision above 2^53
+      timestamp_micros(expr("ts div 1000")).as("ets"))
+    val ord = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    graft.operators.AsofJoin.joinAsof(ev, ord,
+      Seq("user_id" -> "o_custkey"), "ets", "o_orderdate")
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+  }
+
+  val asofJoinSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_orderdate
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
+
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
     "op_munge_decode" -> (mungeDecode _),
     "op_pipeline_sink" -> (pipelineSink _),
-    "op_mock_source" -> (mockSource _)
+    "op_mock_source" -> (mockSource _),
+    "op_asof_join" -> (asofJoin _)
   )
 
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
-    "op_munge_decode" -> mungeDecodeSql
+    "op_munge_decode" -> mungeDecodeSql,
+    "op_asof_join" -> asofJoinSql
   )
 }
