@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression computing a k-wide MinHash signature from
+  * an `array<long>` of shingle hashes in ONE imperative pass — the
+  * custom-Expression path (preference (b) in the build rules) for the
+  * operator that profiling showed dominated `llm_minhash_lsh`: the
+  * equivalent `aggregate`/`zip_with` higher-order-function tree is
+  * interpreted per element with boxed allocations; this loop is a
+  * primitive `while` over the unsafe array data.
+  *
+  * Semantics are IDENTICAL to `Dedup.minhashSignature` (same seeded
+  * affine parameters (a*h+b) mod P, P = 2^31-1; empty array → NULL),
+  * so LSH outputs are unchanged — verified by LlmSuite recall tests.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31-1
+
+  // Same parameter derivation as Dedup.hashParams (java.util.Random).
+  private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(seed)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = math.abs(r.nextLong()) % (P - 1) + 1
+      b(i) = math.abs(r.nextLong()) % P
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, P)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : MinHashSignatureExpr = copy(child = c)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignatureExpr {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API entry point. */
+  def minhash_signature(hashes: Column, k: Int = 32,
+      seed: Long = 42L): Column =
+    ColumnBridge.column(
+      MinHashSignatureExpr(ColumnBridge.expression(hashes), k, seed))
+
+  /** Register for SQL use: `minhash_signature(arr, k, seed)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => MinHashSignatureExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval() match {
+          case l: Long => l
+          case i: Int => i.toLong
+        }),
+      "scala_udf")
+}

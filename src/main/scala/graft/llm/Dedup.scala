@@ -83,11 +83,11 @@ object Dedup {
     transform(sh, s => pmod(xxhash64(s), lit(P)))
 
   /** MinHash signature from pre-computed shingle hashes: for each of
-    * `k` affine hash functions, min over (a*h+b) mod P. Computed in a
-    * SINGLE aggregate pass over the shingle array (k parallel minima
-    * per element) rather than k separate array traversals —
-    * higher-order functions are interpreted, so traversal count is
-    * the dominant cost. Empty set → NULL sig. */
+    * `k` affine hash functions, min over (a*h+b) mod P, in a single
+    * aggregate pass. This is the pure-`functions._` form, kept for
+    * reference/SQL-only contexts; `minhashLshPairs` uses the native
+    * `MinHashSignatureExpr` (identical semantics, one imperative
+    * pass, no per-element boxing). Empty set → NULL sig. */
   def minhashSignature(h32: Column, k: Int = 32, seed: Long = 42L): Column = {
     val params = hashParams(k, seed)
     val aArr = array(params.map(p => lit(p._1)): _*)
@@ -115,7 +115,8 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, n)
       .where(size(col("sh")) > 0)
       .select(col("id"), array_distinct(shingleHashes(col("sh"))).as("h32"))
-      .withColumn("sig", minhashSignature(col("h32"), k, seed))
+      .withColumn("sig", graft.functions.MinHashSignatureExpr
+        .minhash_signature(col("h32"), k, seed))
     // Band rows carry ONLY (id, band, band_key): candidate generation
     // and dedup shuffle bare longs. The shingle-hash arrays join back
     // in afterwards, once per surviving pair — not once per band
