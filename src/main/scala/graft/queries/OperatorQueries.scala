@@ -168,17 +168,37 @@ object OperatorQueries {
       |FROM events e ASOF LEFT JOIN r
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
 
+  /** Event-time tumbling window aggregate (graft.streaming
+    * .EventTimeOps) — the same code path the watermarked streaming
+    * query runs, checked batch-side against DuckDB time_bucket. */
+  def eventWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      timestamp_micros(expr("ts div 1000")).as("ets"),
+      col("event_type"), col("value"))
+    graft.streaming.EventTimeOps.tumblingCounts(
+      ev, "ets", "event_type", "value", "1 hour")
+  }
+
+  val eventWindowSql: String =
+    """SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+      |    AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
     "op_munge_decode" -> (mungeDecode _),
     "op_pipeline_sink" -> (pipelineSink _),
     "op_mock_source" -> (mockSource _),
-    "op_asof_join" -> (asofJoin _)
+    "op_asof_join" -> (asofJoin _),
+    "op_event_window" -> (eventWindow _)
   )
 
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
     "op_munge_decode" -> mungeDecodeSql,
-    "op_asof_join" -> asofJoinSql
+    "op_asof_join" -> asofJoinSql,
+    "op_event_window" -> eventWindowSql
   )
 }
