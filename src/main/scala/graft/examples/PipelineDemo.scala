@@ -67,12 +67,16 @@ object PipelineDemo {
       runner = Some(SegmentRunner(
         queries = Seq("SELECT count(*) FROM events_raw_norm")))))
 
+    pipe.metrics.startBenchmarkSampler(intervalSec = 2)
     val q = pipe.run()
     q.processAllAvailable()
     pipe.close()
+    pipe.metrics.stopBenchmarkSampler()
 
     println("=== METRICS REPORT ===")
     println(pipe.metrics.report())
+    println("=== BENCHMARK SAMPLES (2s window) ===")
+    print(pipe.metrics.benchmarksReport())
     println("=== MANIFEST ===")
     spark.read.parquet(s"$root/out/_manifest")
       .orderBy("seg_index").show(false)

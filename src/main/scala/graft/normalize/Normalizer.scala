@@ -98,6 +98,28 @@ object Normalizer {
     cur.select(cols: _*)
   }
 
+  /** Derive the flat output schema of `normalize(df, spec)` without
+    * running it — parity with the reference's normalizer-schema
+    * derivation ("The Arrow field types of the selected fields will be
+    * used to build the new schema",
+    * /root/reference/quacfka.go:110-111). Un-indexed list paths
+    * resolve to their ELEMENT type (the per-row fan-out type); all
+    * outputs are nullable (empty-list ⇒ NULL-row semantics). */
+  def normalizedSchema(schema: StructType, spec: NormalizerSpec): StructType = {
+    val fields = spec.fields.map(PathParser.parse)
+      .zip(spec.outputNames).map { case (segs, name) =>
+        var dt: DataType = schema
+        segs.foreach { seg =>
+          dt = structField(dt, seg, segs) match {
+            case ArrayType(elem, _) => elem // indexed OR exploded element
+            case other => other
+          }
+        }
+        StructField(name, dt, nullable = true)
+      }
+    StructType(fields)
+  }
+
   private def canonical(segs: Seq[PathSeg]): String =
     segs.map(_.canonical).mkString(".")
 

@@ -121,4 +121,67 @@ final class PipelineMetrics(
   def conservationHolds: Boolean =
     messagesConsumed.get == recordsProcessed.get + decodeErrors.get +
       catchUpSkips.get
+
+  // ---- benchmark sampler (parity: `benchmark(ctx)` 30 s sampling
+  // thread + sliding window, /root/reference/metrics.go:101-166) ----
+
+  final case class BenchSample(at: Instant, recordsPerSec: Double,
+      totalRowsPerSec: Double, mbPerSec: Double)
+
+  private val samples = new ConcurrentLinkedQueue[BenchSample]()
+  private val lastProcessed = new AtomicLong(0)
+  private val lastRows = new AtomicLong(0)
+  private val lastBytes = new AtomicLong(0)
+  @volatile private var sampler:
+    Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  def sample(intervalSec: Double): BenchSample = {
+    val p = recordsProcessed.get
+    val rows = recordsInserted.get + normRecordsInserted.get +
+      customRecordsInserted.get
+    val b = bytesProcessed.get
+    val s = BenchSample(Instant.now(),
+      (p - lastProcessed.getAndSet(p)) / intervalSec,
+      (rows - lastRows.getAndSet(rows)) / intervalSec,
+      (b - lastBytes.getAndSet(b)) / intervalSec / 1048576.0)
+    samples.add(s)
+    while (samples.size() > 100) samples.poll() // sliding window of 100
+    s
+  }
+
+  /** Start the periodic sampler (default 30 s, the reference's
+    * window). Daemon thread; call stopBenchmarkSampler() to end. */
+  def startBenchmarkSampler(intervalSec: Int = 30): Unit = synchronized {
+    if (sampler.isEmpty) {
+      val ex = java.util.concurrent.Executors
+        .newSingleThreadScheduledExecutor { r =>
+          val t = new Thread(r, "graft-bench-sampler")
+          t.setDaemon(true); t
+        }
+      ex.scheduleAtFixedRate(() => sample(intervalSec.toDouble),
+        intervalSec.toLong, intervalSec.toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+      sampler = Some(ex)
+    }
+  }
+
+  def stopBenchmarkSampler(): Unit = synchronized {
+    sampler.foreach(_.shutdownNow())
+    sampler = None
+  }
+
+  /** JSONL benchmark report — one line per sample (parity:
+    * `BenchmarksReport`, /root/reference/metrics.go:182-200). */
+  def benchmarksReport(): String = {
+    val it = samples.iterator()
+    val sb = new StringBuilder
+    while (it.hasNext) {
+      val s = it.next()
+      sb.append(s"""{"time": "${s.at}", "records_per_second": """ +
+        f""""${groupUnderscore(s.recordsPerSec)}", """ +
+        f""""total_rows_per_second": "${groupUnderscore(s.totalRowsPerSec)}", """ +
+        f""""transfer_rate": "${s.mbPerSec}%.2f MB/second"}""" + "\n")
+    }
+    sb.toString
+  }
 }

@@ -273,6 +273,18 @@ object RelationalQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin
 
+  // --- q14_cube: full cube over two dimensions -------------------------
+  def q14Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube("o_orderstatus", "o_year")
+      .agg(count(lit(1)).as("n_orders"))
+
+  val q14CubeSql: String =
+    """SELECT o_orderstatus, year(o_orderdate) AS o_year,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))""".stripMargin
+
   // --------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -288,7 +300,8 @@ object RelationalQueries {
     "q10_scalar" -> (q10Scalar _),
     "q11_subquery" -> (q11Subquery _),
     "q12_json" -> (q12Json _),
-    "q13_star_join" -> (q13Star _)
+    "q13_star_join" -> (q13Star _),
+    "q14_cube" -> (q14Cube _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,6 +317,7 @@ object RelationalQueries {
     "q10_scalar" -> q10ScalarSql,
     "q11_subquery" -> q11SubquerySql,
     "q12_json" -> q12JsonSql,
-    "q13_star_join" -> q13StarSql
+    "q13_star_join" -> q13StarSql,
+    "q14_cube" -> q14CubeSql
   )
 }
