@@ -113,14 +113,17 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
       metrics.bytesProcessed.addAndGet(stats.getLong(1))
 
     val munged = config.munger.fold(batch)(m => Stages.munge(m)(batch))
+    // Decode ONCE: cache the decoded frame so good/dead routing and
+    // every sink table read the parse result, not re-parse the wire
+    // bytes (the reference likewise decodes once per message and fans
+    // out the Record pair, proto.go:148-156).
     val decodedAll = Stages.customFields(config.customFields)(
-      config.decode(munged))
-    val (good0, dead) =
+      config.decode(munged)).persist()
+    val (good, dead) =
       if (decodedAll.columns.contains("_corrupt"))
         Stages.routeErrors(decodedAll)
       else (decodedAll, null)
 
-    val good = good0.persist()
     try {
       val goodN = good.count()
       metrics.recordsProcessed.addAndGet(goodN)
@@ -149,7 +152,7 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
           sink.append(config.destTable, good))
       }
       sink.maybeRotate()
-    } finally good.unpersist()
+    } finally decodedAll.unpersist()
   } catch {
     case t: Throwable => metrics.recordError(t); throw t
   }

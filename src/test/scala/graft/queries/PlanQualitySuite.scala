@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Regression guards for the 100 TB plan invariants (SCALE.md): these
+  * fail if a future change silently loses pushdown, broadcasts, or
+  * top-k planning — the plan properties are part of the contract, not
+  * just the results.
+  */
+class PlanQualitySuite extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(500))
+    assert(p.contains("LessThan(l_shipdate"), "shipdate filter not pushed")
+    assert(!p.contains("l_extendedprice"), "projection not pruned")
+  }
+
+  test("q3/q13: dimension joins broadcast — no fact-table shuffle join") {
+    Seq("q3_join_agg", "q13_star_join").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles the fact table")
+    }
+  }
+
+  test("q6: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q6_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q1: aggregation is partial (map-side) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    // partial + final = two HashAggregate occurrences
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial agg")
+  }
+
+  test("every registered query runs at sf0.001 (driver smoke parity)") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      // op_pipeline_sink executes eagerly inside the builder; others
+      // stay lazy — limit(1) forces one row through the whole plan.
+      assert(df.limit(1).collect().length <= 1, s"$name failed to run")
+    }
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver smoke)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}
