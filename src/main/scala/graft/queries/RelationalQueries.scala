@@ -285,6 +285,44 @@ object RelationalQueries {
       |  count(*) AS n_orders
       |FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))""".stripMargin
 
+  // --- q15_grouping_sets: explicit GROUPING SETS (SQL surface) ---------
+  def q15GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val q15GroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
+  // --- q16_approx_distinct: HLL sketch (rows-only — HLL++ vs DuckDB's
+  // implementation differ by design; exactness bounded by the suite) --
+  def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  // --- q17_salted_join: skew-mitigated join (operators.Salting) -------
+  def q17SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    graft.operators.Salting
+      .saltedJoin(li.withColumnRenamed("l_partkey", "p_partkey"), part,
+        Seq("p_partkey"), buckets = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+  }
+
+  val q17SaltedJoinSql: String =
+    """SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin
+
   // --------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -301,7 +339,10 @@ object RelationalQueries {
     "q11_subquery" -> (q11Subquery _),
     "q12_json" -> (q12Json _),
     "q13_star_join" -> (q13Star _),
-    "q14_cube" -> (q14Cube _)
+    "q14_cube" -> (q14Cube _),
+    "q15_grouping_sets" -> (q15GroupingSets _),
+    "q16_approx_distinct" -> (q16ApproxDistinct _),
+    "q17_salted_join" -> (q17SaltedJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +359,8 @@ object RelationalQueries {
     "q11_subquery" -> q11SubquerySql,
     "q12_json" -> q12JsonSql,
     "q13_star_join" -> q13StarSql,
-    "q14_cube" -> q14CubeSql
+    "q14_cube" -> q14CubeSql,
+    "q15_grouping_sets" -> q15GroupingSetsSql,
+    "q17_salted_join" -> q17SaltedJoinSql
   )
 }

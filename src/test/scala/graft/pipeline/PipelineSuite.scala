@@ -63,6 +63,9 @@ class PipelineSuite extends SparkSpec {
       pathPrefix = "duck",
       munger = Some(Stages.confluentStrip),
       decode = Decoders.json(payloadSchema),
+      customFields = Seq(Stages.CustomField("ingest_day",
+        org.apache.spark.sql.types.StringType,
+        value = date_format(col("timestamp"), "yyyy-MM-dd"))),
       deadLetterTable = Some("dead_letters"),
       normalizer = Some(NormalizerSpec(
         Seq("event_id", "event_type", "value"),
@@ -104,6 +107,9 @@ class PipelineSuite extends SparkSpec {
     val rawAll = spark.read.parquet(
       manifest.select("path").as[String].collect().map(_ + "/events_raw"): _*)
     assert(rawAll.count() == nGood)
+    // N2 custom field present and populated on every ingested row
+    assert(rawAll.where(col("ingest_day").rlike("\\d{4}-\\d{2}-\\d{2}"))
+      .count() == nGood)
     val normAll = spark.read.parquet(
       manifest.select("path").as[String].collect().map(_ + "/events_raw_norm"): _*)
     assert(normAll.columns.toSeq == Seq("event_id", "kind", "v"))
