@@ -29,16 +29,9 @@ object MinhashProbe {
 
     // stage decomposition (mirrors the operator internals)
     import graft.llm.TextAnalysis
-    val sets = corpus.select(col("doc_id").as("id"),
-        TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("id"),
-        TextAnalysis.shinglesFromTokens(col("toks"), 3).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("id"), array_distinct(Dedup.shingleHashes(col("sh"))).as("h32"))
-    timed("sets (shingle hashes)")(sets.count())
-    val sigs = sets.withColumn("sig",
-      Dedup.minhashSignature(col("h32"), 32, 42L))
-    timed("signatures")(sigs.select(col("sig")).count())
+    val toks = corpus.select(col("doc_id").as("id"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    timed("tokens only")(toks.agg(sum(size(col("toks")))).head())
     println("candidate pairs = " + timed("pairs only")(
       Dedup.minhashLshPairs(corpus, threshold = -1.0).count()))
     spark.stop()

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression computing a k-wide MinHash signature from
-  * an `array<long>` of shingle hashes in ONE imperative pass — the
+  * an `array<long>` of raw 64-bit shingle hashes (any sign; folded to
+  * [0, 2^31-1) internally) in ONE imperative pass — the
   * custom-Expression path (preference (b) in the build rules) for the
   * operator that profiling showed dominated `llm_minhash_lsh`: the
   * equivalent `aggregate`/`zip_with` higher-order-function tree is
@@ -47,7 +48,9 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
     java.util.Arrays.fill(mins, P)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      // fold raw 64-bit hash to [0, P) — pmod semantics
+      var h = arr.getLong(i) % P
+      if (h < 0) h += P
       var j = 0
       while (j < k) {
         val v = (as(j) * h + bs(j)) % P

@@ -23,15 +23,33 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct shingle set per doc: (id, shingles array). Tokens are
-    * materialized in their own projection first — see
-    * TextAnalysis.shinglesFromTokens for why. */
+  /** Distinct HASHED shingle set per doc: (id, sh: array<long>, sz).
+    *
+    * Shingle strings are never built: tokens hash once to longs, and a
+    * shingle hash is `xxhash64` over the n token hashes — pure long
+    * arithmetic. This matters twice over: (a) string n-gram
+    * construction was the measured hot spot, and (b) CollapseProject
+    * inlines a multi-referenced alias into every consumer (filter +
+    * h32 + signature all re-evaluated the full shingle expression —
+    * observed in the optimized plan), so the expression must be cheap
+    * even when duplicated. Jaccard over hashed sets equals Jaccard
+    * over string sets modulo ~1e-8 64-bit collisions. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("id"),
-        TextAnalysis.shinglesFromTokens(col("toks"), n).as("sh"))
+      n: Int): DataFrame = {
+    val th = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
+    // bindOnce: CollapseProject would otherwise inline the token-hash
+    // expression into every element_at below (≈3×|shingles| full
+    // re-tokenizations per doc — see ExprUtils.bindOnce).
+    val sh = graft.functions.ExprUtils.bindOnce(th) { t =>
+      when(size(t) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(t) - n),
+          i => xxhash64((0 until n).map(j =>
+            element_at(t, i + j + 1)): _*))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    df.select(col(idCol).as("id"), sh.as("sh"))
+  }
 
   /** N-gram Jaccard near-dup pairs via inverted index:
     * explode shingles → drop shingles with document frequency >
@@ -44,11 +62,10 @@ object Dedup {
       maxDf: Int = 1000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
       .withColumn("sz", size(col("sh")))
-    // Inverted index on HASHED shingles: the join/shuffle key is a
-    // long, not a multi-word string (64-bit collisions are ~1e-8 at
-    // this scale and deterministic).
+    // Inverted index on the hashed shingles: the join/shuffle key is a
+    // long, not a multi-word string.
     val inv = sets.select(col("id"), col("sz"),
-      explode(shingleHashes(col("sh"))).as("h"))
+      explode(col("sh")).as("h"))
     // Hot-shingle cap via a broadcast anti-join blacklist: the list of
     // shingles with df > maxDf is tiny by construction — cheaper than
     // a per-shingle window sort over the full inverted index.
@@ -75,29 +92,23 @@ object Dedup {
       math.abs(r.nextLong()) % P))
   }
 
-  /** Base shingle hashes folded to [0, P): compute ONCE per doc and
-    * materialize — higher-order-function lambdas don't get codegen
-    * subexpression elimination, so inlining this into all k minhash
-    * expressions would re-hash every shingle k times. */
-  def shingleHashes(sh: Column): Column =
-    transform(sh, s => pmod(xxhash64(s), lit(P)))
-
-  /** MinHash signature from pre-computed shingle hashes: for each of
-    * `k` affine hash functions, min over (a*h+b) mod P, in a single
-    * aggregate pass. This is the pure-`functions._` form, kept for
-    * reference/SQL-only contexts; `minhashLshPairs` uses the native
-    * `MinHashSignatureExpr` (identical semantics, one imperative
-    * pass, no per-element boxing). Empty set → NULL sig. */
-  def minhashSignature(h32: Column, k: Int = 32, seed: Long = 42L): Column = {
+  /** MinHash signature from raw 64-bit shingle hashes (any sign): each
+    * hash folds to [0, P) and each of `k` affine functions takes the
+    * min of (a*h+b) mod P, in a single aggregate pass. This is the
+    * pure-`functions._` form, kept for reference/SQL-only contexts;
+    * `minhashLshPairs` uses the native `MinHashSignatureExpr`
+    * (identical semantics, one imperative pass, no per-element
+    * boxing). Empty set → NULL sig. */
+  def minhashSignature(hashes: Column, k: Int = 32, seed: Long = 42L): Column = {
     val params = hashParams(k, seed)
     val aArr = array(params.map(p => lit(p._1)): _*)
     val bArr = array(params.map(p => lit(p._2)): _*)
-    val sig = aggregate(h32,
+    val sig = aggregate(hashes,
       array_repeat(lit(P), k),
       (acc, h) => zip_with(zip_with(aArr, bArr,
-          (a, b) => pmod(a * h + b, lit(P))), acc,
+          (a, b) => pmod(a * pmod(h, lit(P)) + b, lit(P))), acc,
         (cand, cur) => least(cand, cur)))
-    when(size(h32) > 0, sig).otherwise(lit(null))
+    when(size(hashes) > 0, sig).otherwise(lit(null))
   }
 
   /** MinHash+LSH near-dup pairs: signature → `bands` band keys →
@@ -108,15 +119,13 @@ object Dedup {
       textCol: String = "text", n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
     val rows = k / bands
-    // Shingle hashes are the verification payload too: Jaccard over
-    // the hashed sets equals Jaccard over the string sets (modulo
-    // ~1e-8 hash collisions) and ships longs, not strings, through
-    // the candidate shuffle.
+    // The hashed shingle sets are the verification payload too:
+    // Jaccard over them equals Jaccard over string sets (modulo ~1e-8
+    // collisions), and only longs ship through the shuffles.
     val sets = shingleSets(df, idCol, textCol, n)
       .where(size(col("sh")) > 0)
-      .select(col("id"), array_distinct(shingleHashes(col("sh"))).as("h32"))
       .withColumn("sig", graft.functions.MinHashSignatureExpr
-        .minhash_signature(col("h32"), k, seed))
+        .minhash_signature(col("sh"), k, seed))
     // Band rows carry ONLY (id, band, band_key): candidate generation
     // and dedup shuffle bare longs. The shingle-hash arrays join back
     // in afterwards, once per surviving pair — not once per band
@@ -141,15 +150,18 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val hs = sets.select(col("id"), col("h32"))
+    // Both verification fetches broadcast the SAME (id, sh) subplan —
+    // aliased, not pre-renamed, so the BroadcastExchange canonicalizes
+    // equal and is built once, not twice.
+    val hs = sets.select(col("id"), col("sh"))
     cand
-      .join(hs.select(col("id").as("id_a"), col("h32").as("ha")), Seq("id_a"))
-      .join(hs.select(col("id").as("id_b"), col("h32").as("hb")), Seq("id_b"))
+      .join(broadcast(hs.as("ja")), col("id_a") === col("ja.id"))
+      .join(broadcast(hs.as("jb")), col("id_b") === col("jb.id"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("ha"), col("hb"))).cast("double") /
-          size(array_union(col("ha"), col("hb"))), 4))
+        size(array_intersect(col("ja.sh"), col("jb.sh"))).cast("double") /
+          size(array_union(col("ja.sh"), col("jb.sh"))), 4))
       .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Per-token 64-bit hashes from md5 (deterministic across engines):
@@ -182,11 +194,11 @@ object Dedup {
     * recall for hamming distance ≤ 3); verify hamming ≤ `maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      tokenMd5s(col(textCol)).as("m5"))
-      .withColumn("hs", tokenHashes64(col("m5")))
-      .withColumn("sim", simhashFromHashes(col("hs")))
-      .drop("m5", "hs")
+    // Native one-pass expression; its argument (the token-hash array)
+    // is a child expression, evaluated exactly once per row.
+    val simExpr = graft.functions.SimHash64Expr.simhash64(
+      tokenHashes64(tokenMd5s(col(textCol))))
+    val sigs = df.select(col(idCol).as("id"), simExpr.as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sim"), b * 16)
