@@ -97,6 +97,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer assigns
+    * every corpus vector to its nearest centroid; queries probe only
+    * the `nProbe` nearest cells. The classic large-scale ANN layout:
+    * the corpus is partitioned by cell id, a probe touches
+    * nProbe/nCentroids of the data, and recall is tuned by nProbe.
+    * Centroid fit is a one-time driver-coordinated step (sampled);
+    * assignment and search are pure relational ops — broadcast the
+    * (tiny) centroid table, argmin via window, top-k within probed
+    * cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val km = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("features")
+    val model = km.fit(c.select(
+      array_to_vector(col("cv")).as("features")))
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("cid", "cvec")
+
+    // cell assignment: argmin centroid distance (dot with normalized
+    // vectors ≈ cosine; we use euclid-on-dot ranking via max dot)
+    def assign(df: DataFrame, idName: String, vecName: String,
+        keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("cdot", dot(col(vecName), col("cvec")) /
+          greatest(norm(col("cvec")), lit(1e-12)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idName).orderBy(col("cdot").desc, col("cid").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .drop("cvec", "cdot", "crank")
+    }
+
+    val cAssigned = assign(c, "neighbor_id", "cv", keep = 1)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qProbed = assign(q, "query_id", "qv", keep = nProbe)
+
+    val scored = cAssigned.join(broadcast(qProbed), Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Embedding near-duplicate pairs, blocked on `blockCol` (e.g. a
     * cluster/label key — blocking keeps the self-join key-local; at
     * scale the block key comes from LSH or a coarse quantizer). */

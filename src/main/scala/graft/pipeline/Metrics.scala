@@ -149,6 +149,19 @@ final class PipelineMetrics(
     s
   }
 
+  /** Zero all counters (parity: the reference auto-resets metrics
+    * every 24 h to keep fixed-point throughput math stable,
+    * /root/reference/metrics.go:110-121; call from a scheduler if the
+    * same behavior is wanted — our doubles don't overflow, so it is
+    * opt-in rather than automatic). */
+  def reset(): Unit = {
+    Seq(messagesConsumed, recordsProcessed, recordsInserted,
+      normRecordsInserted, customRecordsInserted, bytesProcessed,
+      decodeErrors, catchUpSkips, lastProcessed, lastRows, lastBytes)
+      .foreach(_.set(0))
+    samples.clear()
+  }
+
   /** Start the periodic sampler (default 30 s, the reference's
     * window). Daemon thread; call stopBenchmarkSampler() to end. */
   def startBenchmarkSampler(intervalSec: Int = 30): Unit = synchronized {

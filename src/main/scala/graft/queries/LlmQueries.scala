@@ -158,6 +158,13 @@ object LlmQueries {
     Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3, nBits = 8)
   }
 
+  // --- llm_ann_ivf (rows-only scale path: KMeans coarse quantizer) -------
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(e.where(col("vec_id") < 10), e, k = 5,
+      nCentroids = 16, nProbe = 4)
+  }
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -285,6 +292,7 @@ object LlmQueries {
     "llm_embed_dup" -> (embedDup _),
     "llm_ann_topk" -> (annTopK _),
     "llm_ann_lsh" -> (annLsh _),
+    "llm_ann_ivf" -> (annIvf _),
     "llm_lang_id" -> (langId _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),

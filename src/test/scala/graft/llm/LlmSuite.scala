@@ -63,6 +63,21 @@ class LlmSuite extends SparkSpec {
     out.unpersist()
   }
 
+  test("IVF ANN: valid ranks, decent recall vs brute force at nProbe=4/16") {
+    val brute = LlmQueries.annTopK(spark, sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = LlmQueries.annIvf(spark, sf0001).cache()
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("rank") >= 1 &&
+      r.getAs[Int]("rank") <= 5))
+    val hits = ivf.select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recall = (hits intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall@5 too low: $recall")
+    ivf.unpersist()
+  }
+
   test("LSH ANN returns a subset quality-bounded by brute force") {
     val brute = LlmQueries.annTopK(spark, sf0001)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
