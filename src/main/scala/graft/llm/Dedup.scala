@@ -177,6 +177,47 @@ object Dedup {
       shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long")))
 
+  /** Transitive dedup clusters from near-dup pairs: connected
+    * components by iterative min-label propagation. Each doc gets the
+    * minimum id of its component as `cluster_rep` (the kept
+    * representative; everything else in the component is a duplicate).
+    *
+    * Scale: each iteration is one keyed join + aggregate (shuffle by
+    * id); iterations needed = O(log component-diameter) — near-dup
+    * components are shallow in practice. The loop converges when no
+    * label changes (exact), bounded by `maxIter` as a runaway guard.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list + self-vertices
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).persist()
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val candidate = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("cid"))
+        .agg(min(col("rep")).as("nrep"))
+      val next = labels.join(candidate, labels("id") === candidate("cid"),
+          "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .where(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("rep", "cluster_rep")
+  }
+
   /** 64-bit SimHash from pre-computed token hashes: each output bit is
     * the sign of the per-bit vote sum across tokens. */
   def simhashFromHashes(hs: Column): Column = {

@@ -165,6 +165,17 @@ object LlmQueries {
       nCentroids = 16, nProbe = 4)
   }
 
+  // --- llm_dedup_clusters (rows-only: transitive closure of near-dup
+  // pairs → per-doc cluster representative + cluster sizes) --------------
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir),
+      threshold = 0.5, maxDf = 1000000)
+    Dedup.dedupClusters(pairs)
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_rep")
+  }
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -293,6 +304,7 @@ object LlmQueries {
     "llm_ann_topk" -> (annTopK _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_dedup_clusters" -> (dedupClusters _),
     "llm_lang_id" -> (langId _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),

@@ -152,6 +152,10 @@ object OperatorQueries {
       // ts is epoch-nanos (LongType); integer-divide to micros —
       // float division would lose precision above 2^53
       timestamp_micros(expr("ts div 1000")).as("ets"))
+      // plant a key with no right-side rows so the oracle also checks
+      // the NULL (no-match) path — every fixture user has prior orders
+      .withColumn("user_id", when(col("event_id") % 97 === 0,
+        col("user_id") + 1000000).otherwise(col("user_id")))
     val ord = Tables.load(s, dir, "orders")
       .groupBy("o_custkey", "o_orderdate")
       .agg(max("o_orderkey").as("o_orderkey"))
@@ -161,11 +165,16 @@ object OperatorQueries {
   }
 
   val asofJoinSql: String =
-    """WITH r AS (
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN user_id + 1000000
+      |         ELSE user_id END AS user_id, ts
+      |  FROM events),
+      |r AS (
       |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
       |  FROM orders GROUP BY 1, 2)
       |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_orderdate
-      |FROM events e ASOF LEFT JOIN r
+      |FROM e ASOF LEFT JOIN r
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
 
   /** Event-time tumbling window aggregate (graft.streaming

@@ -323,6 +323,36 @@ object RelationalQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin
 
+  // --- q18_pivot: pivot on order status --------------------------------
+  // Spark `pivot` leaves absent combinations NULL while DuckDB's
+  // FILTER-counts give 0 — na.fill aligns them.
+  def q18Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  val q18PivotSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // --- q19_udaf: typed Aggregator (weighted mean) ----------------------
+  def q19Udaf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(graft.functions.WeightedMeanAgg.weighted_mean(
+        col("l_extendedprice"), col("l_quantity")), 4).as("wmean_price"))
+
+  val q19UdafSql: String =
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+      |    AS wmean_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // --------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -342,7 +372,9 @@ object RelationalQueries {
     "q14_cube" -> (q14Cube _),
     "q15_grouping_sets" -> (q15GroupingSets _),
     "q16_approx_distinct" -> (q16ApproxDistinct _),
-    "q17_salted_join" -> (q17SaltedJoin _)
+    "q17_salted_join" -> (q17SaltedJoin _),
+    "q18_pivot" -> (q18Pivot _),
+    "q19_udaf" -> (q19Udaf _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,6 +393,8 @@ object RelationalQueries {
     "q13_star_join" -> q13StarSql,
     "q14_cube" -> q14CubeSql,
     "q15_grouping_sets" -> q15GroupingSetsSql,
-    "q17_salted_join" -> q17SaltedJoinSql
+    "q17_salted_join" -> q17SaltedJoinSql,
+    "q18_pivot" -> q18PivotSql,
+    "q19_udaf" -> q19UdafSql
   )
 }

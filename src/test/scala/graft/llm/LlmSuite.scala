@@ -88,6 +88,28 @@ class LlmSuite extends SparkSpec {
     assert(lsh.select("neighbor_id").as[Long].collect().forall(ids))
   }
 
+  test("dedup clusters: transitive closure merges chained pairs") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain 1-2-3 → one component, rep 1
+      (10L, 11L),         // pair → rep 10
+      (20L, 21L), (21L, 22L), (20L, 22L) // triangle → rep 20
+    ).toDF("id_a", "id_b")
+    val labels = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup clusters on the real pair output keep one rep per planted dup") {
+    val out = LlmQueries.dedupClusters(spark, sf0001)
+    val sizes = out.collect().map(r => r.getLong(1))
+    // every planted near-dup pair is in some cluster of size ≥ 2
+    assert(sizes.forall(_ >= 2)) // singletons aren't emitted (no pairs)
+    assert(sizes.sum >= 2 * spark.read
+      .parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count())
+  }
+
   test("lang id picks a language deterministically; quality verdicts total") {
     val lang = LlmQueries.langId(spark, sf0001)
     assert(lang.count() == 500)
