@@ -188,14 +188,21 @@ object Dedup {
     * label changes (exact), bounded by `maxIter` as a runaway guard.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
-    // symmetric edge list + self-vertices
+    // symmetric edge list
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).persist()
-    labels.count()
+    // init = first propagation step folded in: rep0 = min(id, neighbors)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("rep"))
+      .persist()
+    // Convergence via the monotone invariant: min-propagation only
+    // ever decreases labels, so Σrep is strictly decreasing until the
+    // fixpoint — one cheap agg per iteration instead of a self-join
+    // diff. (Decimal sum: exact, no float round-off at any scale.)
+    def repSum() = labels.agg(sum(col("rep").cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    var prevSum = repSum()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -207,11 +214,12 @@ object Dedup {
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
-        .where(col("rep") =!= col("old")).count()
-      labels.unpersist()
+      val old = labels
       labels = next
-      converged = changed == 0
+      val curSum = repSum()
+      old.unpersist()
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
