@@ -12,24 +12,36 @@ Dev-only tool (driver-side python); not part of the Scala library.
 """
 import sys, os, json, math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(rel):
+    """Canonicalize via pandas like the driver does: dtype-sensitive.
+
+    DuckDB HUGEINT (sum of BIGINT) becomes float64 in pandas while
+    Spark's int64 stays int64 — repr "123.0" vs "123" must FAIL here
+    exactly as it fails the driver's hash (cf. q12_json round 1).
+    """
+    df = rel.df()
+    cols = sorted(df.columns)
+    df = df[cols]
     out = []
-    for r in rows:
+    for row in df.itertuples(index=False, name=None):
         vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-                else: v = round(v, 4)
+        for v in row:
+            if isinstance(v, (float, np.floating)):
+                v = float(v)
+                v = "NaN" if math.isnan(v) else round(v, 4)
+            elif isinstance(v, (int, np.integer)):
+                v = int(v)
+            elif isinstance(v, np.ndarray):
+                v = v.tolist()
             vals.append(repr(v))
         out.append(tuple(vals))
     out.sort()
-    return sorted(c for c in cols), out
+    return cols, out
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -45,7 +57,7 @@ def main(sf_dir, out_dir):
             continue
         try:
             got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
-            gcols, grows = canon(got.fetchall(), got.columns)
+            gcols, grows = canon(got)
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1; continue
@@ -54,7 +66,7 @@ def main(sf_dir, out_dir):
             continue
         try:
             exp = con.sql(oracles[name])
-            ecols, erows = canon(exp.fetchall(), exp.columns)
+            ecols, erows = canon(exp)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1; continue

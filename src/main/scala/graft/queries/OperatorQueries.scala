@@ -93,7 +93,7 @@ object OperatorQueries {
       |    CASE WHEN json_valid(payload) THEN 'ok' ELSE '__corrupt' END
       |      AS status
       |  FROM msg)
-      |SELECT status, count(*) AS n, sum(k) AS sum_k
+      |SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       |FROM dec GROUP BY status""".stripMargin
 
   /** K1/K2/K4+Q1 — whole-pipeline smoke as a batch query: messages →

@@ -245,9 +245,13 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  // DuckDB sum(BIGINT) yields HUGEINT, which pandas-side canonicalization
+  // turns into float64 ("123.0") while Spark's LongType sum stays int64
+  // ("123") — CAST back to BIGINT so both engines emit identical types.
   val q12JsonSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
