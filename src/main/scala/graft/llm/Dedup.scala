@@ -188,41 +188,47 @@ object Dedup {
     * label changes (exact), bounded by `maxIter` as a runaway guard.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetric edge list
+    // Symmetric edge list, materialized ONCE as an eager local
+    // checkpoint: every iteration's plan then starts from the stored
+    // blocks instead of carrying (and re-optimizing) the full near-dup
+    // lineage — round 1 paid a growing analysis/optimization cost per
+    // loop on top of the jobs themselves. (On a real cluster this is
+    // `checkpoint` to reliable storage; localCheckpoint is the
+    // single-JVM equivalent.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     // init = first propagation step folded in: rep0 = min(id, neighbors)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("rep"))
-      .persist()
+      .localCheckpoint(true)
     // Convergence via the monotone invariant: min-propagation only
     // ever decreases labels, so Σrep is strictly decreasing until the
-    // fixpoint — one cheap agg per iteration instead of a self-join
+    // fixpoint — one cheap agg (over the checkpointed blocks, a
+    // node-count-sized scan) per iteration instead of a self-join
     // diff. (Decimal sum: exact, no float round-off at any scale.)
-    def repSum() = labels.agg(sum(col("rep").cast("decimal(38,0)")))
-      .head().getDecimal(0)
-    var prevSum = repSum()
+    def repSum(df: DataFrame) =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = repSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val candidate = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("cid"))
         .agg(min(col("rep")).as("nrep"))
-      val next = labels.join(candidate, labels("id") === candidate("cid"),
+      // Eager checkpoint = the iteration's single materializing job;
+      // it also truncates lineage so iteration plans stay flat. No
+      // persist chain → nothing cached leaks to long-lived sessions.
+      labels = labels.join(candidate, labels("id") === candidate("cid"),
           "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .persist()
-      val old = labels
-      labels = next
-      val curSum = repSum()
-      old.unpersist()
+        .localCheckpoint(true)
+      val curSum = repSum(labels)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1
     }
-    edges.unpersist()
     labels.withColumnRenamed("rep", "cluster_rep")
   }
 
@@ -239,10 +245,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band the 64-bit simhash into 4 16-bit
-    * chunks; pairs agreeing on any chunk are candidates (guarantees
-    * recall for hamming distance ≤ 3); verify hamming ≤ `maxHamming`. */
+    * chunks; pairs agreeing on any chunk are candidates; verify
+    * hamming ≤ `maxHamming`. The 4×16 banding guarantees recall only
+    * for hamming ≤ 3 (pigeonhole: 3 flipped bits can't touch all 4
+    * chunks) — callers wanting a larger radius must re-band (e.g.
+    * 8×8-bit chunks guarantee ≤ 7), so `maxHamming` is capped at the
+    * banding guarantee rather than silently under-recalling. */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4x16-bit banding recall " +
+        "guarantee (<=3); re-band before widening the radius")
     // Native one-pass expression; its argument (the token-hash array)
     // is a child expression, evaluated exactly once per row.
     val simExpr = graft.functions.SimHash64Expr.simhash64(
@@ -262,7 +275,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(
-        col("sim_a").bitwiseXOR(col("sim_b"))))
+        col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

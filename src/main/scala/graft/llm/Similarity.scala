@@ -102,50 +102,67 @@ object Similarity {
     * the `nProbe` nearest cells. The classic large-scale ANN layout:
     * the corpus is partitioned by cell id, a probe touches
     * nProbe/nCentroids of the data, and recall is tuned by nProbe.
-    * Centroid fit is a one-time driver-coordinated step (sampled);
-    * assignment and search are pure relational ops — broadcast the
-    * (tiny) centroid table, argmin via window, top-k within probed
-    * cells.
+    *
+    * Scale shape: the KMeans fit consumes only a seeded SAMPLE of the
+    * corpus (centroid quality needs a sketch, not every row), and cell
+    * assignment is MAP-ONLY — the centroids ride along as literals in
+    * the task binary and each row takes an argmax over `nCentroids`
+    * dot products. (Round 1 assigned via crossJoin(centroids)+Window:
+    * a |corpus|×nCentroids row inflation through a shuffle — the
+    * dominant exchange at 100×.)
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, fitSampleFraction: Double = 0.25): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
     val km = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("features")
-    val model = km.fit(c.select(
-      array_to_vector(col("cv")).as("features")))
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
-      .toDF("cid", "cvec")
-
-    // cell assignment: argmin centroid distance (dot with normalized
-    // vectors ≈ cosine; we use euclid-on-dot ranking via max dot)
-    def assign(df: DataFrame, idName: String, vecName: String,
-        keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("cdot", dot(col(vecName), col("cvec")) /
-          greatest(norm(col("cvec")), lit(1e-12)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(idName).orderBy(col("cdot").desc, col("cid").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .drop("cvec", "cdot", "crank")
+    val model = km.fit(
+      c.sample(withReplacement = false, fitSampleFraction, seed)
+        .select(array_to_vector(col("cv")).as("features")))
+    // Centroids + their norms are driver-side constants; norms are
+    // accumulated left-to-right like `norm` so rankings agree with the
+    // expression form bit-for-bit.
+    val centArrs: Seq[Seq[Double]] =
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centNorms: Seq[Double] = centArrs.map { a =>
+      var s = 0.0; a.foreach(x => s += x * x)
+      math.max(math.sqrt(s), 1e-12)
     }
 
-    val cAssigned = assign(c, "neighbor_id", "cv", keep = 1)
+    /** Per-row array of `nCentroids` normalized-dot scores — map-only. */
+    def cellScores(vecName: String): Column =
+      array(centArrs.indices.map { i =>
+        dot(col(vecName), typedlit(centArrs(i))) / lit(centNorms(i))
+      }: _*)
+
+    // argmax cell: array_position finds the FIRST max → lowest cid on
+    // ties, matching the old Window (cdot desc, cid asc) tie-break.
+    // bindOnce: scores are referenced twice (max + position).
+    val cAssigned = c.withColumn("cid",
+      graft.functions.ExprUtils.bindOnce(cellScores("cv")) { sc =>
+        (array_position(sc, array_max(sc)) - 1).cast("int") })
+
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val qProbed = assign(q, "query_id", "qv", keep = nProbe)
+    // Top-nProbe cells per query: sort (−score, cid) structs ascending
+    // — score desc, cid asc — and explode the first nProbe. Still
+    // map-only (explode fans out nProbe rows per query, no shuffle).
+    val qProbed = q.withColumn("probe",
+        explode(graft.functions.ExprUtils.bindOnce(cellScores("qv")) { sc =>
+          slice(sort_array(zip_with(sc,
+            sequence(lit(0), lit(nCentroids - 1)),
+            (score, i) => struct((-score).as("ns"), i.as("cid")))),
+            1, nProbe) }))
+      .withColumn("cid", col("probe.cid").cast("int"))
+      .drop("probe")
 
     val scored = cAssigned.join(broadcast(qProbed), Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))

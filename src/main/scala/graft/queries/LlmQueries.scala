@@ -92,10 +92,55 @@ object LlmQueries {
     Dedup.minhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  // --- llm_simhash (rows-only) -----------------------------------------
+  // --- llm_simhash ------------------------------------------------------
+  // maxHamming=3 matches the 4×16-bit banding recall guarantee (round 1
+  // used 10, where pairs at hamming 4-10 surfaced only on chance chunk
+  // collisions — and 61k pairs leaked through at sf0.1).
   def simhashDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearDups(s, dir), maxHamming = 10)
+    Dedup.simhashPairs(docsWithNearDups(s, dir), maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  /** Full cross-engine SimHash oracle: md5-based token hashes are
+    * reproducible in DuckDB, so the signature → band → hamming pipeline
+    * is SQL-expressible. Token hash = (hi<<32)|lo from the md5 hex
+    * halves; working on the halves separately sidesteps 64-bit sign
+    * issues (bit j comes from lo when j<32, hi otherwise — identical to
+    * Spark's shiftrightunsigned on the combined long). */
+  val simhashSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |    AS t
+       |  FROM corpus),
+       |th AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS hi,
+       |    CAST('0x' || substring(md5(t), 9, 8) AS BIGINT) AS lo
+       |  FROM tok),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j
+       |                    ELSE hi >> (j - 32) END) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN range(64) r(j)
+       |  GROUP BY doc_id, j),
+       |chunks AS (
+       |  SELECT doc_id, CAST(j // 16 AS INT) AS band,
+       |    CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j % 16 AS INT)
+       |             ELSE 0 END) AS BIGINT) AS chunk
+       |  FROM votes GROUP BY doc_id, j // 16),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM chunks a JOIN chunks b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(sum(bit_count(xor(ca.chunk, cb.chunk))) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN chunks ca ON ca.doc_id = id_a
+       |JOIN chunks cb ON cb.doc_id = id_b AND cb.band = ca.band
+       |GROUP BY id_a, id_b
+       |HAVING sum(bit_count(xor(ca.chunk, cb.chunk))) <= 3""".stripMargin
 
   // --- llm_embed_dup ----------------------------------------------------
   /** embeddings ∪ scaled copies (cosine exactly 1) of every 5th vector. */
@@ -314,6 +359,7 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
+    "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" -> ngramJaccardSql,
     "llm_embed_dup" -> embedDupSql,
     "llm_ann_topk" -> annTopKSql,
