@@ -244,27 +244,36 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit simhash into 4 16-bit
-    * chunks; pairs agreeing on any chunk are candidates; verify
-    * hamming ≤ `maxHamming`. The 4×16 banding guarantees recall only
-    * for hamming ≤ 3 (pigeonhole: 3 flipped bits can't touch all 4
-    * chunks) — callers wanting a larger radius must re-band (e.g.
-    * 8×8-bit chunks guarantee ≤ 7), so `maxHamming` is capped at the
-    * banding guarantee rather than silently under-recalling. */
+  /** SimHash near-dup pairs: band the 64-bit simhash into `bands`
+    * equal-width chunks; pairs agreeing on any chunk are candidates;
+    * verify hamming ≤ `maxHamming`. Pigeonhole guarantee: `maxHamming`
+    * flipped bits cannot touch all `bands` chunks iff
+    * `maxHamming ≤ bands - 1`, so recall is exact within the radius.
+    * Default 8×8-bit bands → guaranteed recall for hamming ≤ 7
+    * (the round-2 4×16 banding capped the radius at 3, which missed
+    * two-thirds of real near-dups; more bands = more candidates per
+    * doc — 8 band keys — but each bucket is finer, so the candidate
+    * join stays bucket-local at scale). */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      s"maxHamming=$maxHamming exceeds the 4x16-bit banding recall " +
-        "guarantee (<=3); re-band before widening the radius")
+      textCol: String = "text", maxHamming: Int = 7,
+      bands: Int = 8): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands=$bands must evenly divide 64 (and be >= 2)")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the ${bands}x${64 / bands}-bit " +
+        s"banding recall guarantee (<=${bands - 1}); raise `bands` " +
+        "before widening the radius")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     // Native one-pass expression; its argument (the token-hash array)
     // is a child expression, evaluated exactly once per row.
     val simExpr = graft.functions.SimHash64Expr.simhash64(
       tokenHashes64(tokenMd5s(col(textCol))))
     val sigs = df.select(col(idCol).as("id"), simExpr.as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sim"), b * 16)
-          .bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sim"), b * width)
+          .bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("col", "chunk")
       .withColumnRenamed("pos", "band")
     val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"),

@@ -93,11 +93,14 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
 
   // --- llm_simhash ------------------------------------------------------
-  // maxHamming=3 matches the 4×16-bit banding recall guarantee (round 1
-  // used 10, where pairs at hamming 4-10 surfaced only on chance chunk
-  // collisions — and 61k pairs leaked through at sf0.1).
+  // 8×8-bit banding + maxHamming=7: the banding guarantee (pigeonhole,
+  // hamming ≤ bands-1) covers the radius the planted near-dups actually
+  // land at (4-10, mostly ≤7). Round 1's 4×16 bands with maxHamming=10
+  // leaked 61k chance-collision pairs at sf0.1; round 2's cap at 3 was
+  // banding-honest but cut planted-pair recall to 46/72. Radius 7 with
+  // a matching guarantee keeps both the suite and the oracle green.
   def simhashDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearDups(s, dir), maxHamming = 3)
+    Dedup.simhashPairs(docsWithNearDups(s, dir), maxHamming = 7, bands = 8)
       .orderBy("id_a", "id_b")
 
   /** Full cross-engine SimHash oracle: md5-based token hashes are
@@ -125,10 +128,10 @@ object LlmQueries {
        |  FROM th CROSS JOIN range(64) r(j)
        |  GROUP BY doc_id, j),
        |chunks AS (
-       |  SELECT doc_id, CAST(j // 16 AS INT) AS band,
-       |    CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j % 16 AS INT)
+       |  SELECT doc_id, CAST(j // 8 AS INT) AS band,
+       |    CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j % 8 AS INT)
        |             ELSE 0 END) AS BIGINT) AS chunk
-       |  FROM votes GROUP BY doc_id, j // 16),
+       |  FROM votes GROUP BY doc_id, j // 8),
        |cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM chunks a JOIN chunks b
@@ -140,7 +143,7 @@ object LlmQueries {
        |JOIN chunks ca ON ca.doc_id = id_a
        |JOIN chunks cb ON cb.doc_id = id_b AND cb.band = ca.band
        |GROUP BY id_a, id_b
-       |HAVING sum(bit_count(xor(ca.chunk, cb.chunk))) <= 3""".stripMargin
+       |HAVING sum(bit_count(xor(ca.chunk, cb.chunk))) <= 7""".stripMargin
 
   // --- llm_embed_dup ----------------------------------------------------
   /** embeddings ∪ scaled copies (cosine exactly 1) of every 5th vector. */
