@@ -1,28 +1,85 @@
 package graft.examples
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.mock.MockGen
 import graft.normalize.NormalizerSpec
 import graft.ops.Stages
-import graft.pipeline.{Decoders, Pipeline, PipelineConfig}
+import graft.pipeline.{Decoders, Pipeline, PipelineConfig, WireCodec,
+  WireRecord}
 import graft.sink.RotationPolicy
 import graft.sources.DataFrameSource
 
 /** Ingest-throughput measurement comparable in character to the
   * reference's published run (BASELINE.md: 398k records/s decode,
   * 806k rows/s raw+norm sink on 60 CPUs): generate N wire messages
-  * (6-byte prefix + JSON payload of a nested schema), run the full
-  * pipeline batch (munge → decode → normalize → raw+norm parquet),
-  * print the metrics report.
+  * (6-byte prefix + payload), run the full pipeline batch
+  * (munge → decode → normalize → raw+norm parquet), print metrics.
   *
-  * Usage: runMain graft.examples.ThroughputBench [nMessages]
+  * Three decode modes over the SAME logical record
+  * (id, site{id,kind}, score, flag):
+  *  - `json`            — untyped from_json decode (round-1 path)
+  *  - `binary`          — hand-rolled length-prefixed codec through the
+  *                        typed `unmarshalFunc` boundary (the
+  *                        reference's protobuf-parity path,
+  *                        /root/reference/proto.go:106-172)
+  *  - `binary-columnar` — same wire format decoded entirely with
+  *                        codegen'd expressions (the Spark-first path)
+  *
+  * Usage: runMain graft.examples.ThroughputBench [nMessages] [mode]
+  *   mode ∈ json | binary | binary-columnar | all (default all)
   */
 object ThroughputBench {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("site", StructType(Seq(
+      StructField("id", StringType), StructField("kind", StringType)))),
+    StructField("score", DoubleType),
+    StructField("flag", BooleanType)))
+
+  /** Stage wire messages to parquet so generation cost is excluded;
+    * spread like a real N-partition topic would arrive. */
+  private def stage(spark: SparkSession, dir: String,
+      msgs: DataFrame): DataFrame = {
+    msgs.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  private def runMode(spark: SparkSession, root: String, mode: String,
+      wire: DataFrame, decode: DataFrame => DataFrame, n: Long): Double = {
+    val pipe = Pipeline(spark, PipelineConfig(
+      source = DataFrameSource(wire),
+      outputDir = s"$root/out_$mode",
+      destTable = "msgs",
+      munger = Some(Stages.confluentStrip),
+      decode = decode,
+      normalizer = Some(NormalizerSpec(
+        Seq("id", "site.id", "site.kind", "score"),
+        Seq("id", "site", "kind", "score"))),
+      rotation = RotationPolicy(thresholdMB = 100000, durationSec = 100000,
+        clamp = false)))
+    val t0 = System.nanoTime()
+    pipe.processBatch(wire)
+    pipe.close()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val m = pipe.metrics
+    val recsPerSec = m.recordsProcessed.get / secs
+    println(f"[$mode] messages=$n wall=$secs%.1f s")
+    println(f"[$mode] decode+ingest records/s: $recsPerSec%.0f")
+    println(f"[$mode] total sink rows/s (raw+norm): ${
+      (m.recordsInserted.get + m.normRecordsInserted.get) / secs}%.0f")
+    println(s"[$mode] conservation=${m.conservationHolds}")
+    recsPerSec
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val mode = args.drop(1).headOption.getOrElse("all")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -32,45 +89,37 @@ object ThroughputBench {
     spark.sparkContext.setLogLevel("ERROR")
     val root = java.nio.file.Files.createTempDirectory("graft-tput").toString
 
-    val schema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("site", StructType(Seq(
-        StructField("id", StringType), StructField("kind", StringType)))),
-      StructField("score", DoubleType),
-      StructField("flag", BooleanType)))
+    val rows = MockGen.batch(spark, schema, n, seed = 42)
 
-    // Materialize wire messages first so generation cost is excluded.
-    val msgs = MockGen.asMessages(
-      MockGen.batch(spark, schema, n, seed = 42), prefixBytes = 6)
-    msgs.write.mode("overwrite").parquet(s"$root/msgs")
-    // A real Kafka topic presents N partitions; the parquet staging
-    // file is a single split — spread it like the source would.
-    val wire = spark.read.parquet(s"$root/msgs")
-      .repartition(spark.sparkContext.defaultParallelism)
+    lazy val jsonWire = stage(spark, s"$root/msgs_json",
+      MockGen.asMessages(rows, prefixBytes = 6))
+    lazy val binWire = {
+      implicit val enc = ExpressionEncoder[WireRecord]()
+      implicit val benc = ExpressionEncoder[Array[Byte]]()
+      val prefix = Array.fill[Byte](6)(0)
+      stage(spark, s"$root/msgs_bin",
+        rows.as[WireRecord].map(r => prefix ++ WireCodec.encode(r))
+          .toDF("value")
+          .withColumn("timestamp", current_timestamp()))
+    }
 
-    val pipe = Pipeline(spark, PipelineConfig(
-      source = DataFrameSource(wire),
-      outputDir = s"$root/out",
-      destTable = "msgs",
-      munger = Some(Stages.confluentStrip),
-      decode = Decoders.json(schema),
-      normalizer = Some(NormalizerSpec(
-        Seq("id", "site.id", "site.kind", "score"),
-        Seq("id", "site", "kind", "score"))),
-      rotation = RotationPolicy(thresholdMB = 100000, durationSec = 100000,
-        clamp = false)))
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (mode == "all" || mode == "json")
+      results("json") = runMode(spark, root, "json", jsonWire,
+        Decoders.json(schema), n)
+    if (mode == "all" || mode == "binary")
+      results("binary") = runMode(spark, root, "binary", binWire,
+        Decoders.typed(WireCodec.decode), n)
+    if (mode == "all" || mode == "binary-columnar")
+      results("binary-columnar") = runMode(spark, root, "binary-columnar",
+        binWire, WireCodec.decodeColumnar, n)
 
-    val t0 = System.nanoTime()
-    pipe.processBatch(wire)
-    pipe.close()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val m = pipe.metrics
-    println(f"messages=$n, wall=${secs}%.1f s")
-    println(f"decode+ingest records/s: ${m.recordsProcessed.get / secs}%.0f")
-    println(f"total sink rows/s (raw+norm): ${
-      (m.recordsInserted.get + m.normRecordsInserted.get) / secs}%.0f")
-    println(s"conservation=${m.conservationHolds}")
-    println(m.report())
+    if (results.size > 1) {
+      val base = results.getOrElse("json", results.values.head)
+      results.foreach { case (m, v) =>
+        println(f"[summary] $m%-16s ${v}%11.0f rec/s (${v / base}%.2fx json)")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.normalize.NormalizerSpec
+import graft.ops.Stages
+import graft.sources.FileBinarySource
+
+class WireCodecSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    WireRecord(1L, WireSite("s1", "web"), 1.25, flag = true),
+    WireRecord(-42L, WireSite("", "app"), -0.0, flag = false),
+    WireRecord(Long.MaxValue, WireSite("日本語サイト", "k" * 300),
+      Double.MinPositiveValue, flag = true),
+    WireRecord(Long.MinValue, WireSite("x", ""), -1.7e308, flag = false))
+
+  test("codec round-trips every field, including non-ASCII and extremes") {
+    samples.foreach { r =>
+      assert(WireCodec.decode(WireCodec.encode(r)) == DecodeResult.Ok(r))
+    }
+  }
+
+  test("truncated and padded payloads are Failed, not garbage") {
+    val full = WireCodec.encode(samples.head)
+    (0 until full.length).foreach { cut =>
+      assert(WireCodec.decode(full.take(cut))
+        .isInstanceOf[DecodeResult.Failed])
+    }
+    assert(WireCodec.decode(full ++ Array[Byte](0))
+      .isInstanceOf[DecodeResult.Failed])
+  }
+
+  test("columnar decode equals typed decode on good rows, flags bad ones") {
+    implicit val benc = ExpressionEncoder[Array[Byte]]()
+    val good = samples.map(WireCodec.encode)
+    val bad = Seq(good.head.take(5), good.head ++ Array[Byte](1, 2))
+    val df = (good ++ bad).toDF("value")
+      .withColumn("timestamp", lit("2026-01-01 00:00:00").cast("timestamp"))
+
+    val typed = Decoders.typed[WireRecord](WireCodec.decode).apply(df)
+    val columnar = WireCodec.decodeColumnar(df)
+    assert(columnar.columns.toSeq == typed.columns.toSeq)
+
+    val key = Seq("id", "site", "score", "flag")
+    val goodTyped = typed.where(col("_corrupt").isNull).select(key.map(col): _*)
+    val goodCol = columnar.where(col("_corrupt").isNull).select(key.map(col): _*)
+    assert(goodCol.exceptAll(goodTyped).count() == 0)
+    assert(goodTyped.exceptAll(goodCol).count() == 0)
+    assert(columnar.where(col("_corrupt").isNotNull).count() == bad.size)
+  }
+
+  test("binary pipeline end-to-end: decode + dead-letter + norm parity") {
+    implicit val benc = ExpressionEncoder[Array[Byte]]()
+    val root = Files.createTempDirectory("graft-wire").toString
+    val prefix = Array.fill[Byte](6)(0)
+    val recs = (0L until 200L).map(i =>
+      WireRecord(i, WireSite(s"site_$i", if (i % 2 == 0) "web" else "app"),
+        i / 10.0, i % 3 == 0))
+    val goodMsgs = recs.map(r => prefix ++ WireCodec.encode(r))
+    val badMsgs = Seq.fill(7)(prefix ++ Array[Byte](1, 2, 3))
+    (goodMsgs ++ badMsgs).toDF("value")
+      .withColumn("timestamp", current_timestamp())
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$root/messages")
+
+    for ((name, decode) <- Seq(
+        "typed" -> Decoders.typed(WireCodec.decode),
+        "columnar" -> WireCodec.decodeColumnar)) {
+      val pipe = Pipeline(spark, PipelineConfig(
+        source = FileBinarySource(s"$root/messages"),
+        outputDir = s"$root/out_$name",
+        destTable = "wire",
+        munger = Some(Stages.confluentStrip),
+        decode = decode,
+        deadLetterTable = Some("dead"),
+        normalizer = Some(NormalizerSpec(
+          Seq("id", "site.id", "site.kind", "score"),
+          Seq("id", "site", "kind", "score")))))
+      val q = pipe.run()
+      q.processAllAvailable()
+      pipe.close()
+      val m = pipe.metrics
+      assert(m.messagesConsumed.get == 207, name)
+      assert(m.recordsProcessed.get == 200, name)
+      assert(m.decodeErrors.get == 7, name)
+      assert(m.conservationHolds, name)
+
+      val manifest = spark.read.parquet(s"$root/out_$name/_manifest")
+      val raw = spark.read.parquet(
+        manifest.select("path").as[String].collect().map(_ + "/wire"): _*)
+      assert(raw.count() == 200, name)
+      val row = raw.where(col("id") === 42L).head()
+      assert(row.getAs[org.apache.spark.sql.Row]("site")
+        .getAs[String]("id") == "site_42", name)
+      assert(row.getAs[Double]("score") == 4.2, name)
+      assert(row.getAs[Boolean]("flag"), name)
+      val norm = spark.read.parquet(
+        manifest.select("path").as[String].collect().map(_ + "/wire_norm"): _*)
+      assert(norm.columns.toSeq == Seq("id", "site", "kind", "score"), name)
+      assert(norm.count() == 200, name)
+    }
+  }
+}
