@@ -106,13 +106,17 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
     * reference's stage-skipping lets users feed channels directly,
     * quacfka.go:262-283; this is the Spark analog). */
   def processBatch(batch: DataFrame): Unit = try {
-    val stats = batch.agg(count(lit(1)), sum(length(col("value")))).head()
-    val consumed = stats.getLong(0)
-    metrics.messagesConsumed.addAndGet(consumed)
-    if (!stats.isNullAt(1))
-      metrics.bytesProcessed.addAndGet(stats.getLong(1))
+    // Wire-level stats (S7 byte counter + consumed count) ride the
+    // decode scan as observe() named metrics — ONE source scan per
+    // micro-batch. (Round 1-2 ran a separate agg().head() over the
+    // wire bytes first: a 2× source-read amplification, the single
+    // worst cost in the pipeline path at 100 TB.)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = batch.observe(obs,
+      count(lit(1)).as("consumed"),
+      sum(length(col("value"))).as("bytes"))
 
-    val munged = config.munger.fold(batch)(m => Stages.munge(m)(batch))
+    val munged = config.munger.fold(observed)(m => Stages.munge(m)(observed))
     // Decode ONCE: cache the decoded frame so good/dead routing and
     // every sink table read the parse result, not re-parse the wire
     // bytes (the reference likewise decodes once per message and fans
@@ -125,7 +129,14 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
       else (decodedAll, null)
 
     try {
+      // This count materializes the cache — the one pass over the
+      // source — and thereby completes the observation.
       val goodN = good.count()
+      val stats = obs.get
+      val consumed = stats("consumed").asInstanceOf[Long]
+      metrics.messagesConsumed.addAndGet(consumed)
+      Option(stats("bytes")).foreach(b =>
+        metrics.bytesProcessed.addAndGet(b.asInstanceOf[Long]))
       metrics.recordsProcessed.addAndGet(goodN)
       var deadN = 0L
       if (dead != null) {

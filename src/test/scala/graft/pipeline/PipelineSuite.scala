@@ -177,6 +177,43 @@ class PipelineSuite extends SparkSpec {
     assert(m.conservationHolds)
   }
 
+  test("wire stats ride the decode scan: ONE source pass per micro-batch") {
+    val root = Files.createTempDirectory("graft-onescan").toString
+    val n = writeMessages(s"$root/messages")
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        recordsRead.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pipe = Pipeline(spark, PipelineConfig(
+        source = FileBinarySource(s"$root/messages"),
+        outputDir = s"$root/out",
+        destTable = "events_raw",
+        munger = Some(Stages.confluentStrip),
+        decode = Decoders.json(payloadSchema)))
+      val q = pipe.run()
+      q.processAllAvailable()
+      pipe.close()
+      assert(pipe.metrics.messagesConsumed.get == n)
+      assert(pipe.metrics.bytesProcessed.get > 0)
+      assert(pipe.metrics.recordsInserted.get == n)
+      // listener events are async — wait for the count to go quiet
+      var last = -1L
+      var spins = 0
+      while (recordsRead.get != last && spins < 50) {
+        last = recordsRead.get; spins += 1; Thread.sleep(100)
+      }
+      // InputMetrics also counts persisted-block reads (a handful of
+      // columnar-batch units per post-decode job), so allow slack well
+      // under the 2n a second source scan would add.
+      assert(recordsRead.get >= n && recordsRead.get < n * 3 / 2,
+        s"source rows read ${recordsRead.get} vs $n — second scan regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("metrics report carries the reference field names") {
     val m = new PipelineMetrics(normalizerFields = Some(10))
     m.recordsProcessed.set(123686901L)
