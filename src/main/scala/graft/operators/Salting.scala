@@ -12,19 +12,39 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Join types where replicating the small side is correct: replicas
+    * only ever MATCH big-side rows (each big row carries one salt, so
+    * it meets exactly one replica). Right/full-outer would also EMIT
+    * the `buckets-1` unmatched replicas of every unmatched small-side
+    * row — silently wrong, so rejected. Normalized: lowercase, no
+    * underscores, "outer" suffix dropped. */
+  private val saltSafeJoinTypes =
+    Set("inner", "cross", "left", "leftsemi", "semi", "leftanti", "anti")
+
   /** Salted equi-join: the skewed (big) side gets a deterministic salt
     * in [0, buckets); the small side is replicated `buckets` times so
     * every (key, salt) pair finds its match. Row movement: big side
     * unchanged (one shuffle, now uniform), small side × buckets —
-    * choose `buckets` ≈ hottest-key rows / target-partition rows. */
+    * choose `buckets` ≈ hottest-key rows / target-partition rows.
+    *
+    * `saltFrom`: columns feeding the deterministic salt hash
+    * (rand() would break retry/replay determinism). They must vary
+    * WITHIN a hot key or the salt won't spread it — a row id, an event
+    * timestamp. Default: every big-side column (always correct, but
+    * pays one xxhash64 input per column per row on wide fact tables —
+    * pass one cheap varying column instead). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-      buckets: Int, joinType: String = "inner"): DataFrame = {
+      buckets: Int, joinType: String = "inner",
+      saltFrom: Seq[Column] = Nil): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    // Deterministic salt from the full row (uniform, reproducible) —
-    // rand() would break retry/replay determinism.
-    val saltCol = pmod(
-      xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)),
-      lit(buckets)).cast("int")
+    val jt = joinType.toLowerCase.replace("_", "").stripSuffix("outer")
+    require(saltSafeJoinTypes.contains(jt),
+      s"saltedJoin does not support joinType=$joinType: replicating " +
+        "the small side emits duplicate rows for right/full-outer joins")
+    val saltSource =
+      if (saltFrom.nonEmpty) saltFrom
+      else big.columns.map(col).toIndexedSeq
+    val saltCol = pmod(xxhash64(saltSource: _*), lit(buckets)).cast("int")
     val b = big.withColumn("__salt", saltCol)
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))

@@ -317,7 +317,10 @@ object RelationalQueries {
     val part = t(s, dir, "part")
     graft.operators.Salting
       .saltedJoin(li.withColumnRenamed("l_partkey", "p_partkey"), part,
-        Seq("p_partkey"), buckets = 8)
+        Seq("p_partkey"), buckets = 8,
+        // cheap salt: one narrow column that varies within a part key
+        // (hashing all 16 lineitem columns measured as pure waste)
+        saltFrom = Seq(col("l_orderkey")))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
   }
