@@ -8,7 +8,7 @@ import graft.Tables
 import graft.normalize.NormalizerSpec
 import graft.ops.Stages
 import graft.pipeline.{Decoders, Pipeline, PipelineConfig}
-import graft.runner.SegmentRunner
+import graft.runner.{SegmentQuery, SegmentRunner}
 import graft.sink.RotationPolicy
 import graft.sources.FileBinarySource
 
@@ -65,7 +65,7 @@ object PipelineDemo {
       rotation = RotationPolicy(thresholdMB = 0, durationSec = 100000,
         clamp = false), // demo: rotate every micro-batch
       runner = Some(SegmentRunner(
-        queries = Seq("SELECT count(*) FROM events_raw_norm")))))
+        queries = SegmentQuery.sql("SELECT count(*) FROM events_raw_norm")))))
 
     pipe.metrics.startBenchmarkSampler(intervalSec = 2)
     val q = pipe.run()

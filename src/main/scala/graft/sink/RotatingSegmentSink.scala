@@ -124,7 +124,7 @@ final class RotatingSegmentSink(
     // /root/reference/duck.go:270-278).
     runner.foreach { r =>
       val tableDirs = tables.map(t => t -> s"$closingPath/$t").toMap
-      val errs = r.run(spark, tableDirs)
+      val errs = r.run(spark, tableDirs, segmentDir = Some(closingPath))
       errs.headOption.foreach(e => metrics.foreach(_.recordError(e)))
       if (r.deleteOnDone) r.deleteSegment(spark, closingPath)
     }

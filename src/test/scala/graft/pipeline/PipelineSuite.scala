@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.{SparkSpec, Tables}
 import graft.ops.{CustomTransform, Stages}
 import graft.normalize.NormalizerSpec
-import graft.runner.SegmentRunner
+import graft.runner.{QuerySink, SegmentQuery, SegmentRunner}
 import graft.sink.RotationPolicy
 import graft.sources.FileBinarySource
 
@@ -125,6 +125,48 @@ class PipelineSuite extends SparkSpec {
         .filter(p => new java.io.File(s"$p/by_type").exists())
         .map(_ + "/by_type"): _*)
     assert(byType.agg(sum("n")).head().getLong(0) == nGood)
+  }
+
+  test("runner export mode writes a per-segment artifact (COPY-TO parity)") {
+    val root = Files.createTempDirectory("graft-export").toString
+    val nMsgs = writeMessages(s"$root/messages")
+    val runner = SegmentRunner(queries = Seq(
+      // export: aggregate per segment → parquet under the segment dir
+      SegmentQuery(
+        "SELECT event_type, count(*) AS n FROM events_raw GROUP BY event_type",
+        Some(QuerySink("${segment}/_export/by_type"))),
+      // effect-only command: runs eagerly, nothing collected (temp
+      // views are lazy plans, so it must not reference segment views
+      // that are dropped when the runner finishes)
+      SegmentQuery("CREATE OR REPLACE TEMP VIEW last_seg AS SELECT 42 AS n"),
+      // result-bearing, no sink: must execute without driver collect
+      SegmentQuery("SELECT * FROM events_raw")))
+    val pipe = Pipeline(spark, PipelineConfig(
+      source = FileBinarySource(s"$root/messages", maxFilesPerTrigger = Some(2)),
+      outputDir = s"$root/out",
+      destTable = "events_raw",
+      munger = Some(Stages.confluentStrip),
+      decode = Decoders.json(payloadSchema),
+      rotation = RotationPolicy(thresholdMB = 0, durationSec = 100000,
+        clamp = false),
+      runner = Some(runner)))
+    val q = pipe.run()
+    q.processAllAvailable()
+    pipe.close()
+    assert(pipe.error.isEmpty)
+    val segs = pipe.closedSegments()
+    assert(segs.length >= 2)
+    // every segment carries its export; union equals the full input
+    val exported = segs.map(s =>
+      spark.read.parquet(s"${s.path}/_export/by_type"))
+    exported.foreach(df =>
+      assert(df.columns.toSeq == Seq("event_type", "n")))
+    val total = exported.reduce(_ unionAll _)
+      .agg(sum("n")).head().getLong(0)
+    assert(total == nMsgs)
+    // the effect-only command ran (temp view left behind by last segment)
+    assert(spark.sql("SELECT n FROM last_seg").head().getInt(0) == 42)
+    spark.catalog.dropTempView("last_seg")
   }
 
   test("closedSegments drains exactly once (DuckPaths parity)") {
