@@ -194,37 +194,47 @@ object Dedup {
     // lineage — round 1 paid a growing analysis/optimization cost per
     // loop on top of the jobs themselves. (On a real cluster this is
     // `checkpoint` to reliable storage; localCheckpoint is the
-    // single-JVM equivalent.)
+    // single-JVM equivalent. Superseded iterations' blocks are freed
+    // by the ContextCleaner once their datasets go unreferenced.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // Convergence via the monotone invariant: min-propagation only
+    // ever decreases labels, so Σrep is strictly decreasing until the
+    // fixpoint — one cheap agg per iteration instead of a self-join
+    // diff. (Decimal sum: exact, no float round-off at any scale.)
+    // The checkpoint is LAZY and this agg is the action that
+    // materializes it, so checkpoint + convergence probe are ONE job
+    // per iteration (eager checkpoint + separate agg was two).
+    def repSum(df: DataFrame): java.math.BigDecimal = Option(
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
+      .getOrElse(java.math.BigDecimal.ZERO) // empty pair set
     // init = first propagation step folded in: rep0 = min(id, neighbors)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("rep"))
-      .localCheckpoint(true)
-    // Convergence via the monotone invariant: min-propagation only
-    // ever decreases labels, so Σrep is strictly decreasing until the
-    // fixpoint — one cheap agg (over the checkpointed blocks, a
-    // node-count-sized scan) per iteration instead of a self-join
-    // diff. (Decimal sum: exact, no float round-off at any scale.)
-    def repSum(df: DataFrame) =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+      .localCheckpoint(false)
     var prevSum = repSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // Two-hop step: neighbor-min propagation PLUS pointer jumping
+      // (rep := rep of rep). Jumping alone halves the remaining
+      // distance-to-root each iteration (O(log diameter) total), and
+      // the neighbor term keeps single-hop edges flowing; both fold
+      // into the same shuffle-by-id join pass.
       val candidate = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("cid"))
         .agg(min(col("rep")).as("nrep"))
-      // Eager checkpoint = the iteration's single materializing job;
-      // it also truncates lineage so iteration plans stay flat. No
-      // persist chain → nothing cached leaks to long-lived sessions.
-      labels = labels.join(candidate, labels("id") === candidate("cid"),
-          "left")
+      val jump = labels.select(col("id").as("jid"), col("rep").as("jrep"))
+      labels = labels
+        .join(candidate, labels("id") === candidate("cid"), "left")
+        .join(jump, labels("rep") === col("jid"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-        .localCheckpoint(true)
-      val curSum = repSum(labels)
+          least(col("rep"),
+            coalesce(col("nrep"), col("rep")),
+            coalesce(col("jrep"), col("rep"))).as("rep"))
+        .localCheckpoint(false)
+      val curSum = repSum(labels) // the iteration's ONLY job
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1
