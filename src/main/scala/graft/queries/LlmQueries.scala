@@ -224,6 +224,42 @@ object LlmQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Cross-engine oracle: the near-dup pair table (string-shingle
+    * Jaccard, same as the ngram oracle) feeds a recursive reachability
+    * CTE — reach(id, v) holds every node v reachable from id, and
+    * min(v) per id is the connected-component representative. The
+    * UNION (not UNION ALL) dedups tuples, so the recursion terminates
+    * at the transitive closure. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE corpus AS ($corpusNearSql),
+       |tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM tok),
+       |inv AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+       |  HAVING round(count(*) / (a.sz + b.sz - count(*)), 4) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, v) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.v),
+       |labels AS (
+       |  SELECT id, min(v) AS cluster_rep FROM reach GROUP BY id)
+       |SELECT cluster_rep, count(*) AS cluster_size
+       |FROM labels GROUP BY cluster_rep""".stripMargin
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -364,6 +400,7 @@ object LlmQueries {
     "llm_exact_dedup" -> exactDedupSql,
     "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" -> ngramJaccardSql,
+    "llm_dedup_clusters" -> dedupClustersSql,
     "llm_embed_dup" -> embedDupSql,
     "llm_ann_topk" -> annTopKSql,
     "llm_lang_id" -> langIdSql,
