@@ -33,6 +33,33 @@ final class PipelineMetrics(
   val filesMB = new AtomicLong
   private val fileDurationsMs = new ConcurrentLinkedQueue[Long]()
 
+  // ---- micro-batch lag telemetry (queue-depth parity: the reference
+  // samples channel-depth high-water marks every 30 s,
+  // /root/reference/metrics.go:127-135; the Spark analog of "how full
+  // is the queue" is per-trigger input volume and trigger latency
+  // from StreamingQueryProgress) ----
+  val maxBatchRows = new AtomicLong // maxMChanLen analog
+  @volatile private var lastBatchDurMs: Long = -1
+  @volatile private var lastInputRps: Double = 0.0
+  @volatile private var lastProcRps: Double = 0.0
+
+  /** Fold one progress event in. Idempotent under replay (high-water
+    * max + latest-wins), so a close-time drain of `recentProgress`
+    * after live listener events cannot double-count. */
+  def recordProgress(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
+    maxBatchRows.getAndUpdate(c => math.max(c, p.numInputRows))
+    lastBatchDurMs = math.max(lastBatchDurMs, 0L.max(p.batchDuration))
+    if (!p.inputRowsPerSecond.isNaN && !p.inputRowsPerSecond.isInfinite)
+      lastInputRps = p.inputRowsPerSecond
+    if (!p.processedRowsPerSecond.isNaN &&
+      !p.processedRowsPerSecond.isInfinite)
+      lastProcRps = p.processedRowsPerSecond
+  }
+
+  /** Whether any micro-batch progress has been observed. */
+  def hasBatchTelemetry: Boolean = lastBatchDurMs >= 0
+
   val startTime: Instant = Instant.now()
   private val endTime = new AtomicReference[Instant](null)
   val firstError = new AtomicReference[Throwable](null)
@@ -100,6 +127,15 @@ final class PipelineMetrics(
       "transfer_rate" -> ("\"" + f"${bytesProcessed.get / secs / 1048576}%.2f MB/second" + "\""),
       "duckdb_files" -> filesClosed.get.toString,
       "duckdb_files_MB" -> filesMB.get.toString) ++ {
+        if (!hasBatchTelemetry) Nil
+        else Seq(
+          "max_batch_rows" -> maxBatchRows.get.toString,
+          "last_batch_duration_ms" -> lastBatchDurMs.toString,
+          "last_batch_input_rps" ->
+            ("\"" + groupUnderscore(lastInputRps) + "\""),
+          "last_batch_processed_rps" ->
+            ("\"" + groupUnderscore(lastProcRps) + "\""))
+      } ++ {
         val ds = {
           val it = fileDurationsMs.iterator(); var n = 0; var sum = 0L
           while (it.hasNext) { sum += it.next(); n += 1 }

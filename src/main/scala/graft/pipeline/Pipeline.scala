@@ -102,6 +102,19 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
   @volatile private var query: Option[StreamingQuery] = None
   @volatile private var closed = false
 
+  /** Live micro-batch telemetry (queue-depth parity — see
+    * PipelineMetrics.recordProgress). Name-matched so concurrent
+    * pipelines on one session don't cross-feed. */
+  private val progressListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == s"graft-${config.destTable}")
+          metrics.recordProgress(e.progress)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+
   /** Process one micro-batch (also callable on a batch DataFrame — the
     * reference's stage-skipping lets users feed channels directly,
     * quacfka.go:262-283; this is the Spark analog). */
@@ -177,6 +190,7 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
       .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
     config.trigger.foreach(t => w = w.trigger(t))
     config.checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    spark.streams.addListener(progressListener)
     val q = w.start()
     query = Some(q)
     q
@@ -191,7 +205,14 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
     * final partial flush and last path emit). */
   def close(): Unit = synchronized {
     if (!closed) {
-      query.foreach(_.stop())
+      query.foreach { q =>
+        // Deterministic lag-telemetry drain: listener events are
+        // async and may still be in flight — recordProgress is
+        // idempotent under this replay.
+        q.recentProgress.foreach(metrics.recordProgress)
+        q.stop()
+      }
+      spark.streams.removeListener(progressListener)
       if (sink.hasPendingWrites) sink.rotate() // emit final partial segment
       metrics.markEnd()
       closed = true

@@ -95,6 +95,16 @@ class PipelineSuite extends SparkSpec {
     assert(runnerSegments.toLong == m.filesClosed.get)
     assert(runnerRowsSeen == nGood)
 
+    // micro-batch lag telemetry (queue-depth parity): close() drains
+    // recentProgress, so telemetry is deterministic by now
+    assert(m.hasBatchTelemetry, "no StreamingQueryProgress recorded")
+    assert(m.maxBatchRows.get > 0 && m.maxBatchRows.get <= nMsgs,
+      s"max_batch_rows ${m.maxBatchRows.get} out of (0, $nMsgs]")
+    val rep = m.report()
+    Seq("max_batch_rows", "last_batch_duration_ms",
+      "last_batch_input_rps", "last_batch_processed_rps")
+      .foreach(k => assert(rep.contains("\"" + k + "\""), k))
+
     // segment dirs + manifest
     val segs = pipe.closedSegments()
     assert(segs.length.toLong == m.filesClosed.get)
@@ -267,6 +277,8 @@ class PipelineSuite extends SparkSpec {
       "total_rows_per_second", "transfer_rate", "duckdb_files",
       "duckdb_files_MB").foreach(k => assert(r.contains("\"" + k + "\""), k))
     assert(r.contains("123_686_901.00")) // util.go grouping parity
+    // batch telemetry fields only appear once progress is observed
+    assert(!r.contains("max_batch_rows"))
   }
 
   test("extractAppendedMillis recovers the reference's LE byte-append (S6)") {
