@@ -27,11 +27,17 @@ object Bench {
     try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // Two passes, min per query: halves sensitivity to co-tenant load
     // bursts on the benchmark host (measured 4× wall-clock variance on
-    // identical code).
+    // identical code). A query that throws is recorded as failed, not
+    // silently timed as a fast success.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try materialize(fn(spark, sfDir))
+        catch { case t: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = onePass(); val p2 = onePass()
@@ -39,7 +45,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
