@@ -67,6 +67,8 @@ final class PipelineMetrics(
   def recordError(t: Throwable): Unit = firstError.compareAndSet(null, t)
   def error: Option[Throwable] = Option(firstError.get())
   def markEnd(): Unit = endTime.compareAndSet(null, Instant.now())
+  /** Lift the end-time freeze (pipeline restart). */
+  def clearEnd(): Unit = endTime.set(null)
   def recordFileDuration(ms: Long): Unit = {
     fileDurationsMs.add(ms)
     while (fileDurationsMs.size() > 100) fileDurationsMs.poll() // sliding 100

@@ -219,6 +219,22 @@ final class Pipeline(val spark: SparkSession, val config: PipelineConfig) {
     }
   }
   def isClosed: Boolean = closed
+
+  /** Reopen a closed pipeline — `RestartDuck` parity
+    * (/root/reference/duck.go:209-220: requires a prior configuration
+    * and a closed orchestrator). The same config and sink resume: the
+    * segment index keeps counting, metrics keep accumulating (the
+    * end-time freeze from close() is lifted). With a configured
+    * `checkpointDir` the new streaming query resumes from the last
+    * committed offset; without one it re-reads the source from
+    * scratch (standard Structured Streaming semantics). */
+  def restart(): StreamingQuery = synchronized {
+    require(closed, "pipeline is not closed (RestartDuck parity)")
+    closed = false
+    query = None
+    metrics.clearEnd()
+    run()
+  }
 }
 
 object Pipeline {

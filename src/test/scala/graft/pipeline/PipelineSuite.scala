@@ -266,6 +266,40 @@ class PipelineSuite extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("restart reopens a closed pipeline and resumes offsets (RestartDuck parity)") {
+    val root = Files.createTempDirectory("graft-restart").toString
+    val n1 = writeMessages(s"$root/messages")
+    val pipe = Pipeline(spark, PipelineConfig(
+      source = FileBinarySource(s"$root/messages"),
+      outputDir = s"$root/out",
+      destTable = "events_raw",
+      munger = Some(Stages.confluentStrip),
+      decode = Decoders.json(payloadSchema),
+      checkpointDir = Some(s"$root/ckpt")))
+    intercept[IllegalArgumentException](pipe.restart()) // not closed yet
+    pipe.run().processAllAvailable()
+    pipe.close()
+    assert(pipe.isClosed)
+    assert(pipe.metrics.messagesConsumed.get == n1)
+    val segsBefore = pipe.closedSegments().map(_.index)
+
+    // more input lands while closed; restart resumes from the committed
+    // offset (no re-read of the first batch) and keeps counting
+    val extra = Tables.load(spark, sf0001, "events").limit(100)
+      .select(concat(unhex(lit("0" * 12)),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))).cast("binary")).as("value"),
+        current_timestamp().as("timestamp"))
+    extra.write.mode("append").parquet(s"$root/messages")
+    pipe.restart().processAllAvailable()
+    pipe.close()
+    assert(pipe.metrics.messagesConsumed.get == n1 + 100,
+      "restart must resume, not re-read")
+    val segsAfter = pipe.closedSegments().map(_.index)
+    assert(segsAfter.nonEmpty && segsBefore.intersect(segsAfter).isEmpty,
+      "segment numbering continues across restart")
+  }
+
   test("metrics report carries the reference field names") {
     val m = new PipelineMetrics(normalizerFields = Some(10))
     m.recordsProcessed.set(123686901L)
