@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * so LSH outputs are unchanged — verified by LlmSuite recall tests.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L // 2^31-1
 
@@ -40,16 +40,17 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+  /** The one-pass signature loop; called from both interpreted eval
+    * and generated code. Empty array → null. */
+  def compute(input: ArrayData): ArrayData = {
+    val n = input.numElements()
     if (n == 0) return null
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, P)
     var i = 0
     while (i < n) {
       // fold raw 64-bit hash to [0, P) — pmod semantics
-      var h = arr.getLong(i) % P
+      var h = input.getLong(i) % P
       if (h < 0) h += P
       var j = 0
       while (j < k) {
@@ -60,6 +61,25 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Real codegen (not CodegenFallback): the loop runs as a direct
+    * method call on the referenced expression instance, so this
+    * expression no longer breaks the surrounding whole-stage-codegen
+    * span or boxes its input per row. */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this)
+    val arrCls = classOf[ArrayData].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = ($arrCls) $ref.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -13,18 +13,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * needed 64 interpreted `aggregate` traversals of the array.
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+  /** The one-pass vote loop; called from both interpreted eval and
+    * generated code. Empty array → 0L (no votes win). */
+  def compute(input: ArrayData): Long = {
+    val n = input.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val h = input.getLong(i)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -38,7 +39,19 @@ case class SimHash64Expr(child: Expression)
       if (votes(j) > 0) sim |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(sim)
+    sim
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  /** Real codegen (not CodegenFallback): direct method call on the
+    * referenced instance — stays inside whole-stage codegen, no
+    * per-row boxing. */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64Expr =

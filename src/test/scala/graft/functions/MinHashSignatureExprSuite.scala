@@ -34,6 +34,28 @@ class MinHashSignatureExprSuite extends SparkSpec {
     }
   }
 
+  test("doGenCode compiles and matches eval (no silent fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val expr = MinHashSignatureExpr(
+      BoundReference(0, ArrayType(LongType, containsNull = false),
+        nullable = true), 16, 7L)
+    // generate() THROWS if the generated source doesn't compile —
+    // unlike query execution, which would silently fall back
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val row = proj(InternalRow(new GenericArrayData(Array(17L, -99L, 5L))))
+    val viaEval = expr.eval(
+      InternalRow(new GenericArrayData(Array(17L, -99L, 5L))))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(row.getArray(0).toLongArray.toSeq == viaEval.toLongArray.toSeq)
+    assert(proj(InternalRow(new GenericArrayData(Array.empty[Long])))
+      .isNullAt(0)) // empty → NULL survives codegen
+    assert(proj(InternalRow(null)).isNullAt(0)) // null child
+  }
+
   test("SQL registration works") {
     MinHashSignatureExpr.register(spark)
     docs.createOrReplaceTempView("mh_docs")

@@ -24,4 +24,22 @@ class SimHash64ExprSuite extends SparkSpec {
       assert(r.getLong(1) == r.getLong(2), s"id ${r.getInt(0)}")
     }
   }
+
+  test("doGenCode compiles and matches eval (no silent fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val expr = SimHash64Expr(
+      BoundReference(0, ArrayType(LongType, containsNull = false),
+        nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on bad code
+    val in = new GenericArrayData(Array(0xDEADBEEFL, -42L, 7L))
+    assert(proj(InternalRow(in)).getLong(0) ==
+      expr.eval(InternalRow(in)).asInstanceOf[Long])
+    assert(proj(InternalRow(new GenericArrayData(Array.empty[Long])))
+      .getLong(0) == 0L) // empty → 0 votes
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
 }
