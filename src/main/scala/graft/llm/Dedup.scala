@@ -275,10 +275,12 @@ object Dedup {
         "before widening the radius")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    // Native one-pass expression; its argument (the token-hash array)
-    // is a child expression, evaluated exactly once per row.
+    // Native one-pass expressions end-to-end: tokens → md5-longs
+    // (TokenMd5Hash64Expr — bit-identical to the hex/conv SQL chain
+    // the oracle uses, but codegen'd, no hex strings) → simhash.
     val simExpr = graft.functions.SimHash64Expr.simhash64(
-      tokenHashes64(tokenMd5s(col(textCol))))
+      graft.functions.TokenMd5Hash64Expr.token_md5_hash64(
+        TextAnalysis.tokens(col(textCol))))
     val sigs = df.select(col(idCol).as("id"), simExpr.as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until bands).map(b =>

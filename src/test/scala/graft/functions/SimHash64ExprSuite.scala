@@ -25,6 +25,20 @@ class SimHash64ExprSuite extends SparkSpec {
     }
   }
 
+  test("token_md5_hash64 is bit-identical to the hex/conv SQL chain") {
+    val docs = Seq(
+      "the quick brown fox", "résumé naïve façade", "", "a b c d e f g")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val toks = graft.llm.TextAnalysis.tokens(col("text"))
+    val out = docs.select(
+      TokenMd5Hash64Expr.token_md5_hash64(toks).as("native"),
+      Dedup.tokenHashes64(Dedup.tokenMd5s(col("text"))).as("chain"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("doGenCode compiles and matches eval (no silent fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
