@@ -3,11 +3,15 @@ package graft.pipeline
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 final case class WireSite(id: String, kind: String)
 
@@ -37,12 +41,16 @@ final case class WireRecord(id: Long, site: WireSite, score: Double,
   *    through `Decoders.typed` (the reference-parity boundary; pays
   *    the object round-trip of the typed mapPartitions).
   *  - [[decodeColumnar]] — the Spark-first path: the whole parse is
-  *    built from codegen'd expressions (`substr`/`hex`/`conv` +
-  *    a `StaticInvoke` bit-cast), so it fuses into the scan's
-  *    whole-stage-codegen span with no typed boundary at all. The
-  *    shared length subexpressions are deduplicated by codegen
-  *    subexpression elimination (top-level projection — not the HOF
-  *    lambda trap from SCALE.md).
+  *    ONE native codegen'd expression ([[WireParseExpr]]) fused into
+  *    the scan's whole-stage-codegen span with no typed boundary at
+  *    all, reading fields straight off the byte array. (The round-2
+  *    version built the parse from `substr`/`hex`/`conv` chains —
+  *    codegen'd but materializing a hex string and parsing it back
+  *    per field, ~9 round-trips per record; same lesson as
+  *    `TokenMd5Hash64Expr`, SCALE.md round-3 lesson 3.) The six field
+  *    extractions over the one parse struct are deduplicated by
+  *    codegen subexpression elimination (top-level projection — not
+  *    the HOF lambda trap from SCALE.md).
   */
 object WireCodec {
 
@@ -82,46 +90,77 @@ object WireCodec {
     }
   }
 
-  /** Signed big-endian int64 from 8 bytes at `pos` (1-based), as two
-    * unsigned 4-byte halves so the sign bit lands correctly. */
-  private def beLong(v: Column, pos: Column): Column = {
-    val hi = conv(hex(v.substr(pos, lit(4))), 16, 10).cast("long")
-    val lo = conv(hex(v.substr(pos + 4, lit(4))), 16, 10).cast("long")
-    shiftleft(hi, 32).bitwiseOR(lo)
-  }
-
-  private def beShort(v: Column, pos: Column): Column =
-    conv(hex(v.substr(pos, lit(2))), 16, 10).cast("int")
-
-  /** `java.lang.Double.longBitsToDouble` as a codegen'd static call —
-    * Spark has no built-in reinterpret cast. */
-  private def longBitsToDouble(bits: Column): Column =
-    ColumnBridge.column(StaticInvoke(
-      classOf[java.lang.Double], DoubleType, "longBitsToDouble",
-      Seq(ColumnBridge.expression(bits)), Seq(LongType)))
-
   /** Columnar decoder: same output shape as
     * `Decoders.typed(WireCodec.decode)` — (id, site struct, score,
     * flag, timestamp, _corrupt) — with malformed payloads flagged via
     * `_corrupt` instead of dropped rows (the length equation catches
-    * truncation AND trailing bytes; a too-short buffer nulls the
-    * length fields, which fails the equation null-safely). */
+    * truncation AND trailing bytes). */
   val decodeColumnar: DataFrame => DataFrame = { df =>
-    val v = col("value")
-    val l1 = beShort(v, lit(9))
-    val l2 = beShort(v, lit(11) + l1)
-    val ok = length(v) === lit(21) + l1 + l2
-    val flagByte = conv(hex(v.substr(lit(21) + l1 + l2, lit(1))), 16, 10)
+    val r = ColumnBridge.column(
+      WireParseExpr(ColumnBridge.expression(col("value"))))
     df.select(
-      when(ok, beLong(v, lit(1))).as("id"),
-      when(ok, struct(
-        v.substr(lit(11), l1).cast("string").as("id"),
-        v.substr(lit(13) + l1, l2).cast("string").as("kind"))).as("site"),
-      when(ok, longBitsToDouble(beLong(v, lit(13) + l1 + l2))).as("score"),
-      when(ok, flagByte.cast("int") === 1).as("flag"),
+      r.getField("id").as("id"),
+      r.getField("site").as("site"),
+      r.getField("score").as("score"),
+      r.getField("flag").as("flag"),
       col("timestamp"),
-      when(!coalesce(ok, lit(false)),
-        concat(lit("malformed wire record ("), length(v), lit(" bytes)")))
-        .as("_corrupt"))
+      r.getField("_corrupt").as("_corrupt"))
   }
+}
+
+/** Native one-pass wire parse: `binary` → struct<id, site<id,kind>,
+  * score, flag, _corrupt>. Good rows carry null `_corrupt`; malformed
+  * rows (truncated / trailing bytes) carry the error text with every
+  * data field null — decode-error routing parity
+  * (/root/reference/proto.go:133-145). Codegen'd via a direct
+  * `compute` call; no hex/string intermediates.
+  */
+case class WireParseExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("site", StructType(Seq(
+      StructField("id", StringType), StructField("kind", StringType)))),
+    StructField("score", DoubleType),
+    StructField("flag", BooleanType),
+    StructField("_corrupt", StringType)))
+  override def nullable: Boolean = true
+
+  /** One pass over the record bytes (0-based offsets of the layout
+    * above: id @0, len1 @8, site.id @10, len2 @10+l1, kind @12+l1,
+    * score @12+l1+l2, flag @20+l1+l2, total 21+l1+l2). */
+  def compute(bytes: Array[Byte]): InternalRow = {
+    val n = bytes.length
+    def fail(): InternalRow = new GenericInternalRow(Array[Any](
+      null, null, null, null,
+      UTF8String.fromString(s"malformed wire record ($n bytes)")))
+    if (n < 21) return fail()
+    val l1 = ((bytes(8) & 0xFF) << 8) | (bytes(9) & 0xFF)
+    if (n < 12 + l1) return fail()
+    val l2 = ((bytes(10 + l1) & 0xFF) << 8) | (bytes(11 + l1) & 0xFF)
+    if (n != 21 + l1 + l2) return fail()
+    val buf = ByteBuffer.wrap(bytes) // big-endian by default
+    new GenericInternalRow(Array[Any](
+      buf.getLong(0),
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromBytes(bytes, 10, l1),
+        UTF8String.fromBytes(bytes, 12 + l1, l2))),
+      java.lang.Double.longBitsToDouble(buf.getLong(12 + l1 + l2)),
+      bytes(20 + l1 + l2) == 1,
+      null))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wireParseExpr", this)
+    val rowCls = classOf[InternalRow].getName
+    defineCodeGen(ctx, ev, c => s"($rowCls) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WireParseExpr =
+    copy(child = c)
+  override def prettyName: String = "wire_parse"
 }
