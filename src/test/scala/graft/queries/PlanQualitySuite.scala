@@ -40,6 +40,22 @@ class PlanQualitySuite extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial agg")
   }
 
+  test("no accidental cartesian products or driver-hostile joins anywhere") {
+    // A CartesianProduct / BroadcastNestedLoopJoin in a plan is the
+    // classic would-not-survive-100× smell. The ANN queries broadcast
+    // an intentionally tiny query set against the corpus — that
+    // nested-loop is the design (corpus never shuffles) — everything
+    // else must plan keyed joins.
+    val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
+      "llm_embed_dup")
+    graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: nested-loop join")
+    }
+  }
+
   test("every registered query runs at sf0.001 (driver smoke parity)") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
