@@ -35,7 +35,16 @@ object Dedup {
     * even when duplicated. Jaccard over hashed sets equals Jaccard
     * over string sets modulo ~1e-8 64-bit collisions. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.HashedShinglesExpr.hashed_shingles(
+        TextAnalysis.tokens(col(textCol)), n).as("sh"))
+
+  /** The pure-`functions._` shingle chain the native expression
+    * replaced (kept as the cross-implementation test reference —
+    * HashedShinglesExprSuite asserts bit-identical output). */
+  private[graft] def shingleSetsHof(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val th = transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t))
     // bindOnce: CollapseProject would otherwise inline the token-hash
     // expression into every element_at below (≈3×|shingles| full
