@@ -340,6 +340,64 @@ object LlmQueries {
       |    AS fingerprint
       |FROM documents""".stripMargin
 
+  // --- llm_curation -------------------------------------------------------
+  /** End-to-end corpus curation — the composed training-data pass a
+    * real pipeline runs: quality-filter → language-ID → exact-dedup
+    * (keep min doc_id per content fingerprint) → per-kept-doc stats.
+    * Runs over the corpus with planted exact duplicates so the dedup
+    * stage has real work. 100 TB shape: every signal is a map-only
+    * expression fused into the scan; the ONLY shuffle is the final
+    * fingerprint groupBy. */
+  def curation(s: SparkSession, dir: String): DataFrame = {
+    val sig = TextAnalysis.qualitySignals(docsWithExactDups(s, dir))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+    sig.where(col("verdict") === "keep")
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"),
+        // copies share the text, so lang/n_tokens are constant per
+        // group; min() just makes the pick order-insensitive
+        min("lang").as("lang"),
+        min("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_copies"))
+  }
+
+  val curationSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+      val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
+        s"t -> list_contains($listSql, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n      ")
+    s"""WITH corpus AS ($corpusExactSql),
+       |sig AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+       |      greatest(length(text), 1), 4) AS punct_ratio,
+       |    round(length(regexp_replace(text, '\\s+', '', 'g')) /
+       |      greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+       |      AS mean_word_len,
+       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       |      AS fingerprint,
+       |    $scores
+       |  FROM corpus),
+       |m AS (SELECT *, $mx AS mx FROM sig),
+       |kept AS (
+       |  SELECT doc_id, fingerprint, n_tokens, CASE
+       |      $cases
+       |      ELSE 'und' END AS lang
+       |  FROM m
+       |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+       |    AND punct_ratio < 0.2 AND mean_word_len < 15)
+       |SELECT fingerprint, min(doc_id) AS doc_id, min(lang) AS lang,
+       |  min(n_tokens) AS n_tokens, count(*) AS n_copies
+       |FROM kept GROUP BY fingerprint""".stripMargin
+  }
+
   // --- llm_multimodal -----------------------------------------------------
   /** documents.text bytes stand in for media blobs; metadata extraction
     * runs through the real mapPartitions plumbing (stubbed codec), then
@@ -393,6 +451,7 @@ object LlmQueries {
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
+    "llm_curation" -> (curation _),
     "llm_multimodal" -> (multimodal _)
   )
 
@@ -407,6 +466,7 @@ object LlmQueries {
     "llm_quality" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,
+    "llm_curation" -> curationSql,
     "llm_multimodal" -> multimodalSql
   )
 }

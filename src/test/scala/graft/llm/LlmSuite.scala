@@ -110,6 +110,22 @@ class LlmSuite extends SparkSpec {
       .where(col("doc_id") % 7 === 0).count())
   }
 
+  test("curation: planted exact dups collapse to the original doc_id") {
+    val out = LlmQueries.curation(spark, sf0001).collect()
+    // planted copies carry doc_id + 1000000; the representative must
+    // always be the original
+    assert(out.forall(_.getAs[Long]("doc_id") < 1000000L))
+    // every kept doc with doc_id % 10 == 0 has its planted copy folded in
+    val byCopies = out.groupBy(_.getAs[Long]("n_copies"))
+    assert(byCopies.keySet == Set(1L, 2L))
+    assert(byCopies(2L).forall(_.getAs[Long]("doc_id") % 10 == 0))
+    // dropped docs stay dropped: kept count matches the quality filter
+    // on the distinct corpus
+    val keptDistinct = LlmQueries.quality(spark, sf0001)
+      .where(col("verdict") === "keep").count()
+    assert(out.length.toLong == keptDistinct)
+  }
+
   test("lang id picks a language deterministically; quality verdicts total") {
     val lang = LlmQueries.langId(spark, sf0001)
     assert(lang.count() == 500)
