@@ -80,6 +80,8 @@ object ThroughputBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val mode = args.drop(1).headOption.getOrElse("all")
+    require(Set("all", "json", "binary", "binary-columnar")(mode),
+      s"unknown mode '$mode' (json | binary | binary-columnar | all)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

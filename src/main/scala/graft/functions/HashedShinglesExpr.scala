@@ -48,7 +48,10 @@ case class HashedShinglesExpr(child: Expression, n: Int)
     val th = new Array[Long](cnt)
     var i = 0
     while (i < cnt) {
-      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      val t = tokens.getUTF8String(i)
+      // null element → seed, matching xxhash64(null) in the HOF chain
+      // (hash expressions leave the running hash untouched on null)
+      th(i) = if (t == null) 42L else XXH64.hashUTF8String(t, 42L)
       i += 1
     }
     val m = cnt - n + 1

@@ -39,26 +39,36 @@ final class PipelineMetrics(
   // is the queue" is per-trigger input volume and trigger latency
   // from StreamingQueryProgress) ----
   val maxBatchRows = new AtomicLong // maxMChanLen analog
-  @volatile private var lastBatchDurMs: Long = -1
-  @volatile private var lastInputRps: Double = 0.0
-  @volatile private var lastProcRps: Double = 0.0
+  private var lastBatchId: Long = -1
+  private var lastBatchDurMs: Long = -1
+  private var lastInputRps: Double = 0.0
+  private var lastProcRps: Double = 0.0
 
-  /** Fold one progress event in. Idempotent under replay (high-water
-    * max + latest-wins), so a close-time drain of `recentProgress`
-    * after live listener events cannot double-count. */
+  /** Fold one progress event in. Idempotent under replay: the
+    * high-water max absorbs duplicates and "last" fields only advance
+    * with the (monotone) batch id — so a close-time drain of
+    * `recentProgress` after live listener events cannot double-count,
+    * and an out-of-order listener delivery cannot roll "last"
+    * backwards. Synchronized: listener bus and close() both write. */
   def recordProgress(
-      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
-    maxBatchRows.getAndUpdate(c => math.max(c, p.numInputRows))
-    lastBatchDurMs = math.max(lastBatchDurMs, 0L.max(p.batchDuration))
-    if (!p.inputRowsPerSecond.isNaN && !p.inputRowsPerSecond.isInfinite)
-      lastInputRps = p.inputRowsPerSecond
-    if (!p.processedRowsPerSecond.isNaN &&
-      !p.processedRowsPerSecond.isInfinite)
-      lastProcRps = p.processedRowsPerSecond
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit =
+    recordBatch(p.batchId, p.numInputRows, p.batchDuration,
+      p.inputRowsPerSecond, p.processedRowsPerSecond)
+
+  private[pipeline] def recordBatch(batchId: Long, numInputRows: Long,
+      durationMs: Long, inputRps: Double,
+      procRps: Double): Unit = synchronized {
+    maxBatchRows.getAndUpdate(c => math.max(c, numInputRows))
+    if (batchId >= lastBatchId) {
+      lastBatchId = batchId
+      lastBatchDurMs = math.max(0L, durationMs)
+      if (!inputRps.isNaN && !inputRps.isInfinite) lastInputRps = inputRps
+      if (!procRps.isNaN && !procRps.isInfinite) lastProcRps = procRps
+    }
   }
 
   /** Whether any micro-batch progress has been observed. */
-  def hasBatchTelemetry: Boolean = lastBatchDurMs >= 0
+  def hasBatchTelemetry: Boolean = synchronized { lastBatchDurMs >= 0 }
 
   val startTime: Instant = Instant.now()
   private val endTime = new AtomicReference[Instant](null)
@@ -128,8 +138,8 @@ final class PipelineMetrics(
       "total_rows_per_second" -> ("\"" + groupUnderscore(totalRows / secs) + "\""),
       "transfer_rate" -> ("\"" + f"${bytesProcessed.get / secs / 1048576}%.2f MB/second" + "\""),
       "duckdb_files" -> filesClosed.get.toString,
-      "duckdb_files_MB" -> filesMB.get.toString) ++ {
-        if (!hasBatchTelemetry) Nil
+      "duckdb_files_MB" -> filesMB.get.toString) ++ synchronized {
+        if (lastBatchDurMs < 0) Nil
         else Seq(
           "max_batch_rows" -> maxBatchRows.get.toString,
           "last_batch_duration_ms" -> lastBatchDurMs.toString,

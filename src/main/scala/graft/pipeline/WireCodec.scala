@@ -71,7 +71,8 @@ object WireCodec {
   /** Typed decoder: truncated / trailing-garbage payloads route to the
     * dead letter frame (decode-error parity, proto.go:133-145). */
   val decode: Array[Byte] => DecodeResult[WireRecord] = { bytes =>
-    try {
+    if (bytes == null) DecodeResult.Failed("null message value")
+    else try {
       val buf = ByteBuffer.wrap(bytes)
       val id = buf.getLong()
       val sid = new Array[Byte](buf.getShort() & 0xFFFF)
@@ -104,7 +105,12 @@ object WireCodec {
       r.getField("score").as("score"),
       r.getField("flag").as("flag"),
       col("timestamp"),
-      r.getField("_corrupt").as("_corrupt"))
+      // null wire bytes null the whole parse struct — without this
+      // coalesce they would pass as a "good" all-null row instead of
+      // routing to the dead-letter frame like the typed decoder does
+      coalesce(r.getField("_corrupt"),
+        when(col("value").isNull, lit("null message value")))
+        .as("_corrupt"))
   }
 }
 

@@ -50,6 +50,12 @@ final case class SegmentRunner(
     queryFunc: Option[(SparkSession, Map[String, DataFrame]) => Unit] = None,
     deleteOnDone: Boolean = false) {
 
+  require(!(deleteOnDone && queries.exists(
+      _.sink.exists(_.path.contains("${segment}")))),
+    "deleteOnDone would delete the ${segment}-resolved export right " +
+      "after writing it — export outside the segment dir or drop " +
+      "deleteOnDone")
+
   /** Run against one closed segment. `tables` maps logical table name →
     * parquet dir. Each table is registered as a temp view under its
     * logical name for the duration of the run. `segmentDir` resolves
@@ -70,6 +76,9 @@ final case class SegmentRunner(
           val df = spark.sql(q.sql)
           q.sink match {
             case Some(s) =>
+              require(segmentDir.isDefined || !s.path.contains("${segment}"),
+                s"sink path ${s.path} uses $${segment} but run() got no " +
+                  "segmentDir — it would write to a literal ${segment} dir")
               val resolved = segmentDir
                 .map(d => s.path.replace("${segment}", d))
                 .getOrElse(s.path)

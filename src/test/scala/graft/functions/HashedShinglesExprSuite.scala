@@ -41,6 +41,21 @@ class HashedShinglesExprSuite extends SparkSpec {
     assert(out == hof)
   }
 
+  test("null token elements hash as the seed, matching xxhash64(null)") {
+    val df = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit("b")).as("toks"))
+    val native = df.select(
+      HashedShinglesExpr.hashed_shingles(col("toks"), 2).as("sh"))
+      .as[Seq[Long]].head()
+    val th = transform(col("toks"), t => xxhash64(t)) // null → seed 42
+    val hof = df.select(array_distinct(transform(
+      sequence(lit(0), size(th) - 2),
+      i => xxhash64(element_at(th, i + 1),
+        element_at(th, i + 2)))).as("sh"))
+      .as[Seq[Long]].head()
+    assert(native == hof) // no NPE, same values
+  }
+
   test("doGenCode compiles and matches eval (no silent fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -179,6 +179,30 @@ class PipelineSuite extends SparkSpec {
     spark.catalog.dropTempView("last_seg")
   }
 
+  test("runner guards: deleteOnDone×segment-export and unresolved ${segment}") {
+    // deleting the segment right after exporting into it is rejected
+    intercept[IllegalArgumentException] {
+      SegmentRunner(queries = Seq(SegmentQuery("SELECT 1",
+        Some(QuerySink("${segment}/_export")))), deleteOnDone = true)
+    }
+    // ${segment} with no segmentDir is an accumulated error, not a
+    // silent write into a literal '${segment}' directory
+    val r = SegmentRunner(queries = Seq(SegmentQuery("SELECT 1 AS x",
+      Some(QuerySink("${segment}/_export")))))
+    val errs = r.run(spark, Map.empty)
+    assert(errs.exists(_.getMessage.contains("segmentDir")))
+  }
+
+  test("batch telemetry: last-batch fields track the latest batch id") {
+    val m = new PipelineMetrics()
+    m.recordBatch(0L, 500, 30000, 10.0, 20.0) // slow cold start
+    m.recordBatch(1L, 900, 200, 1000.0, 2000.0)
+    m.recordBatch(0L, 500, 30000, 10.0, 20.0) // close-time replay
+    val r = m.report()
+    assert(r.contains("\"last_batch_duration_ms\": 200"), r)
+    assert(r.contains("\"max_batch_rows\": 900"), r)
+  }
+
   test("closedSegments drains exactly once (DuckPaths parity)") {
     val root = Files.createTempDirectory("graft-drain").toString
     writeMessages(s"$root/messages")

@@ -36,6 +36,20 @@ class WireCodecSuite extends SparkSpec {
       .isInstanceOf[DecodeResult.Failed])
   }
 
+  test("null message value routes to dead letters in BOTH decoders") {
+    assert(WireCodec.decode(null).isInstanceOf[DecodeResult.Failed])
+    implicit val benc = ExpressionEncoder[Array[Byte]]()
+    val df = Seq(WireCodec.encode(samples.head), null).toDF("value")
+      .withColumn("timestamp", lit("2026-01-01 00:00:00").cast("timestamp"))
+    for ((name, decode) <- Seq(
+        "typed" -> Decoders.typed(WireCodec.decode),
+        "columnar" -> WireCodec.decodeColumnar)) {
+      val out = decode(df)
+      assert(out.where(col("_corrupt").isNotNull).count() == 1, name)
+      assert(out.where(col("_corrupt").isNull).count() == 1, name)
+    }
+  }
+
   test("columnar decode equals typed decode on good rows, flags bad ones") {
     implicit val benc = ExpressionEncoder[Array[Byte]]()
     val good = samples.map(WireCodec.encode)
