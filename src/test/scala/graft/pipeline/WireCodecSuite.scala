@@ -36,6 +36,66 @@ class WireCodecSuite extends SparkSpec {
       .isInstanceOf[DecodeResult.Failed])
   }
 
+  test("property: round-trip holds and corruption is flagged for arbitrary records") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val recGen = for {
+      id <- Gen.choose(Long.MinValue, Long.MaxValue)
+      sid <- Gen.stringOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', '中', ' ')))
+        .map(_.take(400))
+      kind <- Gen.stringOf(Gen.alphaNumChar).map(_.take(100))
+      score <- Gen.oneOf(Gen.choose(-1e308, 1e308), Gen.oneOf(
+        0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.MinPositiveValue))
+      flag <- Gen.oneOf(true, false)
+    } yield WireRecord(id, WireSite(sid, kind), score, flag)
+    (0 until 200).foreach { i =>
+      val r = recGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val wire = WireCodec.encode(r)
+      WireCodec.decode(wire) match {
+        case DecodeResult.Ok(back) =>
+          // NaN != NaN under ==; compare bit patterns for score
+          assert(back.id == r.id && back.site == r.site &&
+            back.flag == r.flag &&
+            java.lang.Double.doubleToLongBits(back.score) ==
+              java.lang.Double.doubleToLongBits(r.score), s"seed $i")
+        case other => fail(s"seed $i: $other")
+      }
+      // any strict prefix fails; so does appended garbage
+      val cut = (wire.length * (i % 100)) / 100
+      assert(WireCodec.decode(wire.take(cut))
+        .isInstanceOf[DecodeResult.Failed], s"seed $i cut $cut")
+      assert(WireCodec.decode(wire ++ Array[Byte]((i % 7).toByte))
+        .isInstanceOf[DecodeResult.Failed], s"seed $i pad")
+    }
+  }
+
+  test("property: columnar and typed decoders agree on arbitrary mixed batches") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    implicit val benc = ExpressionEncoder[Array[Byte]]()
+    val byteGen = Gen.containerOf[Array, Byte](
+      Gen.choose(Byte.MinValue, Byte.MaxValue))
+    val blobs = (0 until 120).map { i =>
+      if (i % 3 == 0) // valid record
+        WireCodec.encode(WireRecord(i.toLong, WireSite(s"s$i", "k"),
+          i * 1.5, i % 2 == 0))
+      else byteGen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+    }
+    val df = blobs.toDF("value")
+      .withColumn("timestamp", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val typed = Decoders.typed[WireRecord](WireCodec.decode).apply(df)
+    val columnar = WireCodec.decodeColumnar(df)
+    // same rows judged corrupt (random blobs are overwhelmingly
+    // malformed; any chance-valid blob must be valid for BOTH)
+    assert(typed.where(col("_corrupt").isNotNull).count() ==
+      columnar.where(col("_corrupt").isNotNull).count())
+    val key = Seq("id", "site", "score", "flag")
+    val tGood = typed.where(col("_corrupt").isNull).select(key.map(col): _*)
+    val cGood = columnar.where(col("_corrupt").isNull).select(key.map(col): _*)
+    assert(cGood.exceptAll(tGood).count() == 0)
+    assert(tGood.exceptAll(cGood).count() == 0)
+  }
+
   test("null message value routes to dead letters in BOTH decoders") {
     assert(WireCodec.decode(null).isInstanceOf[DecodeResult.Failed])
     implicit val benc = ExpressionEncoder[Array[Byte]]()
