@@ -121,7 +121,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm(col("cv")))
+    // Random init + few iterations: for a coarse quantizer the cells
+    // only need to be balanced-ish, not optimal — k-means|| init alone
+    // costs more distributed passes than the whole Lloyd refinement,
+    // and recall is governed by nProbe, not centroid polish.
     val km = new KMeans().setK(nCentroids).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("features")
     val model = km.fit(
       c.sample(withReplacement = false, fitSampleFraction, seed)
