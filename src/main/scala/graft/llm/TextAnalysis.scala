@@ -82,6 +82,60 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (MOSS-style rolling selection): hash every
+    * k-token shingle, slide a w-wide window over the positional hash
+    * sequence, keep each window's minimum, distinct the picks. Two
+    * documents sharing any sufficiently long passage are guaranteed to
+    * share a fingerprint (the winnowing guarantee); at 100 TB the
+    * selected set is ~2/(w+1) of the shingles — a compact, joinable
+    * dedup/provenance key set. Shingle hash = first 8 md5 digest bytes
+    * as a big-endian long (`TokenMd5Hash64Expr` — codegen'd, and
+    * reproducible in DuckDB for the oracle). Fewer shingles than w →
+    * one global minimum; no shingles → empty.
+    *
+    * Both the token array and the hash array are `bindOnce`-pinned:
+    * each is referenced by many lambda subterms, and CollapseProject
+    * would otherwise re-evaluate them per reference (SCALE.md
+    * lesson 1). */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
+    graft.functions.ExprUtils.bindOnce(tokens(text)) { t =>
+      val shingles = when(size(t) >= k,
+        transform(sequence(lit(0), size(t) - k),
+          i => concat_ws(" ",
+            (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val hs = graft.functions.TokenMd5Hash64Expr
+        .token_md5_hash64(shingles)
+      graft.functions.ExprUtils.bindOnce(hs) { h =>
+        when(size(h) >= w,
+          array_distinct(transform(sequence(lit(0), size(h) - w),
+            i => array_min(slice(h, i + 1, lit(w))))))
+          .otherwise(when(size(h) > 0, array(array_min(h)))
+            .otherwise(array().cast("array<bigint>")))
+      }
+    }
+
+  /** Repetition signals (Gopher-style filters): duplicate-token
+    * fraction plus top bigram/trigram fractions — heavily repetitive
+    * documents (boilerplate, keyword stuffing, generation loops) score
+    * high and get filtered before training. Map-only: the fractions
+    * are single codegen'd passes per row ([[graft.functions.TopShingleFreqExpr]]). */
+  def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val dupTok = graft.functions.ExprUtils.bindOnce(
+      tokens(col(textCol))) { t =>
+      when(size(t) > 0,
+        round(lit(1) - size(array_distinct(t)) / size(t), 4))
+        .otherwise(lit(0.0))
+    }
+    df.withColumn("dup_token_frac", dupTok)
+      .withColumn("top_bigram_frac", round(
+        graft.functions.TopShingleFreqExpr
+          .top_shingle_freq(tokens(col(textCol)), 2), 4))
+      .withColumn("top_trigram_frac", round(
+        graft.functions.TopShingleFreqExpr
+          .top_shingle_freq(tokens(col(textCol)), 3), 4))
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token array column.
     * `toks` must be a plain column reference, not the `tokens(text)`
     * expression: an inlined expression would be re-evaluated at every

@@ -340,6 +340,81 @@ object LlmQueries {
       |    AS fingerprint
       |FROM documents""".stripMargin
 
+  // --- llm_winnow ---------------------------------------------------------
+  /** Winnowing document fingerprints, exploded to (doc_id, fp) rows —
+    * the joinable shared-passage key set. */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(TextAnalysis.winnowFingerprints(col("text"), k = 4, w = 4))
+        .as("fp"))
+
+  /** Oracle: same k-gram text shingles (the ngram-oracle construction),
+    * md5-long per shingle with the signed-64 reconstruction
+    * (hi·2^32 + lo − 2^64·[sign bit], exact in HUGEINT), then window
+    * minima + distinct. */
+  val winnowSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 4 THEN
+      |    list_transform(range(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |    ELSE [] END AS s
+      |  FROM tok),
+      |h AS (
+      |  SELECT doc_id, list_transform(s, x -> CAST(
+      |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
+      |        * 4294967296
+      |      + CAST('0x' || substring(md5(x), 9, 8) AS BIGINT)
+      |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
+      |          >= 2147483648
+      |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)) AS hs
+      |  FROM sh),
+      |win AS (
+      |  SELECT doc_id, CASE
+      |      WHEN len(hs) >= 4 THEN list_distinct(
+      |        list_transform(range(1, len(hs) - 2),
+      |          i -> list_min(hs[i:i+3])))
+      |      WHEN len(hs) > 0 THEN [list_min(hs)]
+      |      ELSE [] END AS fps
+      |  FROM h)
+      |SELECT doc_id, unnest(fps) AS fp FROM win""".stripMargin
+
+  // --- llm_repetition -----------------------------------------------------
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, dir))
+      .select("doc_id", "dup_token_frac", "top_bigram_frac",
+        "top_trigram_frac")
+
+  /** Oracle counts over STRING n-grams (the Spark side counts 64-bit
+    * shingle hashes — identical modulo ~1e-8 collisions, the stance
+    * every dedup oracle already takes). */
+  val repetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bg,
+      |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tg
+      |  FROM tok)
+      |SELECT doc_id,
+      |  CASE WHEN len(w) > 0
+      |    THEN round(1 - len(list_distinct(w)) / len(w), 4)
+      |    ELSE 0.0 END AS dup_token_frac,
+      |  CASE WHEN len(bg) > 0 THEN round(
+      |      list_max(list_transform(list_distinct(bg),
+      |        d -> len(list_filter(bg, x -> x = d)))) / len(bg), 4)
+      |    ELSE 0.0 END AS top_bigram_frac,
+      |  CASE WHEN len(tg) > 0 THEN round(
+      |      list_max(list_transform(list_distinct(tg),
+      |        d -> len(list_filter(tg, x -> x = d)))) / len(tg), 4)
+      |    ELSE 0.0 END AS top_trigram_frac
+      |FROM grams""".stripMargin
+
   // --- llm_curation -------------------------------------------------------
   /** End-to-end corpus curation — the composed training-data pass a
     * real pipeline runs: quality-filter → language-ID → exact-dedup
@@ -452,6 +527,8 @@ object LlmQueries {
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_curation" -> (curation _),
+    "llm_winnow" -> (winnow _),
+    "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
 
@@ -467,6 +544,8 @@ object LlmQueries {
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,
     "llm_curation" -> curationSql,
+    "llm_winnow" -> winnowSql,
+    "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )
 }

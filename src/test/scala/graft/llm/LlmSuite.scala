@@ -110,6 +110,53 @@ class LlmSuite extends SparkSpec {
       .where(col("doc_id") % 7 === 0).count())
   }
 
+  test("winnow: near-dup docs share fingerprints, distinct docs don't") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val planted = base.where(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" graft dup probe tail")))
+    val fps = base.unionByName(planted)
+      .select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val pairs = fps.keys.filter(_ >= 1000000L).map(c => (c - 1000000L, c))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val (fa, fb) = (fps(a).toSet, fps(b).toSet)
+      // winnowing guarantee: the shared prefix passage yields shared
+      // fingerprints; only the appended tail's windows can differ
+      val overlap = (fa intersect fb).size.toDouble / math.max(fa.size, 1)
+      assert(overlap > 0.5, s"pair ($a,$b) overlap $overlap")
+    }
+    // unrelated docs share (essentially) nothing
+    val ids = fps.keys.filter(_ < 1000000L).toSeq.sorted.take(20)
+    val cross = for {
+      i <- ids; j <- ids if i < j
+      o = (fps(i).toSet intersect fps(j).toSet).size
+    } yield o
+    assert(cross.sum <= cross.size) // ~zero collisions
+  }
+
+  test("repetition signals: loops score high, varied text scores low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "buy now buy now buy now buy now buy now"),
+      (3L, "the quick brown fox jumps over one lazy dog tonight"),
+      (4L, ""), (5L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df)
+      .select("doc_id", "dup_token_frac", "top_bigram_frac",
+        "top_trigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 > 0.8 && out(1L)._2 == 1.0 && out(1L)._3 == 1.0)
+    assert(out(2L)._2 > 0.5) // "now buy" interleaves with "buy now"
+    assert(out(3L)._1 == 0.0 && out(3L)._2 < 0.2)
+    assert(out(4L) == ((0.0, 0.0, 0.0))) // empty text
+    assert(out(5L) == ((0.0, 0.0, 0.0))) // below n-gram widths
+  }
+
   test("curation: planted exact dups collapse to the original doc_id") {
     val out = LlmQueries.curation(spark, sf0001).collect()
     // planted copies carry doc_id + 1000000; the representative must
