@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -45,24 +45,14 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   def compute(tokens: ArrayData): ArrayData = {
     val cnt = tokens.numElements()
     if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
-    val th = new Array[Long](cnt)
-    var i = 0
-    while (i < cnt) {
-      val t = tokens.getUTF8String(i)
-      // null element → seed, matching xxhash64(null) in the HOF chain
-      // (hash expressions leave the running hash untouched on null)
-      th(i) = if (t == null) 42L else XXH64.hashUTF8String(t, 42L)
-      i += 1
-    }
+    val th = ShingleHashing.hashTokens(tokens)
     val m = cnt - n + 1
     val out = new Array[Long](m)
     val seen = new java.util.HashSet[java.lang.Long](m * 2)
     var k = 0
-    i = 0
+    var i = 0
     while (i < m) {
-      var h = 42L
-      var j = 0
-      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      val h = ShingleHashing.shingleHash(th, i, n)
       if (seen.add(h)) { out(k) = h; k += 1 } // first-occurrence distinct
       i += 1
     }

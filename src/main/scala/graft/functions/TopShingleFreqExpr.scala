@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
@@ -36,21 +36,13 @@ case class TopShingleFreqExpr(child: Expression, n: Int)
   def compute(tokens: ArrayData): Double = {
     val cnt = tokens.numElements()
     if (cnt < n) return 0.0
-    val th = new Array[Long](cnt)
-    var i = 0
-    while (i < cnt) {
-      val t = tokens.getUTF8String(i)
-      th(i) = if (t == null) 42L else XXH64.hashUTF8String(t, 42L)
-      i += 1
-    }
+    val th = ShingleHashing.hashTokens(tokens)
     val m = cnt - n + 1
     val counts = new java.util.HashMap[java.lang.Long, Integer](m * 2)
     var best = 0
-    i = 0
+    var i = 0
     while (i < m) {
-      var h = 42L
-      var j = 0
-      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      val h = ShingleHashing.shingleHash(th, i, n)
       val c = counts.merge(h, Integer.valueOf(1), (a, b) =>
         Integer.valueOf(a.intValue + b.intValue))
       if (c.intValue > best) best = c.intValue

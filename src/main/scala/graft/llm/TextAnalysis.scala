@@ -127,13 +127,17 @@ object TextAnalysis {
         round(lit(1) - size(array_distinct(t)) / size(t), 4))
         .otherwise(lit(0.0))
     }
+    // coalesce: NULL text nulls the token array and thus the native
+    // expression; the oracle's CASE..ELSE [] path yields 0.0, so the
+    // engines must agree on 0.0 (and the row stays internally
+    // consistent with dup_token_frac's 0.0)
     df.withColumn("dup_token_frac", dupTok)
-      .withColumn("top_bigram_frac", round(
+      .withColumn("top_bigram_frac", coalesce(round(
         graft.functions.TopShingleFreqExpr
-          .top_shingle_freq(tokens(col(textCol)), 2), 4))
-      .withColumn("top_trigram_frac", round(
+          .top_shingle_freq(tokens(col(textCol)), 2), 4), lit(0.0)))
+      .withColumn("top_trigram_frac", coalesce(round(
         graft.functions.TopShingleFreqExpr
-          .top_shingle_freq(tokens(col(textCol)), 3), 4))
+          .top_shingle_freq(tokens(col(textCol)), 3), 4), lit(0.0)))
   }
 
   /** Word n-gram shingles from a MATERIALIZED token array column.

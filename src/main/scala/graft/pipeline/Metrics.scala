@@ -77,8 +77,14 @@ final class PipelineMetrics(
   def recordError(t: Throwable): Unit = firstError.compareAndSet(null, t)
   def error: Option[Throwable] = Option(firstError.get())
   def markEnd(): Unit = endTime.compareAndSet(null, Instant.now())
-  /** Lift the end-time freeze (pipeline restart). */
-  def clearEnd(): Unit = endTime.set(null)
+  /** Lift the end-time freeze and re-arm batch telemetry (pipeline
+    * restart): without a checkpointDir the new streaming query's batch
+    * ids restart at 0, which the monotone `batchId >= lastBatchId`
+    * guard would otherwise ignore for the whole previous run's span. */
+  def clearEnd(): Unit = {
+    endTime.set(null)
+    synchronized { lastBatchId = -1 }
+  }
   def recordFileDuration(ms: Long): Unit = {
     fileDurationsMs.add(ms)
     while (fileDurationsMs.size() > 100) fileDurationsMs.poll() // sliding 100
@@ -205,8 +211,13 @@ final class PipelineMetrics(
   def reset(): Unit = {
     Seq(messagesConsumed, recordsProcessed, recordsInserted,
       normRecordsInserted, customRecordsInserted, bytesProcessed,
-      decodeErrors, catchUpSkips, lastProcessed, lastRows, lastBytes)
+      decodeErrors, catchUpSkips, lastProcessed, lastRows, lastBytes,
+      maxBatchRows)
       .foreach(_.set(0))
+    synchronized {
+      lastBatchId = -1; lastBatchDurMs = -1
+      lastInputRps = 0.0; lastProcRps = 0.0
+    }
     samples.clear()
   }
 

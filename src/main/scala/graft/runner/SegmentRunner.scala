@@ -73,12 +73,17 @@ final case class SegmentRunner(
     if (exec) {
       queries.foreach { q =>
         try {
+          // Validate the sink BEFORE spark.sql: commands execute
+          // eagerly there, and a side effect must not land only for
+          // its sink to be rejected afterwards.
+          q.sink.foreach { s =>
+            require(segmentDir.isDefined || !s.path.contains("${segment}"),
+              s"sink path ${s.path} uses $${segment} but run() got no " +
+                "segmentDir — it would write to a literal ${segment} dir")
+          }
           val df = spark.sql(q.sql)
           q.sink match {
             case Some(s) =>
-              require(segmentDir.isDefined || !s.path.contains("${segment}"),
-                s"sink path ${s.path} uses $${segment} but run() got no " +
-                  "segmentDir — it would write to a literal ${segment} dir")
               val resolved = segmentDir
                 .map(d => s.path.replace("${segment}", d))
                 .getOrElse(s.path)

@@ -56,6 +56,30 @@ class HashedShinglesExprSuite extends SparkSpec {
     assert(native == hof) // no NPE, same values
   }
 
+  test("TopShingleFreqExpr: counts agree with string n-grams; codegen compiles") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = TopShingleFreqExpr(
+      BoundReference(0, ArrayType(StringType, containsNull = false),
+        nullable = true), 2)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on bad code
+    def frac(tokens: String*): Double = {
+      val in = new GenericArrayData(tokens.map(UTF8String.fromString).toArray)
+      val gen = proj(InternalRow(in)).getDouble(0)
+      assert(gen == expr.eval(InternalRow(in)).asInstanceOf[Double])
+      gen
+    }
+    assert(frac("a", "b", "a", "b", "a") == 0.5)   // "a b" 2 of 4
+    assert(frac("x", "x", "x") == 1.0)             // "x x" both
+    assert(frac("a") == 0.0)                       // under width
+    assert(frac("a", "b", "c", "d") == 1.0 / 3)    // 3 bigrams, all distinct
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
   test("doGenCode compiles and matches eval (no silent fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

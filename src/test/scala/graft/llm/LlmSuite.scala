@@ -155,6 +155,12 @@ class LlmSuite extends SparkSpec {
     assert(out(3L)._1 == 0.0 && out(3L)._2 < 0.2)
     assert(out(4L) == ((0.0, 0.0, 0.0))) // empty text
     assert(out(5L) == ((0.0, 0.0, 0.0))) // below n-gram widths
+    // NULL text matches the oracle's ELSE-[] path: all three 0.0
+    val nullOut = TextAnalysis.repetitionSignals(
+      Seq((9L, null: String)).toDF("doc_id", "text"))
+      .select("dup_token_frac", "top_bigram_frac", "top_trigram_frac")
+      .head()
+    assert((0 until 3).forall(i => nullOut.getDouble(i) == 0.0))
   }
 
   test("curation: planted exact dups collapse to the original doc_id") {

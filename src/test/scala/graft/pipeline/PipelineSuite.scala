@@ -187,10 +187,15 @@ class PipelineSuite extends SparkSpec {
     }
     // ${segment} with no segmentDir is an accumulated error, not a
     // silent write into a literal '${segment}' directory
-    val r = SegmentRunner(queries = Seq(SegmentQuery("SELECT 1 AS x",
+    // ...and the rejection happens BEFORE the statement executes, so
+    // an eagerly-run command's side effect cannot land
+    val r = SegmentRunner(queries = Seq(SegmentQuery(
+      "CREATE OR REPLACE TEMP VIEW guard_probe AS SELECT 1 AS x",
       Some(QuerySink("${segment}/_export")))))
     val errs = r.run(spark, Map.empty)
     assert(errs.exists(_.getMessage.contains("segmentDir")))
+    assert(!spark.catalog.tableExists("guard_probe"),
+      "side effect committed before sink validation")
   }
 
   test("batch telemetry: last-batch fields track the latest batch id") {
@@ -201,6 +206,11 @@ class PipelineSuite extends SparkSpec {
     val r = m.report()
     assert(r.contains("\"last_batch_duration_ms\": 200"), r)
     assert(r.contains("\"max_batch_rows\": 900"), r)
+    // restart without checkpoint restarts batch ids at 0 — clearEnd
+    // re-arms the monotone guard so the new run's telemetry lands
+    m.clearEnd()
+    m.recordBatch(0L, 100, 350, 5.0, 6.0)
+    assert(m.report().contains("\"last_batch_duration_ms\": 350"))
   }
 
   test("closedSegments drains exactly once (DuckPaths parity)") {
