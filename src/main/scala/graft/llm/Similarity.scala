@@ -201,4 +201,42 @@ object Similarity {
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Embedding near-duplicate pairs with LSH blocking — the 100 TB
+    * path when no natural block key exists: `nTables` independent
+    * hyperplane signatures bucket every vector; a pair is a candidate
+    * if it collides in ANY table (OR-amplification), then exact cosine
+    * verifies. High-cosine pairs have near-identical sign patterns, so
+    * recall at near-dup thresholds is high (exact-direction copies are
+    * GUARANTEED to collide in every table); more tables / fewer bits
+    * raise recall. Candidates travel as bare id pairs (bare-key
+    * lesson); vector payloads join back per surviving pair. */
+  def cosineDupPairsLsh(df: DataFrame, threshold: Double,
+      nBits: Int = 12, nTables: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+    val banded = v.select(col("id"),
+      posexplode(array((0 until nTables).map(t =>
+        lshSignature(col("vec"), nBits, seed + t)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    // Same plan both sides + shuffle_hash → one reused exchange.
+    val cand = banded.as("l").hint("shuffle_hash")
+      .join(banded.as("r").hint("shuffle_hash"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val payload = v.select(col("id"), col("vec"), col("nrm"))
+    cand
+      .join(broadcast(payload.as("pa")), col("id_a") === col("pa.id"))
+      .join(broadcast(payload.as("pb")), col("id_b") === col("pb.id"))
+      .withColumn("sim", round(dot(col("pa.vec"), col("pb.vec")) /
+        (col("pa.nrm") * col("pb.nrm")), 4))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
 }

@@ -158,6 +158,12 @@ object LlmQueries {
   def embedDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairs(embsWithDups(s, dir), threshold = 0.999)
 
+  // --- llm_embed_dup_lsh (hyperplane blocking — xxhash64 planes, so
+  // rows-only; recall/precision pinned in LlmSuite) ----------------------
+  def embedDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairsLsh(embsWithDups(s, dir), threshold = 0.999)
+      .orderBy("id_a", "id_b")
+
   val embedDupSql: String =
     """WITH corpus AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS embedding
@@ -518,6 +524,7 @@ object LlmQueries {
     "llm_minhash_lsh" -> (minhashLsh _),
     "llm_simhash" -> (simhashDup _),
     "llm_embed_dup" -> (embedDup _),
+    "llm_embed_dup_lsh" -> (embedDupLsh _),
     "llm_ann_topk" -> (annTopK _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_ann_ivf" -> (annIvf _),

@@ -52,6 +52,30 @@ class LlmSuite extends SparkSpec {
     assert(out.where(col("sim") === 1.0).count() == 100)
   }
 
+  test("LSH-blocked embed dedup: guaranteed recall on exact-direction copies") {
+    // ground truth: every pair at >= 0.999 over ALL pairs (constant block)
+    val allPairs = Similarity.cosineDupPairs(
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .transform(df => df.unionByName(df.where(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * 1.5))))
+        .withColumn("one", lit(1)),
+      threshold = 0.999, blockCol = "one")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = LlmQueries.embedDupLsh(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision exact (every candidate cosine-verified)...
+    assert(lsh.subsetOf(allPairs))
+    // ...and the planted scaled copies (identical direction → identical
+    // sign pattern in every table) are ALL found
+    val planted = allPairs.filter { case (a, b) => b == a + 1000000 }
+    assert(planted.nonEmpty && planted.subsetOf(lsh))
+    // overall recall at the near-dup threshold stays high
+    assert(lsh.size.toDouble / allPairs.size >= 0.8,
+      s"recall ${lsh.size.toDouble / allPairs.size}")
+  }
+
   test("brute-force ANN: self excluded, k respected, rank deterministic") {
     val out = LlmQueries.annTopK(spark, sf0001).cache()
     assert(out.count() == 50) // 10 queries × k=5
