@@ -59,17 +59,21 @@ object Similarity {
 
   /** `nBits`-bit random-hyperplane signature of an embedding: bit j =
     * sign of the projection onto pseudo-random ±1 plane j. Pure
-    * expression; at scale this is the bucketing key for ANN. */
-  def lshSignature(vec: Column, nBits: Int = 16, seed: Long = 42L): Column = {
-    val bits = (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * planeSign(j, d, seed)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    * expression; at scale this is the bucketing key for ANN. The
+    * dimension-index array is `bindOnce`-bound: it is shared by every
+    * bit's zip_with, and HOF lambdas get no CSE (SCALE.md lesson 1) —
+    * unbound, each of the nBits projections would rebuild it per row. */
+  def lshSignature(vec: Column, nBits: Int = 16, seed: Long = 42L): Column =
+    graft.functions.ExprUtils.bindOnce(
+      sequence(lit(0), size(vec) - 1)) { idx =>
+      val bits = (0 until nBits).map { j =>
+        val proj = aggregate(
+          zip_with(vec, idx, (x, d) => x * planeSign(j, d, seed)),
+          lit(0.0d), (acc, v) => acc + v)
+        when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** LSH-bucketed ANN top-k: queries probe only their own bucket.
     * Trades recall for a bucket-local join — the 100 TB path (the
@@ -189,7 +193,10 @@ object Similarity {
       blockCol: String = "label"): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("nrm", norm(col("vec"))) // once per vector, pre-join
+      // once per vector, pre-join; clamped so a zero vector yields
+      // sim 0.0 — unguarded, 0/0 = NaN and Spark's NaN-is-largest
+      // ordering would pass `sim >= threshold`
+      .withColumn("nrm", greatest(norm(col("vec")), lit(1e-12)))
     val a = v.select(col("blk"), col("id").as("id_a"),
       col("vec").as("va"), col("nrm").as("na"))
     val b = v.select(col("blk"), col("id").as("id_b"),
@@ -207,16 +214,20 @@ object Similarity {
     * hyperplane signatures bucket every vector; a pair is a candidate
     * if it collides in ANY table (OR-amplification), then exact cosine
     * verifies. High-cosine pairs have near-identical sign patterns, so
-    * recall at near-dup thresholds is high (exact-direction copies are
-    * GUARANTEED to collide in every table); more tables / fewer bits
-    * raise recall. Candidates travel as bare id pairs (bare-key
-    * lesson); vector payloads join back per surviving pair. */
+    * recall at near-dup thresholds is high — exact-direction copies
+    * collide in every table barring float rounding flipping a
+    * near-zero projection's sign; more tables / fewer bits raise
+    * recall. Candidates travel as bare id pairs (bare-key lesson);
+    * vector payloads join back per surviving pair. */
   def cosineDupPairsLsh(df: DataFrame, threshold: Double,
       nBits: Int = 12, nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("nrm", norm(col("vec")))
+      // zero-vector clamp: see cosineDupPairs (and LSH guarantees all
+      // zero vectors collide — all projections 0 — so the NaN pairs
+      // WOULD surface here without it)
+      .withColumn("nrm", greatest(norm(col("vec")), lit(1e-12)))
     val banded = v.select(col("id"),
       posexplode(array((0 until nTables).map(t =>
         lshSignature(col("vec"), nBits, seed + t)): _*)))

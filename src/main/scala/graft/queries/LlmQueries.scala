@@ -147,7 +147,7 @@ object LlmQueries {
 
   // --- llm_embed_dup ----------------------------------------------------
   /** embeddings ∪ scaled copies (cosine exactly 1) of every 5th vector. */
-  private def embsWithDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embsWithDups(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("embedding"))
     e.unionByName(e.where(col("vec_id") % 5 === 0)

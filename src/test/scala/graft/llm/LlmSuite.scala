@@ -53,14 +53,10 @@ class LlmSuite extends SparkSpec {
   }
 
   test("LSH-blocked embed dedup: guaranteed recall on exact-direction copies") {
-    // ground truth: every pair at >= 0.999 over ALL pairs (constant block)
+    // ground truth: every pair at >= 0.999 over ALL pairs (constant
+    // block) — SAME planted corpus the registered query processes
     val allPairs = Similarity.cosineDupPairs(
-      spark.read.parquet(s"$sf0001/embeddings.parquet")
-        .transform(df => df.unionByName(df.where(col("vec_id") % 5 === 0)
-          .withColumn("vec_id", col("vec_id") + 1000000)
-          .withColumn("embedding",
-            transform(col("embedding"), x => x * 1.5))))
-        .withColumn("one", lit(1)),
+      LlmQueries.embsWithDups(spark, sf0001).withColumn("one", lit(1)),
       threshold = 0.999, blockCol = "one")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = LlmQueries.embedDupLsh(spark, sf0001)
