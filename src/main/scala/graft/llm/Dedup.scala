@@ -159,13 +159,21 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Both verification fetches broadcast the SAME (id, sh) subplan —
-    // aliased, not pre-renamed, so the BroadcastExchange canonicalizes
-    // equal and is built once, not twice.
+    // Verification join-back is a SHUFFLED hash join by id: the
+    // candidate side is bare longs and small by construction (it is
+    // the build side — hint on the left), while the payload side is
+    // the WHOLE corpus's shingle sets. Round 3 broadcast the payload
+    // side to save a shuffle at sf0.1; that ships every doc's shingle
+    // array through the driver to every executor — a hard OOM at
+    // 100 TB. Both fetches alias the SAME (id, sh) subplan shuffled by
+    // id, so the exchange canonicalizes equal and the shingle compute
+    // + shuffle run once; AQE may still demote a side to broadcast at
+    // runtime when the MEASURED size allows — adaptive, not baked in.
     val hs = sets.select(col("id"), col("sh"))
-    cand
-      .join(broadcast(hs.as("ja")), col("id_a") === col("ja.id"))
-      .join(broadcast(hs.as("jb")), col("id_b") === col("jb.id"))
+    cand.hint("shuffle_hash")
+      .join(hs.as("ja"), col("id_a") === col("ja.id"))
+      .hint("shuffle_hash")
+      .join(hs.as("jb"), col("id_b") === col("jb.id"))
       .withColumn("jaccard", round(
         size(array_intersect(col("ja.sh"), col("jb.sh"))).cast("double") /
           size(array_union(col("ja.sh"), col("jb.sh"))), 4))

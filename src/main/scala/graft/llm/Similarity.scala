@@ -132,9 +132,16 @@ object Similarity {
     val km = new KMeans().setK(nCentroids).setSeed(seed)
       .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("features")
-    val model = km.fit(
-      c.sample(withReplacement = false, fitSampleFraction, seed)
-        .select(array_to_vector(col("cv")).as("features")))
+    // The fit input MUST be cached: Spark ML re-evaluates an uncached
+    // input on every Lloyd iteration (8× parquet re-read + vector
+    // re-derivation here — and it warns "input is not directly
+    // cached"). Freed as soon as the fit returns.
+    val fitInput = c.sample(withReplacement = false, fitSampleFraction, seed)
+      .select(array_to_vector(col("cv")).as("features"))
+      .persist()
+    val model =
+      try km.fit(fitInput)
+      finally fitInput.unpersist(blocking = false)
     // Centroids + their norms are driver-side constants; norms are
     // accumulated left-to-right like `norm` so rankings agree with the
     // expression form bit-for-bit.
@@ -241,10 +248,16 @@ object Similarity {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Shuffled join-back by id — the candidate side (bare longs, small
+    // by construction) is the build side; broadcasting the full
+    // (id, vec, nrm) table (round 3) cannot survive 100 TB. Same
+    // aliased subplan both sides → one shuffle of the vector payload;
+    // AQE may still broadcast adaptively when measured sizes allow.
     val payload = v.select(col("id"), col("vec"), col("nrm"))
-    cand
-      .join(broadcast(payload.as("pa")), col("id_a") === col("pa.id"))
-      .join(broadcast(payload.as("pb")), col("id_b") === col("pb.id"))
+    cand.hint("shuffle_hash")
+      .join(payload.as("pa"), col("id_a") === col("pa.id"))
+      .hint("shuffle_hash")
+      .join(payload.as("pb"), col("id_b") === col("pb.id"))
       .withColumn("sim", round(dot(col("pa.vec"), col("pb.vec")) /
         (col("pa.nrm") * col("pb.nrm")), 4))
       .where(col("sim") >= threshold)

@@ -56,6 +56,21 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("LSH dedup verify joins never broadcast the corpus payload") {
+    // The verify join-back fetches the FULL corpus's shingle sets /
+    // vectors by id. A static broadcast there ships the whole corpus
+    // through the driver — fine at sf0.1, an OOM at 100 TB. The
+    // static plan must be shuffle joins end-to-end; only AQE may
+    // demote a side to broadcast at runtime from MEASURED sizes.
+    Seq("llm_minhash_lsh", "llm_embed_dup_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastExchange"),
+        s"$q statically broadcasts a full-corpus subplan")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q statically plans a broadcast join")
+    }
+  }
+
   test("every registered query runs at sf0.001 (driver smoke parity)") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
