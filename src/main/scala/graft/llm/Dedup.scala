@@ -93,8 +93,25 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Deterministic MinHash parameters (seeded, reproducible). */
+  /** Distinct hashed shingle sets with md5-LONG shingle hashes
+    * (first 8 digest bytes of the shingle STRING, big-endian): the
+    * cross-engine-reproducible twin of [[shingleSets]] — DuckDB can
+    * rebuild the exact hashes from `md5(shingle)` hex, which xxhash64
+    * cannot offer. Used by the oracled MinHash variant. */
+  private[graft] def shingleSetsMd5(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.ExprUtils.bindOnce(
+        TextAnalysis.tokens(col(textCol))) { t =>
+        graft.functions.TokenMd5Hash64Expr.token_md5_hash64(
+          TextAnalysis.shinglesFromTokens(t, n))
+      }.as("sh"))
+
+  /** Deterministic MinHash parameters (seeded, reproducible; exposed
+    * so the DuckDB oracle can inline them as literals). */
   private val P = 2147483647L // 2^31-1
+  private[graft] def minhashParams(k: Int, seed: Long): Seq[(Long, Long)] =
+    hashParams(k, seed)
   private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
     val r = new java.util.Random(seed)
     Seq.fill(k)((math.abs(r.nextLong()) % (P - 1) + 1,
@@ -126,27 +143,48 @@ object Dedup {
     * guarantee), so the join is bucket-local — the scale path. */
   def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.6, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.6, seed: Long = 42L): DataFrame =
+    lshPairsFromSets(shingleSets(df, idCol, textCol, n), k, bands,
+      threshold, seed, exactBandKey = false)
+
+  /** The oracle-reproducible MinHash variant: md5-long shingle hashes
+    * ([[shingleSetsMd5]]) and EXACT string band keys (the raw
+    * `_`-joined signature slice) instead of their murmur3 hash —
+    * every step is then rebuildable in standard SQL, so the full
+    * signature → band → candidate → Jaccard-verify pipeline gets a
+    * cross-engine correctness check rather than a rows-only one.
+    * String keys cost a wider shuffle key than the hashed long
+    * (~40 bytes vs 8); the default operator keeps the hashed key. */
+  def minhashLshPairsMd5(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.6, seed: Long = 42L): DataFrame =
+    lshPairsFromSets(shingleSetsMd5(df, idCol, textCol, n), k, bands,
+      threshold, seed, exactBandKey = true)
+
+  private def lshPairsFromSets(rawSets: DataFrame, k: Int, bands: Int,
+      threshold: Double, seed: Long, exactBandKey: Boolean): DataFrame = {
     val rows = k / bands
     // The hashed shingle sets are the verification payload too:
     // Jaccard over them equals Jaccard over string sets (modulo ~1e-8
     // collisions), and only longs ship through the shuffles.
-    val sets = shingleSets(df, idCol, textCol, n)
+    val sets = rawSets
       .where(size(col("sh")) > 0)
       .withColumn("sig", graft.functions.MinHashSignatureExpr
         .minhash_signature(col("sh"), k, seed))
     // Band rows carry ONLY (id, band, band_key): candidate generation
-    // and dedup shuffle bare longs. The shingle-hash arrays join back
+    // and dedup shuffle bare keys. The shingle-hash arrays join back
     // in afterwards, once per surviving pair — not once per band
     // collision (arrays through a SortAggregate dedup measured 7×
     // slower at sf0.1).
+    val bandKey: Column => Column = bnd => {
+      val slice = concat_ws("_", (0 until rows).map(r =>
+        element_at(col("sig"),
+          (bnd * rows + r + 1).cast("int"))): _*)
+      if (exactBandKey) slice else hash(slice, bnd)
+    }
     val banded = sets.select(col("id"),
       posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        bnd => hash(concat_ws("_",
-          (0 until rows).map(r =>
-            element_at(col("sig"), (bnd * rows + r + 1).cast("int"))): _*),
-          bnd))))
+        sequence(lit(0), lit(bands - 1)), bandKey)))
       .withColumnRenamed("col", "band_key")
       .withColumnRenamed("pos", "band")
     // True self-join; the shuffle_hash hint pins BOTH sides to the

@@ -75,28 +75,56 @@ object Similarity {
       bits.reduce((a, b) => a.bitwiseOR(b))
     }
 
-  /** LSH-bucketed ANN top-k: queries probe only their own bucket.
-    * Trades recall for a bucket-local join — the 100 TB path (the
-    * brute-force cross join is the fallback for small query sets). */
+  /** LSH-bucketed ANN top-k: `nTables` independent hyperplane tables
+    * (OR-amplification — a pair is a candidate if it collides in ANY
+    * table) with optional ±1-bit multi-probe on the query side. A
+    * single table's bucket-collision probability for a neighbor at
+    * angle θ is (1−θ/π)^nBits — far too sharp a cliff for the moderate
+    * cosines real nearest neighbors sit at; recall 1−(1−p^b)^T is
+    * tuned with nTables, and multi-probe widens each table's probe to
+    * the nBits adjacent buckets without growing the corpus index.
+    *
+    * Scale shape: the corpus index is a map-only explode (nTables
+    * entries per vector — index build cost, no shuffle); the probe
+    * join is bucket-local with the tiny query side broadcast, so the
+    * corpus is never shuffled. Duplicate candidates (a pair colliding
+    * in several tables/probes) dedup via a groupBy over narrow
+    * (query, neighbor, sim) rows — candidates only, never payloads. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nBits: Int = 12, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshSignature(col("qv"), nBits, seed))
-      .withColumn("qn", norm(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", lshSignature(col("cv"), nBits, seed))
-      .withColumn("cn", norm(col("cv")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      nBits: Int = 8, nTables: Int = 8, multiProbe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    def banded(df: DataFrame, outId: String, outVec: String,
+        outNorm: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        col(vecCol).cast("array<double>").as(outVec))
+        .withColumn(outNorm, norm(col(outVec)))
+        .select(col(outId), col(outVec), col(outNorm),
+          posexplode(array((0 until nTables).map(t =>
+            lshSignature(col(outVec), nBits, seed + t)): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "sig")
+    val cB = banded(corpus, "neighbor_id", "cv", "cn")
+      .withColumnRenamed("sig", "bucket")
+    val qSig = banded(queries, "query_id", "qv", "qn")
+    // multi-probe: each query also probes the nBits buckets one bit
+    // away in every table (query-side fan-out only).
+    val qB = if (multiProbe <= 0) qSig.withColumn("bucket", col("sig"))
+      else qSig.withColumn("bucket", explode(array(
+        (Seq(col("sig")) ++ (0 until nBits).map(j =>
+          col("sig").bitwiseXOR(lit(1L << j)))): _*)))
+    val scored = cB.join(broadcast(qB.drop("sig")), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .select("query_id", "neighbor_id", "sim")
+    // sim is deterministic per pair, so max() is just the dedup.
+    val uniq = scored.groupBy("query_id", "neighbor_id")
+      .agg(max(col("sim")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    uniq.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }

@@ -92,6 +92,70 @@ object LlmQueries {
     Dedup.minhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
       .orderBy("id_a", "id_b")
 
+  // --- llm_minhash_md5 (md5-long shingles + exact band keys → the
+  // FULL cross-engine oracle for the MinHash banding pipeline) ----------
+  def minhashMd5(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsMd5(docsWithNearDups(s, dir), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** DuckDB rebuild of the whole MinHash pipeline: md5-long shingle
+    * hashes (signed-64 reconstruction in HUGEINT — the winnow-oracle
+    * trick), the seeded affine (a*h+b) mod P signature minima with the
+    * a/b parameters inlined as literals, `_`-joined band keys, band
+    * bucket join for candidates, exact Jaccard verify. */
+  val minhashMd5Sql: String = {
+    val params = graft.llm.Dedup.minhashParams(32, 42L)
+    val aList = params.map(_._1).mkString("[", ", ", "]")
+    val bList = params.map(_._2).mkString("[", ", ", "]")
+    s"""WITH corpus AS ($corpusNearSql),
+       |tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS s
+       |  FROM tok),
+       |hs AS (
+       |  SELECT doc_id, list_transform(s, x -> CAST(
+       |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
+       |        * 4294967296
+       |      + CAST('0x' || substring(md5(x), 9, 8) AS BIGINT)
+       |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
+       |          >= 2147483648
+       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)) AS hs
+       |  FROM sets WHERE len(s) > 0),
+       |folded AS (
+       |  SELECT doc_id, ((h % 2147483647) + 2147483647) % 2147483647 AS hm
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM hs)),
+       |sig AS (
+       |  SELECT doc_id, j,
+       |    min((($aList)[j + 1] * hm + ($bList)[j + 1])
+       |      % 2147483647) AS v
+       |  FROM folded CROSS JOIN range(32) r(j)
+       |  GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+       |    string_agg(CAST(v AS VARCHAR), '_' ORDER BY j) AS bk
+       |  FROM sig GROUP BY doc_id, j // 4),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(ha.hs, hb.hs)) /
+       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+       |    4) AS jaccard
+       |FROM cand
+       |JOIN hs ha ON ha.doc_id = id_a
+       |JOIN hs hb ON hb.doc_id = id_b
+       |WHERE round(len(list_intersect(ha.hs, hb.hs)) /
+       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+       |    4) >= 0.5""".stripMargin
+  }
+
   // --- llm_simhash ------------------------------------------------------
   // 8×8-bit banding + maxHamming=7: the banding guarantee (pigeonhole,
   // hamming ≤ bands-1) covers the radius the planted near-dups actually
@@ -206,10 +270,14 @@ object LlmQueries {
       |SELECT query_id, neighbor_id, rank, sim FROM ranked
       |WHERE rank <= 5""".stripMargin
 
-  // --- llm_ann_lsh (rows-only scale path) --------------------------------
+  // --- llm_ann_lsh (rows-only scale path; recall floor vs brute force
+  // pinned in LlmSuite — the fixture's true neighbors sit at cosine
+  // 0.27-0.47, so single-table LSH is blind (measured recall 0.02) and
+  // OR-amplified tables + ±1-bit multi-probe are load-bearing) --------
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3, nBits = 8)
+    Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3,
+      nBits = 8, nTables = 8, multiProbe = 1)
   }
 
   // --- llm_ann_ivf (rows-only scale path: KMeans coarse quantizer) -------
@@ -522,6 +590,7 @@ object LlmQueries {
     "llm_exact_dedup" -> (exactDedup _),
     "llm_ngram_jaccard" -> (ngramJaccard _),
     "llm_minhash_lsh" -> (minhashLsh _),
+    "llm_minhash_md5" -> (minhashMd5 _),
     "llm_simhash" -> (simhashDup _),
     "llm_embed_dup" -> (embedDup _),
     "llm_embed_dup_lsh" -> (embedDupLsh _),
@@ -541,6 +610,7 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
+    "llm_minhash_md5" -> minhashMd5Sql,
     "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" -> ngramJaccardSql,
     "llm_dedup_clusters" -> dedupClustersSql,

@@ -38,6 +38,23 @@ class LlmSuite extends SparkSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("md5-variant minhash agrees with the xxhash variant on planted dups") {
+    // Same banding pipeline, different shingle hash + exact band keys:
+    // both must find every planted near-dup (jaccard ≈ 0.9 pairs pass
+    // every band with high probability and are verified exactly).
+    val md5 = LlmQueries.minhashMd5(spark, sf0001)
+      .where(col("id_b") === col("id_a") + 1000000).count()
+    val xx = LlmQueries.minhashLsh(spark, sf0001)
+      .where(col("id_b") === col("id_a") + 1000000).count()
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count()
+    // Banding is probabilistic per hash family: a planted pair can
+    // miss all 8 bands by chance. Deterministic per family+seed —
+    // md5 catches 72/72 here, xxhash 71/72.
+    assert(md5 == expected, s"md5 variant planted recall $md5/$expected")
+    assert(xx >= expected - 2, s"xxhash variant planted recall $xx/$expected")
+  }
+
   test("simhash: planted near-dups collide within small hamming distance") {
     val pairs = LlmQueries.simhashDup(spark, sf0001)
     val planted = pairs.where(col("id_b") === col("id_a") + 1000000).count()
@@ -98,14 +115,22 @@ class LlmSuite extends SparkSpec {
     ivf.unpersist()
   }
 
-  test("LSH ANN returns a subset quality-bounded by brute force") {
-    val brute = LlmQueries.annTopK(spark, sf0001)
+  test("LSH ANN recall vs brute force meets the multi-table floor") {
+    // Ground truth for the SAME query set the registered query runs
+    // (vec_id < 50, k = 3). Deterministic: fixed data, fixed seed.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 50), e, k = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lsh = LlmQueries.annLsh(spark, sf0001)
-    // every LSH hit for queries <10 is sane: neighbor exists in corpus
-    val ids = spark.read.parquet(s"$sf0001/embeddings.parquet")
-      .select("vec_id").as[Long].collect().toSet
-    assert(lsh.select("neighbor_id").as[Long].collect().forall(ids))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // Measured 0.627 at nBits=8/nTables=8/multiProbe=1 (0.02 for the
+    // round-3 single-table operator — this assertion is what makes the
+    // rows-only query semantically guarded). Param grid measured:
+    // 8b/16t=0.827, 6b/8t=0.900, mp=0 at 8b/8t=0.120.
+    val recall = (lsh intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.55, s"LSH ANN recall@3 too low: $recall")
+    assert(lsh.size == brute.size, "every query should fill its top-k")
   }
 
   test("dedup clusters: transitive closure merges chained pairs") {
