@@ -22,14 +22,18 @@ object Bench {
     // writing bytes anywhere.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    // Warm up session + codegen + parquet footers so startup cost isn't
-    // charged to whichever query happens to run first.
-    try materialize(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     // Two passes, min per query: halves sensitivity to co-tenant load
     // bursts on the benchmark host (measured 4× wall-clock variance on
     // identical code). A query that throws is recorded as failed, not
     // silently timed as a fast success.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // Warm up session + codegen + parquet footers so startup cost isn't
+    // charged to whichever query happens to run first. A broken
+    // flagship fails the run visibly, not silently at pass time.
+    try materialize(SparkEntry.entry(spark)) catch { case t: Throwable =>
+      failed += "entry_warmup"
+      System.err.println(s"[bench] flagship entry FAILED: ${t.getMessage}")
+    }
     def onePass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()

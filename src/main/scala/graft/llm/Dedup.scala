@@ -241,6 +241,14 @@ object Dedup {
     * id); iterations needed = O(log component-diameter) — near-dup
     * components are shallow in practice. The loop converges when no
     * label changes (exact), bounded by `maxIter` as a runaway guard.
+    *
+    * Memory note: the returned frame is backed by the final
+    * iteration's `localCheckpoint` blocks (a checkpointed frame
+    * cannot be unpersisted without losing its data — the lineage is
+    * truncated). Superseded iterations' blocks, and the final one's
+    * once the returned Dataset goes unreferenced, are freed by the
+    * ContextCleaner; long-lived sessions holding MANY results should
+    * write them out and drop the references.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Symmetric edge list, materialized ONCE as an eager local
