@@ -2,29 +2,27 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev probe (round 4): dump llm_minhash_md5 result for oracle check. */
+/** Dev probe (round 4): warm timings for the native-expression wins. */
 object R4Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.lift(1).getOrElse("/tmp/mh_md5_out")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.queries.LlmQueries.minhashMd5(spark, sfDir)
-    df.write.mode("overwrite").parquet(out)
-    println("rows = " + spark.read.parquet(out).count())
+    def mat(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (q <- Seq("llm_minhash_md5", "llm_ann_lsh", "llm_embed_dup_lsh",
+        "llm_winnow")) {
+      val fn = graft.SparkEntry.queries(q)
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mat(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"$q min-of-2 = $t%.2f s")
+    }
     spark.stop()
-  }
-}
-
-/** Prints the md5-minhash oracle SQL for manual DuckDB runs. */
-object R4OracleDump {
-  def main(args: Array[String]): Unit = {
-    val p = java.nio.file.Paths.get(args.headOption
-      .getOrElse("/tmp/mh_md5_oracle.sql"))
-    java.nio.file.Files.write(p,
-      graft.queries.LlmQueries.minhashMd5Sql.getBytes("UTF-8"))
-    println("wrote " + p)
   }
 }

@@ -101,11 +101,8 @@ object Dedup {
   private[graft] def shingleSetsMd5(df: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      graft.functions.ExprUtils.bindOnce(
-        TextAnalysis.tokens(col(textCol))) { t =>
-        graft.functions.TokenMd5Hash64Expr.token_md5_hash64(
-          TextAnalysis.shinglesFromTokens(t, n))
-      }.as("sh"))
+      graft.functions.ShingleMd5Hash64Expr.shingle_md5_hash64(
+        TextAnalysis.tokens(col(textCol)), n, distinct = true).as("sh"))
 
   /** Deterministic MinHash parameters (seeded, reproducible; exposed
     * so the DuckDB oracle can inline them as literals). */

@@ -100,8 +100,10 @@ object Similarity {
         col(vecCol).cast("array<double>").as(outVec))
         .withColumn(outNorm, norm(col(outVec)))
         .select(col(outId), col(outVec), col(outNorm),
-          posexplode(array((0 until nTables).map(t =>
-            lshSignature(col(outVec), nBits, seed + t)): _*)))
+          // all nTables signatures in one native pass (bit-identical
+          // to per-table lshSignature calls — see HyperplaneSigsExpr)
+          posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
+            col(outVec), nBits, nTables, seed)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "sig")
     val cB = banded(corpus, "neighbor_id", "cv", "cn")
@@ -264,8 +266,8 @@ object Similarity {
       // WOULD surface here without it)
       .withColumn("nrm", greatest(norm(col("vec")), lit(1e-12)))
     val banded = v.select(col("id"),
-      posexplode(array((0 until nTables).map(t =>
-        lshSignature(col("vec"), nBits, seed + t)): _*)))
+      posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
+        col("vec"), nBits, nTables, seed)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
     // Same plan both sides + shuffle_hash → one reused exchange.

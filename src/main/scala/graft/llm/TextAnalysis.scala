@@ -93,19 +93,17 @@ object TextAnalysis {
     * reproducible in DuckDB for the oracle). Fewer shingles than w →
     * one global minimum; no shingles → empty.
     *
-    * Both the token array and the hash array are `bindOnce`-pinned:
-    * each is referenced by many lambda subterms, and CollapseProject
-    * would otherwise re-evaluate them per reference (SCALE.md
-    * lesson 1). */
-  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
-    graft.functions.ExprUtils.bindOnce(tokens(text)) { t =>
-      val shingles = when(size(t) >= k,
-        transform(sequence(lit(0), size(t) - k),
-          i => concat_ws(" ",
-            (0 until k).map(j => element_at(t, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
-      val hs = graft.functions.TokenMd5Hash64Expr
-        .token_md5_hash64(shingles)
+    * The hash array is `bindOnce`-pinned: it is referenced by many
+    * lambda subterms, and CollapseProject would otherwise re-evaluate
+    * it per reference (SCALE.md lesson 1). */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
+      // Positional (non-distinct) md5-longs of the k-gram shingles in
+      // ONE native pass — bit-identical to the HOF chain it replaced
+      // (shingle strings via element_at/concat_ws, then
+      // TokenMd5Hash64Expr), which built every shingle string
+      // interpreted per element.
+      val hs = graft.functions.ShingleMd5Hash64Expr.shingle_md5_hash64(
+        tokens(text), k, distinct = false)
       graft.functions.ExprUtils.bindOnce(hs) { h =>
         when(size(h) >= w,
           array_distinct(transform(sequence(lit(0), size(h) - w),
