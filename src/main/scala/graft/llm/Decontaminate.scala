@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the standard pretraining hygiene pass:
+  * drop (or flag) training documents that share enough winnowing
+  * fingerprints with an evaluation/benchmark set that they likely
+  * contain benchmark passages. Fingerprint overlap catches verbatim
+  * and lightly-edited contamination that exact-dedup misses, because
+  * the winnowing guarantee makes any sufficiently long shared passage
+  * yield shared fingerprints ([[TextAnalysis.winnowFingerprints]]).
+  *
+  * Scale stance (100 TB): the benchmark side is small by definition
+  * (eval sets are MBs against a multi-TB corpus), so its distinct
+  * fingerprint set is BROADCAST — the corpus side is a map-only
+  * fingerprint explode + broadcast-hash semi-join + one groupBy on
+  * doc id. The corpus is never shuffled with payloads, only
+  * (doc_id, fp) longs reach the aggregate.
+  */
+object Decontaminate {
+
+  /** Contaminated docs: (doc_id, n_shared) for every training doc
+    * sharing at least `minShared` distinct winnow fingerprints with
+    * ANY benchmark document. */
+  def contaminated(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchFps = benchmark
+      .select(explode(TextAnalysis.winnowFingerprints(col(textCol), k, w))
+        .as("fp"))
+      .distinct()
+    val docFps = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+    // per-doc fingerprints are already distinct (winnowing dedups), so
+    // a plain count after the semi-join is the distinct-overlap count
+    docFps.join(broadcast(benchFps), Seq("fp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The clean corpus: `docs` minus contaminated rows. */
+  def clean(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      contaminated(docs, benchmark, k, w, minShared, idCol, textCol)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -41,7 +41,7 @@ object LlmQueries {
       |WHERE doc_id % 10 = 0""".stripMargin
 
   /** documents ∪ near-copies of every 7th doc (4 tokens appended). */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.where(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000)
@@ -422,38 +422,120 @@ object LlmQueries {
       explode(TextAnalysis.winnowFingerprints(col("text"), k = 4, w = 4))
         .as("fp"))
 
-  /** Oracle: same k-gram text shingles (the ngram-oracle construction),
+  /** Winnow-fingerprint CTE chain over source CTE/table `src`, names
+    * prefixed with `p` (so two corpora can be fingerprinted in one
+    * statement): same k=4-gram text shingles as the ngram oracles,
     * md5-long per shingle with the signed-64 reconstruction
-    * (hi·2^32 + lo − 2^64·[sign bit], exact in HUGEINT), then window
-    * minima + distinct. */
+    * (hi·2^32 + lo − 2^64·[sign bit], exact in HUGEINT), then w=4
+    * window minima + distinct → `${p}win(doc_id, fps)`. */
+  private def winnowFpsCte(src: String, p: String): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM $src),
+       |${p}sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 4 THEN
+       |    list_transform(range(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+       |    ELSE [] END AS s
+       |  FROM ${p}tok),
+       |${p}h AS (
+       |  SELECT doc_id, list_transform(s, x -> CAST(
+       |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
+       |        * 4294967296
+       |      + CAST('0x' || substring(md5(x), 9, 8) AS BIGINT)
+       |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
+       |          >= 2147483648
+       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)) AS hs
+       |  FROM ${p}sh),
+       |${p}win AS (
+       |  SELECT doc_id, CASE
+       |      WHEN len(hs) >= 4 THEN list_distinct(
+       |        list_transform(range(1, len(hs) - 2),
+       |          i -> list_min(hs[i:i+3])))
+       |      WHEN len(hs) > 0 THEN [list_min(hs)]
+       |      ELSE [] END AS fps
+       |  FROM ${p}h)""".stripMargin
+
   val winnowSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, CASE WHEN len(w) >= 4 THEN
-      |    list_transform(range(1, len(w) - 2),
-      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-      |    ELSE [] END AS s
-      |  FROM tok),
-      |h AS (
-      |  SELECT doc_id, list_transform(s, x -> CAST(
-      |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
-      |        * 4294967296
-      |      + CAST('0x' || substring(md5(x), 9, 8) AS BIGINT)
-      |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
-      |          >= 2147483648
-      |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)) AS hs
-      |  FROM sh),
-      |win AS (
-      |  SELECT doc_id, CASE
-      |      WHEN len(hs) >= 4 THEN list_distinct(
-      |        list_transform(range(1, len(hs) - 2),
-      |          i -> list_min(hs[i:i+3])))
-      |      WHEN len(hs) > 0 THEN [list_min(hs)]
-      |      ELSE [] END AS fps
-      |  FROM h)
-      |SELECT doc_id, unnest(fps) AS fp FROM win""".stripMargin
+    s"""WITH ${winnowFpsCte("documents", "")}
+       |SELECT doc_id, unnest(fps) AS fp FROM win""".stripMargin
+
+  // --- llm_decontaminate --------------------------------------------------
+  /** Benchmark decontamination over the near-dup corpus: every 13th
+    * base doc plays the benchmark set, so contamination has three
+    * deterministic flavors — benchmark docs present verbatim in the
+    * corpus, their planted near-copies (doc_id % 91 == 0 gets both
+    * treatments), and genuine chance passage overlap. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Decontaminate.contaminated(
+      docsWithNearDups(s, dir),
+      docs(s, dir).where(col("doc_id") % 13 === 0).select("doc_id", "text"),
+      minShared = 2)
+      .orderBy("doc_id")
+
+  val decontaminateSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+       |${winnowFpsCte("corpus", "c_")},
+       |${winnowFpsCte("bench", "b_")},
+       |c_fp AS (SELECT doc_id, unnest(fps) AS fp FROM c_win),
+       |b_fp AS (SELECT DISTINCT unnest(fps) AS fp FROM b_win)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM c_fp JOIN b_fp USING (fp)
+       |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin
+
+  // --- llm_sample_mix -----------------------------------------------------
+  /** Deterministic stratified corpus mixing by predicted language:
+    * en keeps 50 %, de everything, fr 25 %, everything else 10 % —
+    * the domain-reweighting pass of a pretraining pipeline, decided
+    * by a stable md5 bucket of the doc id (reproducible across
+    * engines/runs — the oracle rebuilds the exact decision). */
+  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    graft.llm.Sampling.sampleMix(d, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1)
+      .select("doc_id", "lang", "bucket")
+  }
+
+  val sampleMixSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+      val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
+        s"t -> list_contains($listSql, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n      ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents),
+       |m AS (SELECT *, $mx AS mx FROM scored),
+       |lang AS (
+       |  SELECT doc_id, CASE
+       |      $cases
+       |      ELSE 'und' END AS lang
+       |  FROM m),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    ((CAST(
+       |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |        AS BIGINT)::HUGEINT * 4294967296
+       |      + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+       |        AS BIGINT)
+       |      - CASE WHEN CAST('0x' ||
+       |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |          >= 2147483648
+       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+       |      % 10000) + 10000) % 10000 AS bucket
+       |  FROM lang)
+       |SELECT doc_id, lang, bucket FROM b
+       |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+       |  WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin
+  }
 
   // --- llm_repetition -----------------------------------------------------
   def repetition(s: SparkSession, dir: String): DataFrame =
@@ -604,6 +686,8 @@ object LlmQueries {
     "llm_fingerprint" -> (fingerprint _),
     "llm_curation" -> (curation _),
     "llm_winnow" -> (winnow _),
+    "llm_decontaminate" -> (decontaminate _),
+    "llm_sample_mix" -> (sampleMix _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -622,6 +706,8 @@ object LlmQueries {
     "llm_fingerprint" -> fingerprintSql,
     "llm_curation" -> curationSql,
     "llm_winnow" -> winnowSql,
+    "llm_decontaminate" -> decontaminateSql,
+    "llm_sample_mix" -> sampleMixSql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

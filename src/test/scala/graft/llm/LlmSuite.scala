@@ -224,6 +224,60 @@ class LlmSuite extends SparkSpec {
     assert(out.length.toLong == keptDistinct)
   }
 
+  test("decontaminate flags benchmark docs and their planted near-copies") {
+    val flagged = LlmQueries.decontaminate(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val benchIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 13 === 0).select("doc_id").as[Long]
+      .collect().toSet
+    // verbatim contamination: the benchmark docs themselves are in the
+    // corpus and share (at least) all their own fingerprints
+    val verbatim = benchIds.filter(flagged)
+    assert(verbatim.size >= (benchIds.size * 0.9).toInt,
+      s"verbatim ${verbatim.size}/${benchIds.size}")
+    // near-copy contamination: docs with id % 91 == 0 got BOTH the
+    // benchmark role and a planted near-copy (id + 1000000) — the copy
+    // shares the whole prefix passage
+    val copies = benchIds.filter(_ % 91 == 0).map(_ + 1000000L)
+    assert(copies.nonEmpty)
+    val caught = copies.filter(flagged)
+    assert(caught.size >= (copies.size * 0.9).toInt,
+      s"near-copies ${caught.size}/${copies.size}")
+    // clean() = corpus minus exactly the flagged rows
+    val corpus = LlmQueries.docsWithNearDups(spark, sf0001)
+    val clean = Decontaminate.clean(corpus,
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .where(col("doc_id") % 13 === 0).select("doc_id", "text"))
+    assert(clean.count() == corpus.count() - flagged.size)
+  }
+
+  test("sample mix: deterministic, exact for rate 1.0, empty for rate 0") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    val kept = Sampling.sampleMix(d, "lang", Map("de" -> 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    val allDe = d.where(col("lang") === "de").select("doc_id").as[Long]
+      .collect().toSet
+    assert(kept == allDe) // rate 1.0 keeps every de doc, default 0 drops rest
+    // registered query: reproducible run-to-run, strata rates honored
+    val q1 = LlmQueries.sampleMix(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val q2 = LlmQueries.sampleMix(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(q1 == q2)
+    val rows = LlmQueries.sampleMix(spark, sf0001).collect()
+    val th = Map("en" -> 5000L, "de" -> 10000L, "fr" -> 2500L)
+    rows.foreach { r =>
+      val lim = th.getOrElse(r.getAs[String]("lang"), 1000L)
+      assert(r.getAs[Long]("bucket") < lim, r.toString)
+    }
+    // en keeps ~half (md5 buckets are uniform-ish)
+    val en = d.where(col("lang") === "en").count().toDouble
+    val enKept = rows.count(_.getAs[String]("lang") == "en")
+    assert(enKept / en > 0.3 && enKept / en < 0.7, s"$enKept/$en")
+  }
+
   test("lang id picks a language deterministically; quality verdicts total") {
     val lang = LlmQueries.langId(spark, sf0001)
     assert(lang.count() == 500)
