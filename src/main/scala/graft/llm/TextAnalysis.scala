@@ -138,6 +138,46 @@ object TextAnalysis {
           .top_shingle_freq(tokens(col(textCol)), 3), 4), lit(0.0)))
   }
 
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common dialect
+    * (no backrefs, no lookaround, explicit char classes) so the DuckDB
+    * oracle reproduces matches exactly. Order matters for overlaps:
+    * emails first (they contain dots and digits), then IPv4s, then
+    * phone-ish digit runs — both engines apply the same order. */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Re =
+    "\\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
+      "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b"
+  final val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+  /** PII scrubbing — the pretraining hygiene pass (C4/Pile-style):
+    * redact emails, IPv4 addresses, and phone-ish digit runs with
+    * typed placeholders. Map-only regexp chain: runs at scan speed at
+    * any corpus size; counts come from the SAME patterns so the
+    * audit trail matches the redaction exactly. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Redacted text + per-kind counts. Each count is taken at ITS
+    * redaction stage (emails on raw text, IPs on email-redacted text,
+    * phones after both), so every count equals the number of
+    * replacements that stage actually made — digits inside an email
+    * local part never double-count as a phone. */
+  def piiCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val stage1 = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
+    val stage2 = regexp_replace(stage1, Ipv4Re, "[IP]")
+    df.withColumn("n_email",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_ip",
+        size(regexp_extract_all(stage1, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phone",
+        size(regexp_extract_all(stage2, lit(PhoneRe), lit(0))))
+      .withColumn("clean", regexp_replace(stage2, PhoneRe, "[PHONE]"))
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token array column.
     * `toks` must be a plain column reference, not the `tokens(text)`
     * expression: an inlined expression would be re-evaluated at every

@@ -537,6 +537,54 @@ object LlmQueries {
        |  WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin
   }
 
+  // --- llm_pii ------------------------------------------------------------
+  /** PII scrubbing over a corpus with deterministically planted PII:
+    * every 11th doc gets an email (id-derived), an IPv4 (id-derived
+    * octet), and a phone number appended — so redaction and counting
+    * have real work with a reproducible ground truth. */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" from 10.0."), col("doc_id") % 255,
+          lit(".7 or call +1 (555) 123-4567 today")))
+        .otherwise(col("text")))
+  }
+  private val corpusPiiSql =
+    """SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |      '@example.com from 10.0.' ||
+      |      CAST(doc_id % 255 AS VARCHAR) ||
+      |      '.7 or call +1 (555) 123-4567 today'
+      |    ELSE text END AS text
+      |FROM documents""".stripMargin
+
+  def pii(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiCounts(docsWithPii(s, dir))
+      .select("doc_id", "n_email", "n_ip", "n_phone", "clean")
+
+  val piiSql: String = {
+    val email = TextAnalysis.EmailRe
+    val ip = TextAnalysis.Ipv4Re
+    val phone = TextAnalysis.PhoneRe
+    s"""WITH corpus AS ($corpusPiiSql),
+       |staged AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(text, '$email', '[EMAIL]', 'g') AS s1
+       |  FROM corpus),
+       |staged2 AS (
+       |  SELECT *, regexp_replace(s1, '$ip', '[IP]', 'g') AS s2
+       |  FROM staged)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$email')) AS n_email,
+       |  len(regexp_extract_all(s1, '$ip')) AS n_ip,
+       |  len(regexp_extract_all(s2, '$phone')) AS n_phone,
+       |  regexp_replace(s2, '$phone', '[PHONE]', 'g') AS clean
+       |FROM staged2""".stripMargin
+  }
+
   // --- llm_repetition -----------------------------------------------------
   def repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(docs(s, dir))
@@ -688,6 +736,7 @@ object LlmQueries {
     "llm_winnow" -> (winnow _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_sample_mix" -> (sampleMix _),
+    "llm_pii" -> (pii _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -708,6 +757,7 @@ object LlmQueries {
     "llm_winnow" -> winnowSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_sample_mix" -> sampleMixSql,
+    "llm_pii" -> piiSql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

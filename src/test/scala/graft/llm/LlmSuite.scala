@@ -278,6 +278,34 @@ class LlmSuite extends SparkSpec {
     assert(enKept / en > 0.3 && enKept / en < 0.7, s"$enKept/$en")
   }
 
+  test("pii redaction scrubs planted email/ip/phone; others untouched") {
+    val out = LlmQueries.pii(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val planted = out.keys.filter(_ % 11 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val r = out(id)
+      assert(r.getAs[Int]("n_email") >= 1, s"doc $id email")
+      assert(r.getAs[Int]("n_ip") >= 1, s"doc $id ip")
+      assert(r.getAs[Int]("n_phone") >= 1, s"doc $id phone")
+      val clean = r.getAs[String]("clean")
+      assert(clean.contains("[EMAIL]") && clean.contains("[IP]") &&
+        clean.contains("[PHONE]"), s"doc $id")
+      assert(!clean.contains("@example.com") && !clean.contains("10.0."),
+        s"doc $id leaked")
+    }
+    // unplanted docs: no emails/ips planted, text survives verbatim
+    // unless it organically matched (count-consistent either way)
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.keys.filterNot(_ % 11 == 0).foreach { id =>
+      val r = out(id)
+      if (r.getAs[Int]("n_email") == 0 && r.getAs[Int]("n_ip") == 0 &&
+        r.getAs[Int]("n_phone") == 0)
+        assert(r.getAs[String]("clean") == base(id), s"doc $id mutated")
+    }
+  }
+
   test("lang id picks a language deterministically; quality verdicts total") {
     val lang = LlmQueries.langId(spark, sf0001)
     assert(lang.count() == 500)
