@@ -178,6 +178,35 @@ object TextAnalysis {
       .withColumn("clean", regexp_replace(stage2, PhoneRe, "[PHONE]"))
   }
 
+  /** Context-window chunking — split documents into overlapping token
+    * windows (`chunkSize` tokens every `stride`; stride < chunkSize
+    * gives the standard training overlap). One row per chunk with a
+    * deterministic `chunk_id`; short tail windows are emitted the way
+    * HF-style overflow chunking emits them. Map-only explode: no
+    * shuffle, and the chunk layout is a pure function of the text, so
+    * it is reproducible across engines/partitionings. */
+  def chunkTokens(df: DataFrame, chunkSize: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize=$chunkSize and stride=$stride must be >= 1")
+    // bindOnce: the token array feeds every struct field of every
+    // window (SCALE.md lesson 1)
+    val chunks = graft.functions.ExprUtils.bindOnce(
+      tokens(col(textCol))) { t =>
+      when(size(t) > 0,
+        transform(sequence(lit(0), size(t) - 1, lit(stride)),
+          s => struct(
+            (s / stride).cast("int").as("chunk_id"),
+            concat_ws(" ", slice(t, s + 1, lit(chunkSize))).as("chunk_text"),
+            size(slice(t, s + 1, lit(chunkSize))).as("n_tokens"))))
+        .otherwise(array().cast(
+          "array<struct<chunk_id:int,chunk_text:string,n_tokens:int>>"))
+    }
+    df.select(col(idCol).as("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"),
+        col("c.n_tokens"))
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token array column.
     * `toks` must be a plain column reference, not the `tokens(text)`
     * expression: an inlined expression would be re-evaluated at every

@@ -585,6 +585,24 @@ object LlmQueries {
        |FROM staged2""".stripMargin
   }
 
+  // --- llm_chunk ----------------------------------------------------------
+  /** Context-window chunking: 64-token windows every 48 tokens (16
+    * tokens of overlap) — the pre-packing pass of a training
+    * pipeline. */
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, dir), chunkSize = 64, stride = 48)
+
+  val chunkSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, w, unnest(range(0, len(w), 48)) AS s FROM tok)
+      |SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+      |  array_to_string(w[s + 1 : s + 64], ' ') AS chunk_text,
+      |  CAST(len(w[s + 1 : s + 64]) AS INT) AS n_tokens
+      |FROM st""".stripMargin
+
   // --- llm_repetition -----------------------------------------------------
   def repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(docs(s, dir))
@@ -737,6 +755,7 @@ object LlmQueries {
     "llm_decontaminate" -> (decontaminate _),
     "llm_sample_mix" -> (sampleMix _),
     "llm_pii" -> (pii _),
+    "llm_chunk" -> (chunk _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -758,6 +777,7 @@ object LlmQueries {
     "llm_decontaminate" -> decontaminateSql,
     "llm_sample_mix" -> sampleMixSql,
     "llm_pii" -> piiSql,
+    "llm_chunk" -> chunkSql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

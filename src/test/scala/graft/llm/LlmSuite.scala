@@ -306,6 +306,32 @@ class LlmSuite extends SparkSpec {
     }
   }
 
+  test("chunking: overlap layout, tail chunks, reassembly, empty text") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // < chunkSize
+      (3L, "")                                        // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, chunkSize = 4, stride = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    val c1 = out(1L).sortBy(_.getAs[Int]("chunk_id"))
+    assert(c1.map(_.getAs[Int]("n_tokens")).toSeq == Seq(4, 4, 4, 1))
+    assert(c1.head.getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(c1(1).getAs[String]("chunk_text") == "t4 t5 t6 t7") // 1-token overlap
+    assert(c1.last.getAs[String]("chunk_text") == "t10")
+    // doc 2: single short chunk covers everything
+    assert(out(2L).map(_.getAs[String]("chunk_text")).toSeq == Seq("a b c"))
+    // doc 3 vanishes (no tokens)
+    assert(!out.contains(3L))
+    // stride tokens of every chunk are disjoint: concatenating each
+    // chunk's first `stride` tokens rebuilds the document
+    val rebuilt = c1.flatMap(
+      _.getAs[String]("chunk_text").split(" ").take(3)).toSeq
+    assert(rebuilt == (1 to 10).map(i => s"t$i"))
+  }
+
   test("lang id picks a language deterministically; quality verdicts total") {
     val lang = LlmQueries.langId(spark, sf0001)
     assert(lang.count() == 500)

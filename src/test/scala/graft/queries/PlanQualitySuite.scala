@@ -72,6 +72,21 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("map-only operators stay map-only: no joins or aggregates planned") {
+    // These passes must run at scan speed at 100 TB — a join or
+    // aggregation appearing in their plans is a design regression.
+    // (The only exchange allowed is the fixture-size repartition the
+    // query helper adds for single-split parquet.)
+    Seq("llm_pii", "llm_sample_mix", "llm_chunk", "llm_lang_id",
+      "llm_token_count", "llm_fingerprint", "llm_winnow").foreach { q =>
+      val p = plan(q)
+      Seq("Join", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        "Window").foreach { node =>
+        assert(!p.contains(node), s"$q plans a $node — no longer map-only")
+      }
+    }
+  }
+
   test("every registered query runs at sf0.001 (driver smoke parity)") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
