@@ -90,7 +90,10 @@ case class HyperplaneSigsExpr(child: Expression, nBits: Int,
         var acc = 0.0
         var d = 0
         while (d < dim) { acc += xs(d) * p(d); d += 1 }
-        if (acc > 0) sig |= (1L << j)
+        // Spark SQL comparison semantics: NaN is LARGER than any value
+        // (so a NaN projection sets the bit — Java's NaN > 0 is false;
+        // caught by the property test on NaN/Inf vectors)
+        if (acc > 0 || java.lang.Double.isNaN(acc)) sig |= (1L << j)
         j += 1
       }
       out(t) = sig

@@ -44,6 +44,28 @@ class HyperplaneSigsExprSuite extends SparkSpec {
     assert(out == hof)
   }
 
+  test("property: matches HOF on random vectors incl. NaN/Inf/extremes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vGen = Gen.listOfN(24, Gen.oneOf(
+      Gen.choose(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, 1e300, -1e300, 1e-300,
+        Double.NaN, Double.PositiveInfinity)))
+    val rows = (0 until 120).map { i =>
+      (i.toLong, vGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+        .take(4 + i % 21)) // widths 4..24
+    }
+    val df = rows.toDF("id", "v")
+    val native = df.select(col("id"),
+      HyperplaneSigsExpr.hyperplane_sigs(col("v"), 6, 3, 99L).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = df.select(col("id"),
+      array((0 until 3).map(t =>
+        Similarity.lshSignature(col("v"), 6, 99L + t)): _*).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof)
+  }
+
   test("doGenCode compiles and matches eval (no silent fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

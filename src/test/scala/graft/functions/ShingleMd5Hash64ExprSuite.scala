@@ -86,6 +86,34 @@ class ShingleMd5Hash64ExprSuite extends SparkSpec {
     assert(native == hof) // ("a",null)→"a", (null,"b")→"b"
   }
 
+  test("property: bit-identical to the HOF chain on random token arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokGen = Gen.listOfN(12, Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.oneOf("", " ", "é中", "a_b", "0", "é", "longertoken99")))
+    val rows = (0 until 150).map { i =>
+      val toks = tokGen.apply(Gen.Parameters.default, Seed(31L + i)).get
+        .take(i % 13) // vary length incl. 0 and < n
+      (i.toLong, toks)
+    }
+    val df = rows.toDF("id", "toks")
+    for (n <- Seq(2, 4); distinct <- Seq(true, false)) {
+      val native = df.select(col("id"),
+        ShingleMd5Hash64Expr.shingle_md5_hash64(col("toks"), n, distinct)
+          .as("sh")).as[(Long, Seq[Long])].collect().toMap
+      val sh0 = when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val hof = df.select(col("id"), TokenMd5Hash64Expr.token_md5_hash64(
+        if (distinct) array_distinct(sh0) else sh0).as("sh"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == hof, s"n=$n distinct=$distinct")
+    }
+  }
+
   test("doGenCode compiles and matches eval (no silent fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -72,6 +72,16 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("decontaminate broadcasts the benchmark side, never the corpus") {
+    // The intended shape: benchmark fingerprints (small by definition)
+    // broadcast; the corpus side map-only into one groupBy. A
+    // SortMergeJoin here means the corpus started shuffling against
+    // the benchmark — the would-not-survive-100TB regression.
+    val p = plan("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffles for the join")
+  }
+
   test("map-only operators stay map-only: no joins or aggregates planned") {
     // These passes must run at scan speed at 100 TB — a join or
     // aggregation appearing in their plans is a design regression.
