@@ -326,7 +326,7 @@ object Dedup {
     * join stays bucket-local at scale). */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 7,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands=$bands must evenly divide 64 (and be >= 2)")
     require(maxHamming <= bands - 1,
@@ -342,22 +342,46 @@ object Dedup {
       graft.functions.TokenMd5Hash64Expr.token_md5_hash64(
         TextAnalysis.tokens(col(textCol))))
     val sigs = df.select(col(idCol).as("id"), simExpr.as("sim"))
-    val banded = sigs.select(col("id"), col("sim"),
+    val banded0 = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sim"), b * width)
           .bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("col", "chunk")
       .withColumnRenamed("pos", "band")
+    // Hot-bucket cap (off by default): a chunk value shared by far
+    // more docs than chance means that band does not discriminate its
+    // region (low-entropy short docs pile onto few signatures), and a
+    // FIXED 2^width key space makes bucket sizes — and so candidate
+    // probes, Σ size² — grow quadratically with the corpus (measured
+    // 14× wall at a 10× scale-up). The cap trades bounded recall loss
+    // (a ≤maxHamming pair is only lost if EVERY matching band is hot)
+    // for bounded work — the same lever as ngramJaccardPairs' maxDf.
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val hot = banded0.groupBy("band", "chunk")
+          .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+          .select("band", "chunk")
+        banded0.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
+      }
     val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"),
       col("sim").as("sim_a"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"),
       col("sim").as("sim_b"))
-    l.join(r, Seq("band", "chunk"))
-      .where(col("id_a") < col("id_b"))
+    // The hamming bound rides IN the join condition: with the full
+    // signature already on both band rows, failing candidates die at
+    // the probe instead of flowing through dropDuplicates — the
+    // downstream volume drops from every band collision to actual
+    // near-dups (the probe compares stay; they are codegen'd integer
+    // ops). Same final pairs as filtering after dedup.
+    l.as("l").join(r.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.chunk") === col("r.chunk") &&
+          col("id_a") < col("id_b") &&
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(
         col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
 }

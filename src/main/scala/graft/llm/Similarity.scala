@@ -258,24 +258,60 @@ object Similarity {
     * vector payloads join back per surviving pair. */
   def cosineDupPairsLsh(df: DataFrame, threshold: Double,
       nBits: Int = 12, nTables: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+      vecCol: String = "embedding", seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
       // zero-vector clamp: see cosineDupPairs (and LSH guarantees all
       // zero vectors collide — all projections 0 — so the NaN pairs
       // WOULD surface here without it)
       .withColumn("nrm", greatest(norm(col("vec")), lit(1e-12)))
-    val banded = v.select(col("id"),
+    // Wide pre-verify signature riding the band rows: one extra
+    // 48-plane signature per vector (map-only, native, computed in the
+    // SAME projection as the band explode — no join). Two vectors at
+    // cosine >= threshold differ on a hyperplane bit with probability
+    // p = arccos(threshold)/π — at 0.999 that is 0.4 expected bits of
+    // 48 — so bounding the signature hamming IN the join condition
+    // kills unrelated candidates (≈24 differing bits) at the probe,
+    // before they reach dedup, the payload join, and the exact cosine.
+    // The bound is mean + 6σ + 2 of Binomial(48, p): false-drop
+    // probability < 1e-8 at the threshold, ~0 for exact-direction
+    // copies (identical sign patterns modulo float rounding).
+    val preBits = 48
+    val pFlip = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val preBound = math.min(preBits, math.ceil(
+      preBits * pFlip + 6 * math.sqrt(preBits * pFlip * (1 - pFlip))
+    ).toInt + 2)
+    val banded0 = v.select(col("id"),
+      element_at(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
+        col("vec"), preBits, 1, seed + nTables * 7919L), 1).as("sig2"),
       posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
         col("vec"), nBits, nTables, seed)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
+    // Hot-bucket cap (off by default): clustered embeddings pile into
+    // few hyperplane buckets — a 2^nBits key space is FIXED, so bucket
+    // sizes and candidate pairs (Σ size²) grow quadratically with the
+    // corpus (measured at a 10× scale-up on clustered vectors).
+    // Capping drops only buckets where the planes fail to
+    // discriminate; an exact-direction dup pair is lost only if its
+    // bucket is hot in EVERY table (OR-amplification keeps the
+    // guarantee elsewhere) — the ngram-maxDf lever, tuned per corpus.
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val hot = banded0.groupBy("table", "bucket")
+          .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+          .select("table", "bucket")
+        banded0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+      }
     // Same plan both sides + shuffle_hash → one reused exchange.
     val cand = banded.as("l").hint("shuffle_hash")
       .join(banded.as("r").hint("shuffle_hash"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
+          col("l.id") < col("r.id") &&
+          bit_count(col("l.sig2").bitwiseXOR(col("r.sig2"))) <= preBound)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Shuffled join-back by id — the candidate side (bare longs, small

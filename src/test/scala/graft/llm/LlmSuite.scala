@@ -55,6 +55,36 @@ class LlmSuite extends SparkSpec {
     assert(xx >= expected - 2, s"xxhash variant planted recall $xx/$expected")
   }
 
+  test("hot-bucket caps: generous cap is a no-op, tight cap only drops") {
+    // simhash: a cap larger than any bucket must change nothing
+    val base = LlmQueries.simhashDup(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val roomy = Dedup.simhashPairs(
+      LlmQueries.docsWithNearDups(spark, sf0001),
+      maxHamming = 7, bands = 8, maxBucket = 1000000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(roomy == base)
+    // a tight cap can only REMOVE pairs (drops hot buckets, never adds)
+    val tight = Dedup.simhashPairs(
+      LlmQueries.docsWithNearDups(spark, sf0001),
+      maxHamming = 7, bands = 8, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight.subsetOf(base) && tight.size < base.size)
+    // embed LSH: same contract
+    val ebase = LlmQueries.embedDupLsh(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val eroomy = Similarity.cosineDupPairsLsh(
+      LlmQueries.embsWithDups(spark, sf0001), threshold = 0.999,
+      maxBucket = 1000000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(eroomy == ebase)
+    val etight = Similarity.cosineDupPairsLsh(
+      LlmQueries.embsWithDups(spark, sf0001), threshold = 0.999,
+      maxBucket = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(etight.subsetOf(ebase))
+  }
+
   test("simhash: planted near-dups collide within small hamming distance") {
     val pairs = LlmQueries.simhashDup(spark, sf0001)
     val planted = pairs.where(col("id_b") === col("id_a") + 1000000).count()
