@@ -54,4 +54,37 @@ class StreamingCurationSuite extends SparkSpec {
     // the redelivered docs were deduped by the streaming state
     assert(spark.table("cur_out").count() == batch.size)
   }
+
+  test("streaming sample-mix equals batch (stateless deterministic decision)") {
+    // The md5-bucket keep/drop decision is a pure function of the row,
+    // so the mixing pass runs unchanged in a streaming query — no
+    // state store, no watermark, identical kept set in any delivery
+    // order.
+    val dir = Files.createTempDirectory("graft-stream-mix").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    docs.repartition(4).write.parquet(s"$dir/in")
+
+    def mix(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Sampling.sampleMix(
+        df.withColumn("lang", TextAnalysis.langId(col("text"))),
+        "lang", Map("en" -> 0.5, "de" -> 1.0), defaultRate = 0.1)
+        .select("doc_id", "lang", "bucket")
+
+    val batch = mix(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val streamIn = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = mix(streamIn).writeStream.outputMode("append")
+      .format("memory").queryName("mix_out")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("mix_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
