@@ -173,11 +173,16 @@ object Dedup {
     // in afterwards, once per surviving pair — not once per band
     // collision (arrays through a SortAggregate dedup measured 7×
     // slower at sf0.1).
+    // 64-bit hashed band key: a 32-bit key space saturates at 100 TB
+    // scale (10^10 docs × 8 bands over 2^32 values ≈ 19 docs/bucket
+    // from pure hash collisions — every one a false candidate that
+    // pays the payload join + Jaccard verify). xxhash64 keeps chance
+    // bucket collisions ~0 at any realistic corpus for 8 bytes of key.
     val bandKey: Column => Column = bnd => {
       val slice = concat_ws("_", (0 until rows).map(r =>
         element_at(col("sig"),
           (bnd * rows + r + 1).cast("int"))): _*)
-      if (exactBandKey) slice else hash(slice, bnd)
+      if (exactBandKey) slice else xxhash64(slice, bnd)
     }
     val banded = sets.select(col("id"),
       posexplode(transform(
