@@ -78,6 +78,18 @@ case class HyperplaneSigsExpr(child: Expression, nBits: Int,
 
   def compute(vec: ArrayData): ArrayData = {
     val dim = vec.numElements()
+    // Null-element parity with the HOF reference: one null element
+    // nulls every zip_with product, so every projection is null and
+    // when(null > 0, ...) leaves every bit unset — all-zero
+    // signatures in every table. toDoubleArray() would silently read
+    // null as 0.0 and diverge (caught in review; embeddings never
+    // carry null elements, but the bit-for-bit contract must hold).
+    var ni = 0
+    while (ni < dim) {
+      if (vec.isNullAt(ni))
+        return new GenericArrayData(new Array[Long](nTables))
+      ni += 1
+    }
     val planes = signsFor(dim)
     val xs = vec.toDoubleArray()
     val out = new Array[Long](nTables)

@@ -22,12 +22,14 @@ object Sampling {
   /** Stable hash bucket in [0, 10000): first 8 md5 digest bytes of
     * the id's decimal string, big-endian, pmod 10000 — the same
     * md5-long construction every cross-engine oracle here uses. */
-  def hashBucket(id: Column): Column = {
-    val s = id.cast("string")
-    val h = shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
-    pmod(h, lit(Buckets))
-  }
+  def hashBucket(id: Column): Column =
+    // bindOnce: the md5 hex feeds both substring halves — unbound,
+    // CollapseProject can inline the digest computation twice
+    graft.functions.ExprUtils.bindOnce(md5(id.cast("string"))) { m =>
+      val h = shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+      pmod(h, lit(Buckets))
+    }
 
   /** Keep a per-stratum fraction of rows: `rates` maps stratum value →
     * keep fraction [0, 1] (resolution 1/10000); strata not listed keep

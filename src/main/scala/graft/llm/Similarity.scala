@@ -98,7 +98,11 @@ object Similarity {
         outNorm: String): DataFrame =
       df.select(col(idCol).as(outId),
         col(vecCol).cast("array<double>").as(outVec))
-        .withColumn(outNorm, norm(col(outVec)))
+        // zero-norm clamp (CLAUDE.md invariant): an unclamped zero
+        // vector yields 0/0 = NaN sim, and NaN-is-largest ordering
+        // would rank the junk vector FIRST in every top-k it reaches
+        // (zero vectors sit in bucket 0 of every table)
+        .withColumn(outNorm, greatest(norm(col(outVec)), lit(1e-12)))
         .select(col(outId), col(outVec), col(outNorm),
           // all nTables signatures in one native pass (bit-identical
           // to per-table lshSignature calls — see HyperplaneSigsExpr)
@@ -106,15 +110,24 @@ object Similarity {
             col(outVec), nBits, nTables, seed)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "sig")
+    require(multiProbe >= 0 && multiProbe <= 2,
+      s"multiProbe=$multiProbe: supported probe radii are 0, 1, 2")
     val cB = banded(corpus, "neighbor_id", "cv", "cn")
       .withColumnRenamed("sig", "bucket")
     val qSig = banded(queries, "query_id", "qv", "qn")
-    // multi-probe: each query also probes the nBits buckets one bit
-    // away in every table (query-side fan-out only).
+    // multi-probe: each query also probes every bucket within hamming
+    // distance `multiProbe` of its signature, in every table
+    // (query-side fan-out only: 1 + nBits [+ nBits·(nBits−1)/2]
+    // probes per table; the corpus index never grows).
+    val flips: Seq[Column] =
+      Seq(col("sig")) ++
+        (if (multiProbe >= 1) (0 until nBits).map(j =>
+          col("sig").bitwiseXOR(lit(1L << j))) else Nil) ++
+        (if (multiProbe >= 2) (for {
+          j <- 0 until nBits; k <- j + 1 until nBits
+        } yield col("sig").bitwiseXOR(lit((1L << j) | (1L << k)))) else Nil)
     val qB = if (multiProbe <= 0) qSig.withColumn("bucket", col("sig"))
-      else qSig.withColumn("bucket", explode(array(
-        (Seq(col("sig")) ++ (0 until nBits).map(j =>
-          col("sig").bitwiseXOR(lit(1L << j)))): _*)))
+      else qSig.withColumn("bucket", explode(array(flips: _*)))
     val scored = cB.join(broadcast(qB.drop("sig")), Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",

@@ -165,7 +165,12 @@ object TextAnalysis {
     * redaction stage (emails on raw text, IPs on email-redacted text,
     * phones after both), so every count equals the number of
     * replacements that stage actually made — digits inside an email
-    * local part never double-count as a phone. */
+    * local part never double-count as a phone.
+    *
+    * stage1/stage2 appear in several output columns of ONE collapsed
+    * projection: top-level-projection subexpressions are deduplicated
+    * by whole-stage-codegen CSE (the WireParseExpr precedent — this
+    * is NOT the HOF-lambda trap bindOnce exists for). */
   def piiCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
     val stage1 = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
     val stage2 = regexp_replace(stage1, Ipv4Re, "[IP]")

@@ -66,6 +66,19 @@ class HyperplaneSigsExprSuite extends SparkSpec {
     assert(native == hof)
   }
 
+  test("null vector element yields all-zero signatures like the HOF form") {
+    val df = Seq(1).toDF("i").select(
+      array(lit(1.0), lit(null).cast("double"), lit(-2.0)).as("v"))
+    val native = df.select(
+      HyperplaneSigsExpr.hyperplane_sigs(col("v"), 8, 3).as("sigs"))
+      .as[Seq[Long]].head()
+    assert(native == Seq(0L, 0L, 0L))
+    val hof = df.select(array((0 until 3).map(t =>
+      Similarity.lshSignature(col("v"), 8, 42L + t)): _*).as("sigs"))
+      .as[Seq[Long]].head()
+    assert(native == hof)
+  }
+
   test("doGenCode compiles and matches eval (no silent fallback)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -161,6 +161,30 @@ class LlmSuite extends SparkSpec {
     val recall = (lsh intersect brute).size.toDouble / brute.size
     assert(recall >= 0.55, s"LSH ANN recall@3 too low: $recall")
     assert(lsh.size == brute.size, "every query should fill its top-k")
+    // radius-2 multi-probe widens the probe set: recall never drops
+    val lsh2 = Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3,
+      nBits = 8, nTables = 8, multiProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall2 = (lsh2 intersect brute).size.toDouble / brute.size
+    assert(recall2 >= recall, s"radius-2 recall $recall2 < radius-1 $recall")
+  }
+
+  test("LSH ANN: zero-norm corpus vectors never rank (NaN clamp)") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val poisoned = e.unionByName(
+      spark.range(1).select(lit(999999L).as("vec_id"),
+        array_repeat(lit(0.0), dim).as("embedding")))
+    val out = Similarity.lshTopK(
+      poisoned.where(col("vec_id") < 10), poisoned, k = 5).cache()
+    assert(out.where(col("sim").isNaN).count() == 0)
+    // the zero vector's sim clamps to 0.0 — it cannot displace a real
+    // neighbor at rank 1
+    assert(out.where(col("neighbor_id") === 999999L &&
+      col("rank") === 1).count() == 0)
+    out.unpersist()
   }
 
   test("dedup clusters: transitive closure merges chained pairs") {
