@@ -22,20 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {
 
-  private val P = 2147483647L // 2^31-1
+  private val P = MinHashSignatureExpr.P
 
-  // Same parameter derivation as Dedup.hashParams (java.util.Random).
-  private lazy val (as, bs): (Array[Long], Array[Long]) = {
-    val r = new java.util.Random(seed)
-    val a = new Array[Long](k); val b = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      a(i) = math.abs(r.nextLong()) % (P - 1) + 1
-      b(i) = math.abs(r.nextLong()) % P
-      i += 1
-    }
-    (a, b)
-  }
+  private lazy val (as, bs): (Array[Long], Array[Long]) =
+    MinHashSignatureExpr.params(k, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -89,6 +79,25 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
 }
 
 object MinHashSignatureExpr {
+  final val P = 2147483647L // 2^31-1
+
+  /** Seeded affine parameters (a, b) — the SINGLE derivation shared by
+    * this native expression, the HOF reference form
+    * (`Dedup.minhashSignature`), and the DuckDB oracle's inlined
+    * literals (`LlmQueries.minhashMd5Sql`). Any change lands
+    * everywhere at once or the oracle desynchronizes silently. */
+  def params(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(seed)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = math.abs(r.nextLong()) % (P - 1) + 1
+      b(i) = math.abs(r.nextLong()) % P
+      i += 1
+    }
+    (a, b)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column-API entry point. */

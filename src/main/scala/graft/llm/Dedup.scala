@@ -75,12 +75,9 @@ object Dedup {
     // long, not a multi-word string.
     val inv = sets.select(col("id"), col("sz"),
       explode(col("sh")).as("h"))
-    // Hot-shingle cap via a broadcast anti-join blacklist: the list of
-    // shingles with df > maxDf is tiny by construction — cheaper than
-    // a per-shingle window sort over the full inverted index.
-    val hot = inv.groupBy("h").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf).select("h")
-    val capped = inv.join(broadcast(hot), Seq("h"), "left_anti")
+    // Hot-shingle cap: a stopword-ish shingle shared by millions of
+    // docs would otherwise create a quadratic join (dropHotKeys).
+    val capped = dropHotKeys(inv, Seq("h"), maxDf)
     // True self-join (same plan on both sides) → Spark reuses the
     // shuffle exchange instead of recomputing the whole lineage twice.
     capped.as("a").join(capped.as("b"),
@@ -104,15 +101,16 @@ object Dedup {
       graft.functions.ShingleMd5Hash64Expr.shingle_md5_hash64(
         TextAnalysis.tokens(col(textCol)), n, distinct = true).as("sh"))
 
-  /** Deterministic MinHash parameters (seeded, reproducible; exposed
-    * so the DuckDB oracle can inline them as literals). */
-  private val P = 2147483647L // 2^31-1
+  /** Deterministic MinHash parameters — delegates to the ONE shared
+    * derivation (`MinHashSignatureExpr.params`) so the native
+    * expression, this HOF form, and the DuckDB oracle literals can
+    * never desynchronize. */
+  private val P = graft.functions.MinHashSignatureExpr.P
   private[graft] def minhashParams(k: Int, seed: Long): Seq[(Long, Long)] =
     hashParams(k, seed)
   private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val r = new java.util.Random(seed)
-    Seq.fill(k)((math.abs(r.nextLong()) % (P - 1) + 1,
-      math.abs(r.nextLong()) % P))
+    val (a, b) = graft.functions.MinHashSignatureExpr.params(k, seed)
+    a.zip(b).toSeq
   }
 
   /** MinHash signature from raw 64-bit shingle hashes (any sign): each
@@ -158,8 +156,28 @@ object Dedup {
     lshPairsFromSets(shingleSetsMd5(df, idCol, textCol, n), k, bands,
       threshold, seed, exactBandKey = true)
 
+  /** Drop rows whose key value is shared by more than `maxPerKey`
+    * rows — the shared hot-key lever (ngram's maxDf blacklist,
+    * simhash/embed-LSH bucket caps): the over-hot key list is tiny by
+    * construction, so a broadcast anti-join beats any per-key window.
+    */
+  private[llm] def dropHotKeys(df: DataFrame, keys: Seq[String],
+      maxPerKey: Int): DataFrame =
+    if (maxPerKey == Int.MaxValue) df
+    else {
+      val hot = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).where(col("n") > maxPerKey)
+        .select(keys.map(col): _*)
+      df.join(broadcast(hot), keys, "left_anti")
+    }
+
   private def lshPairsFromSets(rawSets: DataFrame, k: Int, bands: Int,
       threshold: Double, seed: Long, exactBandKey: Boolean): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands=$bands must divide the signature width k=$k (and be in " +
+        "[1, k]): bands > k degenerates every band key to the empty " +
+        "slice — an all-pairs candidate join; a non-divisor silently " +
+        "drops the signature tail")
     val rows = k / bands
     // The hashed shingle sets are the verification payload too:
     // Jaccard over them equals Jaccard over string sets (modulo ~1e-8
@@ -361,14 +379,7 @@ object Dedup {
     // 14× wall at a 10× scale-up). The cap trades bounded recall loss
     // (a ≤maxHamming pair is only lost if EVERY matching band is hot)
     // for bounded work — the same lever as ngramJaccardPairs' maxDf.
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
-      else {
-        val hot = banded0.groupBy("band", "chunk")
-          .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
-          .select("band", "chunk")
-        banded0.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
-      }
+    val banded = dropHotKeys(banded0, Seq("band", "chunk"), maxBucket)
     val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"),
       col("sim").as("sim_a"))
     val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"),

@@ -58,9 +58,14 @@ object Multimodal {
     * up to `n_frames` — the shape of a video pre-processing stage
     * (decode happens downstream per sampled frame). */
   def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
-    meta.select(col("id"), col("n_frames"),
-      explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
-        lit(stride))).as("frame_idx"))
+    // frame-less media (n_frames = 0, e.g. null blobs) yields NO rows
+    // — the old greatest(n-1, 0) clamp emitted a phantom frame_idx 0
+    // that a downstream per-frame decode would choke on, and diverged
+    // from the oracle's (n_frames-1)//stride + 1 = 0
+    meta.where(col("n_frames") > 0)
+      .select(col("id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(stride))).as("frame_idx"))
 
   /** "Resize" planning: target dims preserving aspect ratio against a
     * max edge — pure arithmetic on metadata (the real pixel work is

@@ -34,12 +34,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // Norms are materialized per side BEFORE the join — computed once
     // per vector, not once per (query, corpus) pair.
+    // zero-norm clamp (CLAUDE.md invariant): unclamped, a zero vector
+    // yields NaN sim and NaN-is-largest ordering would rank it FIRST
+    // for every query. (The DuckDB oracle has no clamp, but the
+    // fixture has no zero vectors — on real data the operator is sane
+    // where the naive SQL is not.)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
+      .withColumn("qn", greatest(norm(col("qv")), lit(1e-12)))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv")))
+      .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
@@ -167,7 +172,8 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm(col("cv")))
+      // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
+      .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
     // Random init + few iterations: for a coarse quantizer the cells
     // only need to be balanced-ish, not optimal — k-means|| init alone
     // costs more distributed passes than the whole Lloyd refinement,
@@ -210,7 +216,7 @@ object Similarity {
 
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
+      .withColumn("qn", greatest(norm(col("qv")), lit(1e-12)))
     // Top-nProbe cells per query: sort (−score, cid) structs ascending
     // — score desc, cid asc — and explode the first nProbe. Still
     // map-only (explode fans out nProbe rows per query, no shuffle).
@@ -310,14 +316,7 @@ object Similarity {
     // discriminate; an exact-direction dup pair is lost only if its
     // bucket is hot in EVERY table (OR-amplification keeps the
     // guarantee elsewhere) — the ngram-maxDf lever, tuned per corpus.
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
-      else {
-        val hot = banded0.groupBy("table", "bucket")
-          .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
-          .select("table", "bucket")
-        banded0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
-      }
+    val banded = Dedup.dropHotKeys(banded0, Seq("table", "bucket"), maxBucket)
     // Same plan both sides + shuffle_hash → one reused exchange.
     val cand = banded.as("l").hint("shuffle_hash")
       .join(banded.as("r").hint("shuffle_hash"),

@@ -66,8 +66,12 @@ object TextAnalysis {
     df.withColumn("n_chars", nChars)
       .withColumn("n_tokens", nTokens)
       .withColumn("punct_ratio", round(punct / greatest(nChars, lit(1)), 4))
+      // denominator = the SAME word tokenizer the hits come from —
+      // dividing [a-z0-9]+ hits by the \S+ count let the "ratio"
+      // exceed 1 on punctuation-joined text ("the,and,of" = 3 hits /
+      // 1 whitespace token)
       .withColumn("stopword_ratio",
-        round(stopHits / greatest(nTokens, lit(1)), 4))
+        round(stopHits / greatest(size(toks), lit(1)), 4))
       .withColumn("mean_word_len",
         round(length(regexp_replace(t, "\\s+", "")) /
           greatest(nTokens, lit(1)), 4))
@@ -78,9 +82,14 @@ object TextAnalysis {
   }
 
   /** Canonical content fingerprint: md5 of whitespace-normalized,
-    * lowercased text — the exact-dedup key. */
+    * lowercased text — the exact-dedup key. trim runs AFTER the \s+
+    * collapse: trim strips only spaces, so trimming first left a
+    * trailing tab/newline to survive as a trailing space and split
+    * identical documents into different fingerprints (review catch;
+    * collapse-then-trim makes every boundary whitespace a plain
+    * space first). */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
 
   /** Winnowing fingerprints (MOSS-style rolling selection): hash every
     * k-token shingle, slide a w-wide window over the positional hash

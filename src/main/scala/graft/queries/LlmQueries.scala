@@ -58,7 +58,7 @@ object LlmQueries {
 
   val exactDedupSql: String =
     s"""WITH corpus AS ($corpusExactSql)
-       |SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       |SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
        |    AS fingerprint,
        |  min(doc_id) AS keep_id, count(*) AS n_copies
        |FROM corpus GROUP BY 1""".stripMargin
@@ -375,7 +375,7 @@ object LlmQueries {
       |      greatest(length(text), 1), 4) AS punct_ratio,
       |    round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
       |        t -> list_contains(['the','and','of','to','in','is','a'], t))) /
-      |      greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
+      |      greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
       |      AS stopword_ratio,
       |    round(length(regexp_replace(text, '\s+', '', 'g')) /
       |      greatest(len(regexp_extract_all(text, '\S+')), 1), 4)
@@ -410,7 +410,7 @@ object LlmQueries {
 
   val fingerprintSql: String =
     """SELECT doc_id,
-      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
       |    AS fingerprint
       |FROM documents""".stripMargin
 
@@ -678,7 +678,7 @@ object LlmQueries {
        |    round(length(regexp_replace(text, '\\s+', '', 'g')) /
        |      greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
        |      AS mean_word_len,
-       |    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
        |      AS fingerprint,
        |    $scores
        |  FROM corpus),
