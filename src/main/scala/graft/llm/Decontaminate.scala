@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Contaminated docs: (doc_id, n_shared) for every training doc
+  /** Contaminated docs: (`idCol`, n_shared) for every training doc
     * sharing at least `minShared` distinct winnow fingerprints with
-    * ANY benchmark document. */
+    * ANY benchmark document. The id column keeps the caller's name —
+    * the output joins back against the caller's frame without a
+    * rename. */
   def contaminated(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -30,12 +32,12 @@ object Decontaminate {
       .select(explode(TextAnalysis.winnowFingerprints(col(textCol), k, w))
         .as("fp"))
       .distinct()
-    val docFps = docs.select(col(idCol).as("doc_id"),
+    val docFps = docs.select(col(idCol),
       explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
     // per-doc fingerprints are already distinct (winnowing dedups), so
     // a plain count after the semi-join is the distinct-overlap count
     docFps.join(broadcast(benchFps), Seq("fp"))
-      .groupBy("doc_id")
+      .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
@@ -46,6 +48,6 @@ object Decontaminate {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.join(
       contaminated(docs, benchmark, k, w, minShared, idCol, textCol)
-        .select(col("doc_id").as(idCol)),
+        .select(idCol),
       Seq(idCol), "left_anti")
 }

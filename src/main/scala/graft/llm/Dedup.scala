@@ -217,16 +217,20 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Verification join-back is a SHUFFLED hash join by id: the
-    // candidate side is bare longs and small by construction (it is
-    // the build side — hint on the left), while the payload side is
-    // the WHOLE corpus's shingle sets. Round 3 broadcast the payload
-    // side to save a shuffle at sf0.1; that ships every doc's shingle
-    // array through the driver to every executor — a hard OOM at
-    // 100 TB. Both fetches alias the SAME (id, sh) subplan shuffled by
-    // id, so the exchange canonicalizes equal and the shingle compute
-    // + shuffle run once; AQE may still demote a side to broadcast at
-    // runtime when the MEASURED size allows — adaptive, not baked in.
+    // Verification join-back is a SHUFFLED hash join by id. Build
+    // sides (the hinted left): first join builds the BARE candidate
+    // longs; the second necessarily builds (pairs + sh_a) — the
+    // surviving pairs plus one shingle array each, since the output
+    // row needs both arrays. Both builds are O(pairs), far below the
+    // corpus-sized probe side in rows AND bytes; building the corpus
+    // side instead would hold every doc's shingle set in the hash
+    // tables. Round 3 broadcast the payload side to save a shuffle at
+    // sf0.1; that ships every doc's shingle array through the driver
+    // to every executor — a hard OOM at 100 TB. Both fetches alias the
+    // SAME (id, sh) subplan shuffled by id, so the exchange
+    // canonicalizes equal and the shingle compute + shuffle run once;
+    // AQE may still demote a side to broadcast at runtime when the
+    // MEASURED size allows — adaptive, not baked in.
     val hs = sets.select(col("id"), col("sh"))
     cand.hint("shuffle_hash")
       .join(hs.as("ja"), col("id_a") === col("ja.id"))

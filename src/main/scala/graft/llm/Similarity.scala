@@ -185,7 +185,23 @@ object Similarity {
     // input on every Lloyd iteration (8× parquet re-read + vector
     // re-derivation here — and it warns "input is not directly
     // cached"). Freed as soon as the fit returns.
-    val fitInput = c.sample(withReplacement = false, fitSampleFraction, seed)
+    //
+    // Deterministic sample + layout: sample membership is a pure
+    // function of (id, seed) — a stable xxhash64 bucket — NOT
+    // df.sample(), which seeds per PARTITION and so picks a different
+    // row set whenever the upstream layout changes. The sampled rows
+    // are then hash-repartitioned by id and sorted within partitions,
+    // so the KMeans fit (random init via takeSample + Lloyd's
+    // partition-wise float sums, both layout-sensitive) sees identical
+    // points in identical order regardless of how the corpus arrived —
+    // same seed ⇒ identical centroids ⇒ identical cell assignment
+    // (pinned by the LlmSuite determinism property). The extra
+    // shuffle+sort touches only the fit SAMPLE, not the corpus.
+    val fitInput = c
+      .where(pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(10000L))
+        < lit(math.round(fitSampleFraction * 10000)))
+      .repartition(16, col("neighbor_id"))
+      .sortWithinPartitions("neighbor_id")
       .select(array_to_vector(col("cv")).as("features"))
       .persist()
     val model =
@@ -326,8 +342,11 @@ object Similarity {
           bit_count(col("l.sig2").bitwiseXOR(col("r.sig2"))) <= preBound)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Shuffled join-back by id — the candidate side (bare longs, small
-    // by construction) is the build side; broadcasting the full
+    // Shuffled join-back by id. Build sides (the hinted left): the
+    // first join builds the BARE candidate longs; the second
+    // necessarily builds (pairs + va) — pairs plus one vector each,
+    // since the output needs both vectors. Both builds are O(pairs),
+    // far below the corpus-sized probe side; broadcasting the full
     // (id, vec, nrm) table (round 3) cannot survive 100 TB. Same
     // aliased subplan both sides → one shuffle of the vector payload;
     // AQE may still broadcast adaptively when measured sizes allow.

@@ -151,7 +151,9 @@ object TextAnalysis {
     * (no backrefs, no lookaround, explicit char classes) so the DuckDB
     * oracle reproduces matches exactly. Order matters for overlaps:
     * emails first (they contain dots and digits), then IPv4s, then
-    * phone-ish digit runs — both engines apply the same order. */
+    * phone-ish digit runs — both engines apply the same order.
+    * These constants are interpolated into single-quoted DuckDB string
+    * literals (LlmQueries.piiSql escapes ' as '' on the way in). */
   final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   final val Ipv4Re =
     "\\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}" +
@@ -194,11 +196,20 @@ object TextAnalysis {
 
   /** Context-window chunking — split documents into overlapping token
     * windows (`chunkSize` tokens every `stride`; stride < chunkSize
-    * gives the standard training overlap). One row per chunk with a
-    * deterministic `chunk_id`; short tail windows are emitted the way
-    * HF-style overflow chunking emits them. Map-only explode: no
-    * shuffle, and the chunk layout is a pure function of the text, so
-    * it is reproducible across engines/partitionings. */
+    * gives the standard training overlap).
+    *
+    * Exact window rule: ONE chunk per stride offset s = 0, stride,
+    * 2·stride, … for every s < n_tokens — chunk i covers tokens
+    * [i·stride, min(i·stride + chunkSize, n_tokens)). Tail windows are
+    * emitted even when a previous window already covered their tokens
+    * (100 tokens at size 64 / stride 48 → chunks at 0, 48, 96; the
+    * 4-token chunk 2 is fully contained in chunk 1). The rule is
+    * deliberately positional, not coverage-minimal: chunk_id stays a
+    * pure function of (offset, stride) and the layout never depends on
+    * neighboring windows. The oracle and suite pin exactly this.
+    * One row per chunk with a deterministic `chunk_id`. Map-only
+    * explode: no shuffle, and the chunk layout is a pure function of
+    * the text, so it is reproducible across engines/partitionings. */
   def chunkTokens(df: DataFrame, chunkSize: Int = 64, stride: Int = 48,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkSize >= 1 && stride >= 1,

@@ -566,9 +566,14 @@ object LlmQueries {
       .select("doc_id", "n_email", "n_ip", "n_phone", "clean")
 
   val piiSql: String = {
-    val email = TextAnalysis.EmailRe
-    val ip = TextAnalysis.Ipv4Re
-    val phone = TextAnalysis.PhoneRe
+    // The regex constants interpolate into single-quoted DuckDB string
+    // literals: escape ' as '' so a future pattern edit containing a
+    // quote breaks neither the oracle SQL nor silently diverges from
+    // the Spark-side semantics (today's patterns contain none).
+    def q(re: String): String = re.replace("'", "''")
+    val email = q(TextAnalysis.EmailRe)
+    val ip = q(TextAnalysis.Ipv4Re)
+    val phone = q(TextAnalysis.PhoneRe)
     s"""WITH corpus AS ($corpusPiiSql),
        |staged AS (
        |  SELECT doc_id, text,

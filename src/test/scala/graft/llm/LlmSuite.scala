@@ -140,9 +140,30 @@ class LlmSuite extends SparkSpec {
       r.getAs[Int]("rank") <= 5))
     val hits = ivf.select("query_id", "neighbor_id").as[(Long, Long)]
       .collect().toSet
+    // Measured 0.56 at nProbe=4/nCentroids=16 (deterministic: fixed
+    // data, fixed seed). Floor at 0.5 so a recall-halving regression
+    // fails instead of coasting on the old 0.3 floor.
     val recall = (hits intersect brute).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall@5 too low: $recall")
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
     ivf.unpersist()
+  }
+
+  test("IVF ANN: same seed gives identical results across runs and partitionings") {
+    // The coarse quantizer must be a pure function of (data, seed):
+    // KMeans fit consumes a seeded sample and random init, and cell
+    // assignment is an argmax over centroid literals — none of it may
+    // depend on partition layout or run order.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      Similarity.ivfTopK(df.where(col("vec_id") < 10), df, k = 5,
+        nCentroids = 16, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val r1 = run(e)
+    val r2 = run(e)
+    assert(r1 == r2, "same input, same seed, different results")
+    val r3 = run(e.repartition(7, col("vec_id")))
+    assert(r3 == r1, "partitioning changed the IVF result")
   }
 
   test("LSH ANN recall vs brute force meets the multi-table floor") {
