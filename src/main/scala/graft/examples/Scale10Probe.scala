@@ -14,7 +14,7 @@ object Scale10Probe {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.llm.Similarity
+    import graft.llm.{Decontaminate, Dedup, Similarity}
 
     def embsX(k: Int) = {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -36,16 +36,70 @@ object Scale10Probe {
       val n = f
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    // sf0.1 registered-query corpus: pair count must stay 400
-    timed("sf0.1 embedDupLsh")(
-      graft.queries.LlmQueries.embedDupLsh(spark, sfDir).count())
-    val e = embsX(10).localCheckpoint(true)
-    println(s"--- scale 10x: ${e.count()} vectors")
-    timed("10x embed_dup_lsh (prefilter)")(
-      Similarity.cosineDupPairsLsh(e, threshold = 0.999).count())
-    timed("10x embed prefilter + maxBucket=2000")(
-      Similarity.cosineDupPairsLsh(e, threshold = 0.999,
-        maxBucket = 2000).count())
+    // 10× documents at CONSTANT near-dup density: each replica gets
+    // its vowels rewritten to a replica digit (kills cross-replica
+    // shingle overlap — naive replication makes every doc a 10-copy
+    // group) and then its own planted near-dups (the registered-query
+    // rule: every 7th doc + a 4-token tail).
+    def docsX(k: Int) = {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      (0 until k).map { i =>
+        val rep = base.select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          translate(col("text"), "aeiou", s"$i$i$i$i$i").as("text"))
+        rep.unionByName(rep
+          .where(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text",
+            concat(col("text"), lit(" graft dup probe tail"))))
+      }.reduce(_ unionAll _)
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+    def run(which: Set[String]): Unit = {
+      if (which("embed")) {
+        // sf0.1 registered-query corpus: pair count must stay 400
+        timed("sf0.1 embedDupLsh")(
+          graft.queries.LlmQueries.embedDupLsh(spark, sfDir).count())
+        val e = embsX(10).localCheckpoint(true)
+        println(s"--- scale 10x: ${e.count()} vectors")
+        timed("10x embed_dup_lsh (prefilter)")(
+          Similarity.cosineDupPairsLsh(e, threshold = 0.999).count())
+        timed("10x embed prefilter + maxBucket=2000")(
+          Similarity.cosineDupPairsLsh(e, threshold = 0.999,
+            maxBucket = 2000).count())
+      }
+      if (which("minhash")) {
+        val d = docsX(10).localCheckpoint(true)
+        println(s"--- scale 10x: ${d.count()} docs")
+        timed("10x minhashLshPairs")(
+          Dedup.minhashLshPairs(d, threshold = 0.5).count())
+      }
+      if (which("decontaminate")) {
+        // Fixed benchmark set (the registered-query rule over the BASE
+        // corpus) against 1× and 10× corpora: corpus-side work must
+        // scale linearly, the broadcast side must stay the benchmark.
+        val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(col("doc_id") % 13 === 0).select("doc_id", "text")
+          .localCheckpoint(true)
+        println(s"benchmark docs: ${bench.count()}")
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        timed("1x decontaminate")(
+          Decontaminate.contaminated(d1, bench, minShared = 2).count())
+        timed("10x decontaminate")(
+          Decontaminate.contaminated(d10, bench, minShared = 2).count())
+        val plan = Decontaminate.contaminated(d10, bench, minShared = 2)
+          .queryExecution.executedPlan.toString()
+        println("10x plan BroadcastHashJoin: " +
+          plan.contains("BroadcastHashJoin"))
+        println("10x plan SortMergeJoin: " + plan.contains("SortMergeJoin"))
+      }
+    }
+    run(args.drop(1).headOption
+      .map(_.split(",").toSet)
+      .getOrElse(Set("embed", "minhash", "decontaminate")))
     spark.stop()
   }
 }

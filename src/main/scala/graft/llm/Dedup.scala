@@ -231,14 +231,18 @@ object Dedup {
     // canonicalizes equal and the shingle compute + shuffle run once;
     // AQE may still demote a side to broadcast at runtime when the
     // MEASURED size allows — adaptive, not baked in.
-    val hs = sets.select(col("id"), col("sh"))
+    // Payload arrays are sorted ONCE PER DOC here (before the shuffle
+    // and the two joins) so the per-PAIR verify is a single merge pass
+    // (SortedJaccardExpr) instead of two hash-set builds per pair —
+    // pairs outnumber docs by orders of magnitude at scale, so the
+    // sort amortizes.
+    val hs = sets.select(col("id"), sort_array(col("sh")).as("sh"))
     cand.hint("shuffle_hash")
       .join(hs.as("ja"), col("id_a") === col("ja.id"))
       .hint("shuffle_hash")
       .join(hs.as("jb"), col("id_b") === col("jb.id"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("ja.sh"), col("jb.sh"))).cast("double") /
-          size(array_union(col("ja.sh"), col("jb.sh"))), 4))
+      .withColumn("jaccard", round(graft.functions.SortedJaccardExpr
+        .sorted_jaccard(col("ja.sh"), col("jb.sh")), 4))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
