@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * is a primitive multiply-accumulate loop.
   */
 case class HyperplaneSigsExpr(child: Expression, nBits: Int,
-    nTables: Int, seed: Long) extends UnaryExpression {
+    nTables: Int, seed: Long, md5Signs: Boolean = false)
+    extends UnaryExpression {
   require(nBits >= 1 && nBits <= 63, s"nBits=$nBits out of range")
   require(nTables >= 1, s"nTables=$nTables must be >= 1")
 
@@ -54,6 +55,14 @@ case class HyperplaneSigsExpr(child: Expression, nBits: Int,
   private def signsFor(dim: Int): Array[Array[Double]] = {
     val c = signCache
     if (c != null && c._1 == dim) return c._2
+    // Cross-engine-reproducible sign source (md5Signs): parity of the
+    // first 32 digest bits of md5("hp_<tableSeed>_<j>_<d>") — in SQL,
+    // CAST('0x' || substring(md5(key), 1, 8) AS BIGINT) % 2. The low
+    // bit of that 32-bit big-endian value is digest byte 3's low bit.
+    // Built once per vector width (not per row); MessageDigest is not
+    // thread-safe, so the instance is local to the rebuild.
+    val md = if (md5Signs)
+      java.security.MessageDigest.getInstance("MD5") else null
     val planes = new Array[Array[Double]](nTables * nBits)
     var t = 0
     while (t < nTables) {
@@ -63,8 +72,14 @@ case class HyperplaneSigsExpr(child: Expression, nBits: Int,
         val hj = XXH64.hashInt(j, 42L) // xxhash64's default seed
         var d = 0
         while (d < dim) {
-          val h = XXH64.hashLong(seed + t, XXH64.hashInt(d, hj))
-          p(d) = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0 // pmod parity
+          if (md5Signs) {
+            val dig = md.digest(s"hp_${seed + t}_${j}_$d"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            p(d) = if ((dig(3) & 1) == 0) 1.0 else -1.0
+          } else {
+            val h = XXH64.hashLong(seed + t, XXH64.hashInt(d, hj))
+            p(d) = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0 // pmod parity
+          }
           d += 1
         }
         planes(t * nBits + j) = p
@@ -133,7 +148,8 @@ object HyperplaneSigsExpr {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   def hyperplane_sigs(vec: Column, nBits: Int, nTables: Int,
-      seed: Long = 42L): Column =
+      seed: Long = 42L, md5Signs: Boolean = false): Column =
     ColumnBridge.column(
-      HyperplaneSigsExpr(ColumnBridge.expression(vec), nBits, nTables, seed))
+      HyperplaneSigsExpr(ColumnBridge.expression(vec), nBits, nTables,
+        seed, md5Signs))
 }

@@ -291,10 +291,23 @@ object Similarity {
     * near-zero projection's sign; more tables / fewer bits raise
     * recall. Candidates travel as bare id pairs (bare-key lesson);
     * vector payloads join back per surviving pair. */
+  /** Pre-verify signature width and hamming bound shared by the
+    * operator and its DuckDB oracle: mean + 6σ + 2 of
+    * Binomial(preBits, arccos(threshold)/π) — false-drop < 1e-8 at the
+    * threshold (see the inline note in [[cosineDupPairsLsh]]). */
+  private[graft] val PreVerifyBits = 48
+  private[graft] def preVerifyBound(threshold: Double): Int = {
+    val pFlip = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    math.min(PreVerifyBits, math.ceil(
+      PreVerifyBits * pFlip +
+        6 * math.sqrt(PreVerifyBits * pFlip * (1 - pFlip))
+    ).toInt + 2)
+  }
+
   def cosineDupPairsLsh(df: DataFrame, threshold: Double,
       nBits: Int = 12, nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue, md5Signs: Boolean = false): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
       // zero-vector clamp: see cosineDupPairs (and LSH guarantees all
@@ -312,16 +325,13 @@ object Similarity {
     // The bound is mean + 6σ + 2 of Binomial(48, p): false-drop
     // probability < 1e-8 at the threshold, ~0 for exact-direction
     // copies (identical sign patterns modulo float rounding).
-    val preBits = 48
-    val pFlip = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    val preBound = math.min(preBits, math.ceil(
-      preBits * pFlip + 6 * math.sqrt(preBits * pFlip * (1 - pFlip))
-    ).toInt + 2)
+    val preBound = preVerifyBound(threshold)
     val banded0 = v.select(col("id"),
       element_at(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
-        col("vec"), preBits, 1, seed + nTables * 7919L), 1).as("sig2"),
+        col("vec"), PreVerifyBits, 1, seed + nTables * 7919L, md5Signs),
+        1).as("sig2"),
       posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
-        col("vec"), nBits, nTables, seed)))
+        col("vec"), nBits, nTables, seed, md5Signs)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
     // Hot-bucket cap (off by default): clustered embeddings pile into

@@ -246,6 +246,85 @@ object LlmQueries {
       |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
       |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.999""".stripMargin
 
+  // --- llm_embed_dup_lsh_md5 (md5-derived plane signs → the FULL
+  // cross-engine oracle for the hyperplane-LSH pipeline: signature →
+  // band bucket → candidate (incl. the 48-bit pre-verify hamming
+  // bound) → exact cosine — the minhash_md5 playbook on embeddings.
+  // The xxhash default stays the operator (rows-only) path.) ------------
+  def embedDupLshMd5(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairsLsh(embsWithDups(s, dir), threshold = 0.999,
+      md5Signs = true)
+      .orderBy("id_a", "id_b")
+
+  /** DuckDB rebuild of the whole hyperplane-LSH dedup pipeline. Plane
+    * sign(tableSeed, bit j, dim d) = parity of the first 32 md5 digest
+    * bits of `hp_<tableSeed>_<j>_<d>` — exactly `HyperplaneSigsExpr`'s
+    * md5 mode. Projections fold left-to-right via `list_reduce` (IEEE
+    * double order matches the expression's accumulation loop, so every
+    * sign bit is reproduced exactly); band signatures and the 48-bit
+    * pre-verify signature rebuild as bit sums; the candidate join
+    * applies the same hamming bound; `list_dot_product` verifies exact
+    * cosine (bit-comparable left-to-right order — the llm_embed_dup
+    * precedent). */
+  val embedDupLshMd5Sql: String = {
+    val (nBits, nTables, seed) = (12, 4, 42L)
+    val preSeed = seed + nTables * 7919L
+    val preBound = Similarity.preVerifyBound(0.999)
+    s"""WITH corpus AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |pl AS (
+       |  SELECT 0 AS grp, t, j, $seed + t AS ts
+       |  FROM range($nTables) r1(t) CROSS JOIN range($nBits) r2(j)
+       |  UNION ALL
+       |  SELECT 1 AS grp, 0 AS t, j, $preSeed AS ts
+       |  FROM range(${Similarity.PreVerifyBits}) r3(j)),
+       |dims AS (
+       |  SELECT unnest(range(0, (SELECT max(len(vec)) FROM corpus))) AS d),
+       |planes AS (
+       |  SELECT grp, t, j,
+       |    list(CASE WHEN CAST('0x' || substring(md5(
+       |        'hp_' || CAST(ts AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+       |          || '_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END ORDER BY d) AS sg
+       |  FROM pl CROSS JOIN dims
+       |  GROUP BY grp, t, j),
+       |proj AS (
+       |  SELECT c.vec_id, p.grp, p.t, p.j,
+       |    list_reduce(list_transform(range(1, len(c.vec) + 1),
+       |      i -> c.vec[i] * p.sg[i]), (a, b) -> a + b) AS pr
+       |  FROM corpus c CROSS JOIN planes p),
+       |sigs AS (
+       |  SELECT vec_id, grp, t,
+       |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << j
+       |      ELSE 0 END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id, grp, t),
+       |bands AS (SELECT vec_id, t, sig FROM sigs WHERE grp = 0),
+       |pre AS (SELECT vec_id, sig AS sig2 FROM sigs WHERE grp = 1),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a
+       |  JOIN bands b ON a.t = b.t AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id
+       |  JOIN pre pa ON pa.vec_id = a.vec_id
+       |  JOIN pre pb ON pb.vec_id = b.vec_id
+       |  WHERE bit_count(xor(pa.sig2, pb.sig2)) <= $preBound
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(list_dot_product(va.vec, vb.vec) /
+       |    (sqrt(list_dot_product(va.vec, va.vec)) *
+       |     sqrt(list_dot_product(vb.vec, vb.vec))), 4) AS sim
+       |FROM cand
+       |JOIN corpus va ON va.vec_id = id_a
+       |JOIN corpus vb ON vb.vec_id = id_b
+       |WHERE round(list_dot_product(va.vec, vb.vec) /
+       |    (sqrt(list_dot_product(va.vec, va.vec)) *
+       |     sqrt(list_dot_product(vb.vec, vb.vec))), 4) >= 0.999""".stripMargin
+  }
+
   // --- llm_ann_topk ------------------------------------------------------
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -747,6 +826,7 @@ object LlmQueries {
     "llm_simhash" -> (simhashDup _),
     "llm_embed_dup" -> (embedDup _),
     "llm_embed_dup_lsh" -> (embedDupLsh _),
+    "llm_embed_dup_lsh_md5" -> (embedDupLshMd5 _),
     "llm_ann_topk" -> (annTopK _),
     "llm_ann_lsh" -> (annLsh _),
     "llm_ann_ivf" -> (annIvf _),
@@ -772,6 +852,7 @@ object LlmQueries {
     "llm_ngram_jaccard" -> ngramJaccardSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_embed_dup" -> embedDupSql,
+    "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,
     "llm_ann_topk" -> annTopKSql,
     "llm_lang_id" -> langIdSql,
     "llm_quality" -> qualitySql,

@@ -119,6 +119,85 @@ class LlmSuite extends SparkSpec {
       s"recall ${lsh.size.toDouble / allPairs.size}")
   }
 
+  test("embed LSH output = exact pairs restricted to LSH candidates " +
+      "(pre-verify signature drops nothing)") {
+    // Pins the 48-bit pre-verify bound's output-identical claim: the
+    // operator's pairs must EQUAL the exact >= threshold pairs
+    // restricted to band-colliding candidates — if the pre-signature
+    // hamming filter false-dropped even one true candidate pair, this
+    // equality (not just the planted-subset check below) breaks.
+    val corpus = LlmQueries.embsWithDups(spark, sf0001)
+    val allPairs = Similarity.cosineDupPairs(
+      corpus.withColumn("one", lit(1)),
+      threshold = 0.999, blockCol = "one")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // candidate generation rebuilt WITHOUT the pre-verify bound, same
+    // banding params as the operator defaults
+    val v = corpus.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val banded = v.select(col("id"),
+      posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
+        col("vec"), 12, 4, 42L)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id"), col("r.id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val lsh = LlmQueries.embedDupLsh(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == (allPairs intersect cands),
+      s"missing=${(allPairs intersect cands) diff lsh} extra=${lsh diff (allPairs intersect cands)}")
+  }
+
+  test("md5-plane mode: signatures match an independent functions._ rebuild; " +
+      "planted dups all found, precision exact") {
+    // Cross-implementation check of the md5 sign derivation (the
+    // SQL-reproducible mode behind llm_embed_dup_lsh_md5): plane
+    // sign = parity of the first 32 md5 digest bits of
+    // "hp_<tableSeed>_<j>_<d>", rebuilt here from md5()/conv()
+    // column functions — the same chain the DuckDB oracle uses.
+    import org.apache.spark.sql.Column
+    val (nBits, nTables, seed) = (6, 3, 42L)
+    def md5Sign(ts: Long, j: Int, d: Column): Column =
+      when(conv(substring(md5(
+        concat(lit(s"hp_${ts}_${j}_"), d.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
+    def hofSig(vec: Column, ts: Long): Column =
+      graft.functions.ExprUtils.bindOnce(
+        sequence(lit(0), size(vec) - 1)) { idx =>
+        (0 until nBits).map { j =>
+          val proj = aggregate(
+            zip_with(vec, idx, (x, d) => x * md5Sign(ts, j, d)),
+            lit(0.0d), (acc, x) => acc + x)
+          when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b))
+      }
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val native = e.select(col("vec_id"),
+      graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
+        col("v"), nBits, nTables, seed, md5Signs = true).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = e.select(col("vec_id"),
+      array((0 until nTables).map(t =>
+        hofSig(col("v"), seed + t)): _*).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof)
+    // and the registered md5 query keeps the operator guarantees
+    val md5Pairs = LlmQueries.embedDupLshMd5(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val allPairs = Similarity.cosineDupPairs(
+      LlmQueries.embsWithDups(spark, sf0001).withColumn("one", lit(1)),
+      threshold = 0.999, blockCol = "one")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(md5Pairs.subsetOf(allPairs)) // precision exact
+    val planted = allPairs.filter { case (a, b) => b == a + 1000000 }
+    assert(planted.nonEmpty && planted.subsetOf(md5Pairs))
+  }
+
   test("brute-force ANN: self excluded, k respected, rank deterministic") {
     val out = LlmQueries.annTopK(spark, sf0001).cache()
     assert(out.count() == 50) // 10 queries × k=5

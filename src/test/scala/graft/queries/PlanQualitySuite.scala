@@ -62,8 +62,8 @@ class PlanQualitySuite extends SparkSpec {
     // through the driver — fine at sf0.1, an OOM at 100 TB. The
     // static plan must be shuffle joins end-to-end; only AQE may
     // demote a side to broadcast at runtime from MEASURED sizes.
-    Seq("llm_minhash_lsh", "llm_minhash_md5", "llm_embed_dup_lsh")
-      .foreach { q =>
+    Seq("llm_minhash_lsh", "llm_minhash_md5", "llm_embed_dup_lsh",
+      "llm_embed_dup_lsh_md5").foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastExchange"),
         s"$q statically broadcasts a full-corpus subplan")
