@@ -76,16 +76,22 @@ object Scale10Probe {
           Dedup.minhashLshPairs(d, threshold = 0.5).count())
       }
       if (which("decontaminate")) {
-        // Fixed benchmark set (the registered-query rule over the BASE
-        // corpus) against 1× and 10× corpora: corpus-side work must
-        // scale linearly, the broadcast side must stay the benchmark.
-        val bench = spark.read.parquet(s"$sfDir/documents.parquet")
-          .where(col("doc_id") % 13 === 0).select("doc_id", "text")
-          .localCheckpoint(true)
-        println(s"benchmark docs: ${bench.count()}")
+        // Fixed benchmark set drawn from REPLICA 0's transformed text
+        // (docsX rewrites vowels per replica, so a base-corpus
+        // benchmark would match nothing): the contaminated docs are
+        // exactly replica 0's %13 rows at every scale — OUTPUT must
+        // stay constant while corpus-side work scales 10×, and the
+        // broadcast side must stay the benchmark.
         val d1 = docsX(1).localCheckpoint(true)
         val d10 = docsX(10).localCheckpoint(true)
+        val bench = d1
+          .where(col("doc_id") % 13 === 0 && col("doc_id") < 1000000)
+          .localCheckpoint(true)
+        println(s"benchmark docs: ${bench.count()}")
         println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        // warmup pass first: the session's first heavy query otherwise
+        // pays codegen/broadcast warmup and poisons the 1× number
+        Decontaminate.contaminated(d1, bench, minShared = 2).count()
         timed("1x decontaminate")(
           Decontaminate.contaminated(d1, bench, minShared = 2).count())
         timed("10x decontaminate")(
