@@ -98,7 +98,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nBits: Int = 8, nTables: Int = 8, multiProbe: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, md5Signs: Boolean = false): DataFrame = {
     def banded(df: DataFrame, outId: String, outVec: String,
         outNorm: String): DataFrame =
       df.select(col(idCol).as(outId),
@@ -112,7 +112,7 @@ object Similarity {
           // all nTables signatures in one native pass (bit-identical
           // to per-table lshSignature calls — see HyperplaneSigsExpr)
           posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
-            col(outVec), nBits, nTables, seed)))
+            col(outVec), nBits, nTables, seed, md5Signs)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "sig")
     require(multiProbe >= 0 && multiProbe <= 2,

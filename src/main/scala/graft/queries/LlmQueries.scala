@@ -359,6 +359,76 @@ object LlmQueries {
       nBits = 8, nTables = 8, multiProbe = 1)
   }
 
+  // --- llm_ann_lsh_md5 (md5-derived plane signs → the FULL DuckDB
+  // oracle for the ANN LSH pipeline: per-table signatures → ±1-bit
+  // multi-probe → bucket-join candidates → exact cosine → top-k.
+  // The xxhash default stays the operator path.) ------------------------
+  def annLshMd5(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3,
+      nBits = 8, nTables = 8, multiProbe = 1, md5Signs = true)
+  }
+
+  /** DuckDB rebuild of the ANN LSH top-k: md5-parity plane signs (the
+    * embedDupLshMd5 derivation), left-to-right `list_reduce`
+    * projections, per-table bit-sum signatures, the query side
+    * expanded to its signature plus all 8 one-bit flips per table
+    * (multiProbe=1), bucket-equality candidates, exact cosine ranked
+    * by (sim DESC, neighbor ASC). */
+  val annLshMd5Sql: String = {
+    val (nBits, nTables, seed, k) = (8, 8, 42L, 3)
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |pl AS (
+       |  SELECT t, j, $seed + t AS ts
+       |  FROM range($nTables) r1(t) CROSS JOIN range($nBits) r2(j)),
+       |dims AS (
+       |  SELECT unnest(range(0, (SELECT max(len(vec)) FROM c))) AS d),
+       |planes AS (
+       |  SELECT t, j,
+       |    list(CASE WHEN CAST('0x' || substring(md5(
+       |        'hp_' || CAST(ts AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+       |          || '_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+       |      THEN 1.0 ELSE -1.0 END ORDER BY d) AS sg
+       |  FROM pl CROSS JOIN dims
+       |  GROUP BY t, j),
+       |proj AS (
+       |  SELECT v.vec_id, p.t, p.j,
+       |    list_reduce(list_transform(range(1, len(v.vec) + 1),
+       |      i -> v.vec[i] * p.sg[i]), (a, b) -> a + b) AS pr
+       |  FROM c v CROSS JOIN planes p),
+       |sigs AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << j
+       |      ELSE 0 END) AS BIGINT) AS sig
+       |  FROM proj GROUP BY vec_id, t),
+       |probes AS (
+       |  SELECT vec_id AS query_id, t,
+       |    CASE WHEN pi = 0 THEN sig
+       |      ELSE xor(sig, CAST(1 AS BIGINT) << (pi - 1)) END AS bucket
+       |  FROM sigs CROSS JOIN range(${nBits + 1}) r(pi)
+       |  WHERE vec_id < 50),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+       |  FROM probes p JOIN sigs s ON s.t = p.t AND s.sig = p.bucket
+       |  WHERE p.query_id <> s.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(list_dot_product(q.vec, n.vec) /
+       |      (sqrt(list_dot_product(q.vec, q.vec)) *
+       |       sqrt(list_dot_product(n.vec, n.vec))), 6) AS sim
+       |  FROM cand
+       |  JOIN c q ON q.vec_id = query_id
+       |  JOIN c n ON n.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+       |    AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, sim FROM ranked
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // --- llm_ann_ivf (rows-only scale path: KMeans coarse quantizer) -------
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -829,6 +899,7 @@ object LlmQueries {
     "llm_embed_dup_lsh_md5" -> (embedDupLshMd5 _),
     "llm_ann_topk" -> (annTopK _),
     "llm_ann_lsh" -> (annLsh _),
+    "llm_ann_lsh_md5" -> (annLshMd5 _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_lang_id" -> (langId _),
@@ -854,6 +925,7 @@ object LlmQueries {
     "llm_embed_dup" -> embedDupSql,
     "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,
     "llm_ann_topk" -> annTopKSql,
+    "llm_ann_lsh_md5" -> annLshMd5Sql,
     "llm_lang_id" -> langIdSql,
     "llm_quality" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
