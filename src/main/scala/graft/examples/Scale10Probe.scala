@@ -75,6 +75,16 @@ object Scale10Probe {
         timed("10x minhashLshPairs")(
           Dedup.minhashLshPairs(d, threshold = 0.5).count())
       }
+      if (which("ngram")) {
+        val d = docsX(10).localCheckpoint(true)
+        println(s"--- scale 10x: ${d.count()} docs")
+        // warmup at 1x so codegen/session cost doesn't ride the number
+        Dedup.ngramJaccardPairs(docsX(1), threshold = 0.5,
+          maxDf = 1000000).count()
+        timed("10x ngramJaccardPairs")(
+          Dedup.ngramJaccardPairs(d, threshold = 0.5,
+            maxDf = 1000000).count())
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus

@@ -64,8 +64,24 @@ object Dedup {
     * explode shingles → drop shingles with document frequency >
     * `maxDf` (hot-key cap: a stopword-ish shingle shared by millions
     * of docs would otherwise create a quadratic join) → self-join per
-    * shingle → count common → Jaccard from set sizes. Emits pairs
-    * `id_a < id_b` with `jaccard >= threshold`. */
+    * shingle, with the LENGTH bound riding IN the join condition —
+    * J ≥ t forces min(|a|,|b|) ≥ t·max(|a|,|b|), so mismatched-length
+    * pairs die at the probe instead of flowing through the aggregate
+    * (measured 2-4× on the 10× corpus; output identical) → count
+    * common → Jaccard from set sizes. Emits pairs `id_a < id_b` with
+    * `jaccard >= threshold`.
+    *
+    * Why count-common verify and not candidate-pairs + payload
+    * join-back (the minhash shape): on a corpus of short documents
+    * sharing common phrases, pairs-sharing-ANY-shingle outnumber true
+    * near-dups by 4000× (measured: 40 M co-occurring pairs for 10 k
+    * near-dups at the 10× probe) — a verify join-back would ship two
+    * shingle ARRAYS per candidate (~20 GB) where this shape ships
+    * only narrow count rows through one partial-aggregated shuffle.
+    * Prefix filtering (Bayardo et al., WWW'07) halves candidates but
+    * forces exactly that payload verify — measured 7× slower end to
+    * end here (SCALE.md round-5 note). Banding schemes (MinHash
+    * below) are the honest lever when candidate volume explodes. */
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       maxDf: Int = 1000): DataFrame = {
@@ -80,8 +96,16 @@ object Dedup {
     val capped = dropHotKeys(inv, Seq("h"), maxDf)
     // True self-join (same plan on both sides) → Spark reuses the
     // shuffle exchange instead of recomputing the whole lineage twice.
+    // The bound uses t − 6e-5, not t: the output filter compares the
+    // 4-decimal ROUNDED jaccard, which admits pairs with true
+    // J ≥ t − 5e-5, and those satisfy only min ≥ (t − 5e-5)·max. The
+    // looser bound (plus double-arithmetic headroom) can only ADMIT
+    // extra candidates — never drop a pair the rounded filter keeps.
+    val tEff = threshold - 6e-5
     capped.as("a").join(capped.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.sz") >= col("a.sz") * tEff &&
+          col("a.sz") >= col("b.sz") * tEff)
       .groupBy(col("a.id"), col("b.id"), col("a.sz"), col("b.sz"))
       .agg(count(lit(1)).as("common"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -16,6 +16,24 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(total == graft.Tables.load(spark, sf0001, "lineitem").count())
   }
 
+  test("q16 sketch stays within the configured error of exact distinct") {
+    // The registered query carries the SKETCH alone (its bench row
+    // measures HLL cost); the correctness bound lives here: at rsd
+    // 0.02 the estimate must sit within a conservative 10% of exact.
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.load(spark, sf0001, "lineitem")
+    val both = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
+      assert(math.abs(a - e) <= math.max(1L, (0.1 * e).toLong),
+        s"flag ${r.get(0)}: approx $a vs exact $e")
+    }
+  }
+
   test("every query has matching column names with its oracle intent") {
     // structural guard: all registered queries run on sf0.001
     RelationalQueries.all.foreach { case (name, fn) =>
