@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the standard pretraining "concat and split"
+  * dataloader transform: per shard, consecutive documents' token
+  * streams are concatenated and split into fixed-`ctxLen` training
+  * sequences, so a document's tokens may straddle a sequence
+  * boundary. Emits one SPAN row per (document × overlapped sequence):
+  * the doc's token slice `[tok_start, tok_end)` lands at offset
+  * `seq_off` of sequence `(shard, seq_no)` — the manifest a
+  * dataloader needs, with no token ids materialized.
+  *
+  * Scale stance (100 TB): packing is a running sum over an ordered
+  * stream, which cannot be both global and parallel — so the stream
+  * is SHARDED: shard = stable md5 bucket of the doc id (the
+  * [[Sampling.hashBucket]] lever — deterministic, SQL-reproducible,
+  * incremental-friendly) and the cumulative-offset window runs PER
+  * SHARD. One shuffle (by shard), `nShards`-way parallel — size
+  * nShards to the cluster; only each shard's LAST sequence is ragged,
+  * and the spans make raggedness explicit (`sum(tok_end − tok_start)
+  * < ctxLen`). Fully deterministic: shard and within-shard order
+  * (doc id) are pure functions of the input rows, so the same corpus
+  * packs identically across runs, partitionings, and engines (the
+  * whole pipeline is plain SQL — llm_pack carries a DuckDB oracle).
+  */
+object Packing {
+
+  /** @param ctxLen  tokens per training sequence
+    * @param nShards independent packing streams (pick ≈ cluster
+    *                parallelism; sequences are per-shard)
+    * Output: (shard, seq_no, idCol, tok_start, tok_end, seq_off),
+    * one row per document × sequence it overlaps. Empty documents
+    * (zero whitespace tokens) contribute nothing. */
+  def packSequences(docs: DataFrame, ctxLen: Int, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen=$ctxLen must be >= 1")
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val counted = docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("shard",
+        Sampling.hashBucket(col(idCol), nShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+    // Exclusive prefix sum: the offset of the doc's first token in
+    // its shard's concatenated stream. (doc ids are unique, so the
+    // default RANGE frame equals ROWS here.)
+    val offs = counted.withColumn("off",
+      sum(col("n_tokens")).over(w) - col("n_tokens"))
+    // One span per ctxLen-window the doc overlaps. The casts divide
+    // non-negative longs, so truncation = floor; exact up to 2^53
+    // tokens per shard (double mantissa) — far past any real shard.
+    val firstSeq = (col("off") / ctxLen).cast("long")
+    val lastSeq = ((col("off") + col("n_tokens") - 1) / ctxLen).cast("long")
+    offs.select(col("shard"), col(idCol), col("n_tokens"), col("off"),
+        explode(sequence(firstSeq, lastSeq)).as("seq_no"))
+      .select(col("shard"), col("seq_no"), col(idCol),
+        greatest(lit(0L), col("seq_no") * ctxLen - col("off"))
+          .as("tok_start"),
+        least(col("n_tokens"), (col("seq_no") + 1) * ctxLen - col("off"))
+          .as("tok_end"),
+        greatest(lit(0L), col("off") - col("seq_no") * ctxLen)
+          .as("seq_off"))
+  }
+}

@@ -19,16 +19,17 @@ object Sampling {
 
   final val Buckets = 10000
 
-  /** Stable hash bucket in [0, 10000): first 8 md5 digest bytes of
-    * the id's decimal string, big-endian, pmod 10000 — the same
-    * md5-long construction every cross-engine oracle here uses. */
-  def hashBucket(id: Column): Column =
+  /** Stable hash bucket in [0, buckets): first 8 md5 digest bytes of
+    * the id's decimal string, big-endian, pmod buckets — the same
+    * md5-long construction every cross-engine oracle here uses.
+    * (Also the shard key of [[Packing.packSequences]].) */
+  def hashBucket(id: Column, buckets: Int = Buckets): Column =
     // bindOnce: the md5 hex feeds both substring halves — unbound,
     // CollapseProject can inline the digest computation twice
     graft.functions.ExprUtils.bindOnce(md5(id.cast("string"))) { m =>
       val h = shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
         .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
-      pmod(h, lit(Buckets))
+      pmod(h, lit(buckets.toLong))
     }
 
   /** Keep a per-stratum fraction of rows: `rates` maps stratum value →

@@ -757,6 +757,51 @@ object LlmQueries {
       |  CAST(len(w[s + 1 : s + 64]) AS INT) AS n_tokens
       |FROM st""".stripMargin
 
+  // --- llm_pack -----------------------------------------------------------
+  /** Sequence packing manifest: ctx 64, 8 shards over `documents`. */
+  def pack(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Packing.packSequences(docs(s, dir), ctxLen = 64, nShards = 8)
+
+  /** DuckDB rebuild of the packing pipeline: whitespace token counts,
+    * the md5-long shard bucket (the sampleMix derivation, mod 8),
+    * per-shard exclusive prefix sums, and span arithmetic — pure SQL,
+    * so the whole manifest hash-matches cross-engine. */
+  val packSql: String = {
+    val (ctx, nShards) = (64, 8)
+    s"""WITH counted AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(((CAST(
+       |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |        AS BIGINT)::HUGEINT * 4294967296
+       |      + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+       |        AS BIGINT)
+       |      - CASE WHEN CAST('0x' ||
+       |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |          >= 2147483648
+       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)
+       |      % $nShards) + $nShards) % $nShards AS INT) AS shard
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) > 0),
+       |offs AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS off
+       |  FROM counted),
+       |spans AS (
+       |  SELECT shard, doc_id, n_tokens, off,
+       |    unnest(range(off // $ctx, (off + n_tokens - 1) // $ctx + 1))
+       |      AS seq_no
+       |  FROM offs)
+       |SELECT shard, seq_no, doc_id,
+       |  greatest(0, seq_no * $ctx - off) AS tok_start,
+       |  least(n_tokens, (seq_no + 1) * $ctx - off) AS tok_end,
+       |  greatest(0, off - seq_no * $ctx) AS seq_off
+       |FROM spans""".stripMargin
+  }
+
   // --- llm_repetition -----------------------------------------------------
   def repetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionSignals(docs(s, dir))
@@ -912,6 +957,7 @@ object LlmQueries {
     "llm_sample_mix" -> (sampleMix _),
     "llm_pii" -> (pii _),
     "llm_chunk" -> (chunk _),
+    "llm_pack" -> (pack _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -936,6 +982,7 @@ object LlmQueries {
     "llm_sample_mix" -> sampleMixSql,
     "llm_pii" -> piiSql,
     "llm_chunk" -> chunkSql,
+    "llm_pack" -> packSql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val ctx = 64
+
+  // NOT cached: a cached plan becomes an InMemoryRelation that
+  // substitutes into PlanQualitySuite's fresh plan for the same query
+  // and breaks its exchange-count assertion.
+  private def spans() = graft.queries.LlmQueries.all("llm_pack")(
+    spark, sf0001)
+
+  test("every sequence is exactly full except each shard's last") {
+    val sp = spans()
+    val bySeq = sp.groupBy("shard", "seq_no")
+      .agg(sum(col("tok_end") - col("tok_start")).as("fill"))
+    val lastSeq = sp.groupBy("shard").agg(max("seq_no").as("last"))
+    val ragged = bySeq.join(lastSeq, Seq("shard"))
+      .where(col("fill") =!= ctx)
+    // only shard-last sequences may be ragged, and never overfull
+    assert(ragged.where(col("seq_no") =!= col("last")).count() == 0)
+    assert(bySeq.where(col("fill") > ctx).count() == 0)
+    // sequences within a shard are contiguous from 0 (no gaps: every
+    // seq_no in [0, last] carries spans)
+    val perShard = bySeq.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("seq_no").as("mx"))
+      .where(col("n") =!= col("mx") + 1)
+    assert(perShard.count() == 0)
+  }
+
+  test("spans reassemble every non-empty document exactly") {
+    val sp = spans()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .where(col("n") > 0)
+    // per doc: slices tile [0, n) — start at 0, contiguous, end at n
+    val agg = sp.groupBy("doc_id").agg(
+      min("tok_start").as("mn"), max("tok_end").as("mx"),
+      sum(col("tok_end") - col("tok_start")).as("covered"),
+      count(lit(1)).as("k"))
+    val joined = docs.join(agg, Seq("doc_id"), "left")
+    assert(joined.where(col("k").isNull).count() == 0, "doc lost")
+    assert(joined.where(col("mn") =!= 0 || col("mx") =!= col("n") ||
+      col("covered") =!= col("n")).count() == 0, "doc not tiled exactly")
+    // and a straddling doc exists (the operator's reason to emit spans)
+    assert(sp.groupBy("doc_id").count().where(col("count") > 1).count() > 0)
+  }
+
+  test("seq_off places spans contiguously within each sequence") {
+    val sp = spans()
+    // within a sequence, spans sorted by seq_off must tile [0, fill)
+    val bad = sp.select(col("shard"), col("seq_no"),
+        col("seq_off"), (col("tok_end") - col("tok_start")).as("len"))
+      .withColumn("expected_next", col("seq_off") + col("len"))
+      .groupBy("shard", "seq_no")
+      .agg(min("seq_off").as("first"),
+        sum("len").as("fill"),
+        max("expected_next").as("lastEnd"))
+      .where(col("first") =!= 0 || col("lastEnd") =!= col("fill"))
+    assert(bad.count() == 0)
+  }
+
+  test("packing is deterministic across partitionings") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, ctxLen = ctx, nShards = 8)
+        .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    assert(run(base) == run(base.repartition(13, col("doc_id"))))
+  }
+}

@@ -97,6 +97,18 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("packing plans one shard-partitioned window, no join") {
+    // The design: ONE shuffle by shard + a per-shard window + map-only
+    // span arithmetic. A join or a second aggregate appearing here
+    // means the packing stream stopped being shard-parallel.
+    val p = plan("llm_pack")
+    assert(p.contains("Window"), "lost the per-shard prefix-sum window")
+    assert(!p.contains("Join"), "packing plans a join")
+    // exchanges: the fixture-size repartition + the shard shuffle
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"extra exchange in packing plan:\n${p.take(800)}")
+  }
+
   test("every registered query runs at sf0.001 (driver smoke parity)") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
