@@ -85,6 +85,20 @@ object Scale10Probe {
           Dedup.ngramJaccardPairs(d, threshold = 0.5,
             maxDf = 1000000).count())
       }
+      if (which("pack")) {
+        // packing: per-shard window — wall must stay ~linear and the
+        // span invariants hold at 10× (full sequences except shard
+        // tails)
+        import graft.llm.Packing
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        Packing.packSequences(d1, ctxLen = 64, nShards = 32).count()
+        timed("1x packSequences")(
+          Packing.packSequences(d1, ctxLen = 64, nShards = 32).count())
+        timed("10x packSequences")(
+          Packing.packSequences(d10, ctxLen = 64, nShards = 32).count())
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus

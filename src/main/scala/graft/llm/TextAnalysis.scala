@@ -81,6 +81,39 @@ object TextAnalysis {
           lit("keep")).otherwise(lit("drop")))
   }
 
+  /** Corpus-relative typicality scoring — the CCNet/C4-style
+    * language-model quality filter with the corpus itself as the LM:
+    * each document scores the MEAN UNIGRAM LOG-PROBABILITY of its
+    * tokens under the corpus unigram distribution
+    * (avg over occurrences of ln(tf(token) / total_tokens)).
+    * Gibberish, rare-token spam, and out-of-distribution docs score
+    * far below the corpus median; the threshold is the caller's
+    * policy (percentiles are data, not operator constants).
+    *
+    * Scale shape: per-occurrence term frequency comes from ONE
+    * count-over-window partitioned by token — a single shuffle by
+    * token, no vocabulary join and no driver-side vocab (a web-scale
+    * vocab is itself huge, so it must never collect or broadcast);
+    * the corpus token total rides as a broadcast single-row aggregate
+    * (the scalar-subquery shape — no driver action); the per-doc mean
+    * is one groupBy by id. Two shuffles total, both keyed.
+    *
+    * Docs with zero word tokens emit no row (no distribution to
+    * score them under). */
+  def typicality(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.withColumn("tf", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log(col("tf").cast("double") / col("n_total"))), 4)
+          .as("unigram_logprob"))
+  }
+
   /** Canonical content fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key. trim runs AFTER the \s+
     * collapse: trim strips only spaces, so trimming first left a

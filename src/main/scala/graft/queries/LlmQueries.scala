@@ -757,6 +757,29 @@ object LlmQueries {
       |  CAST(len(w[s + 1 : s + 64]) AS INT) AS n_tokens
       |FROM st""".stripMargin
 
+  // --- llm_typicality -----------------------------------------------------
+  def typicality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typicality(docs(s, dir))
+
+  /** The log/avg arithmetic is continuous, so the oracle compares
+    * 4-decimal roundings (ln differs by ≤1 ulp across engines; the
+    * avg's partial-sum order adds ~1e-13 — both invisible at 1e-4). */
+  val typicalitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok,
+      |    count(*) OVER (PARTITION BY tok) AS tf
+      |  FROM toks),
+      |total AS (SELECT count(*) AS n_total FROM toks)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  round(avg(ln(CAST(tf AS DOUBLE) / n_total)), 4)
+      |    AS unigram_logprob
+      |FROM tf CROSS JOIN total
+      |GROUP BY doc_id""".stripMargin
+
   // --- llm_pack -----------------------------------------------------------
   /** Sequence packing manifest: ctx 64, 8 shards over `documents`. */
   def pack(s: SparkSession, dir: String): DataFrame =
@@ -958,6 +981,7 @@ object LlmQueries {
     "llm_pii" -> (pii _),
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
+    "llm_typicality" -> (typicality _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -983,6 +1007,7 @@ object LlmQueries {
     "llm_pii" -> piiSql,
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,
+    "llm_typicality" -> typicalitySql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

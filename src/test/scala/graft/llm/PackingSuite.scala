@@ -66,6 +66,22 @@ class PackingSuite extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("typicality: all-rare-token gibberish scores the corpus minimum") {
+    // a doc of unique unseen tokens has tf=1 for every token — its
+    // mean ln(tf/total) is the floor of the score range
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val gib = Seq((999999L, "zqxjv kwzqx vbnmq pzzkw xqjvz wqkzx"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.typicality(docs.unionByName(gib))
+      .select(col("doc_id"), col("unigram_logprob")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.contains(999999L))
+    val others = (scored - 999999L).values
+    assert(others.forall(_ > scored(999999L)),
+      s"gibberish ${scored(999999L)} not the minimum")
+  }
+
   test("packing is deterministic across partitionings") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -46,8 +46,11 @@ class PlanQualitySuite extends SparkSpec {
     // an intentionally tiny query set against the corpus — that
     // nested-loop is the design (corpus never shuffles) — everything
     // else must plan keyed joins.
+    // llm_typicality's "nested loop" is the scalar-subquery shape: a
+    // broadcast SINGLE-ROW aggregate (the corpus token total) crossed
+    // into every row — constant-size build, scan-speed probe.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
-      "llm_embed_dup")
+      "llm_embed_dup", "llm_typicality")
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
