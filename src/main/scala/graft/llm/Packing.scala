@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Sequence packing — the standard pretraining "concat and split"
   * dataloader transform: per shard, consecutive documents' token
@@ -63,5 +64,73 @@ object Packing {
           .as("tok_end"),
         greatest(lit(0L), col("off") - col("seq_no") * ctxLen)
           .as("seq_off"))
+  }
+
+  final case class DocTokens(doc_id: Long, shard: Int, n_tokens: Long)
+  final case class Span(shard: Int, seq_no: Long, doc_id: Long,
+      tok_start: Long, tok_end: Long, seq_off: Long)
+
+  /** Spans of one document given its first token's stream offset —
+    * the same arithmetic as the batch operator's span projection. */
+  private def spansOf(shard: Int, docId: Long, n: Long, off: Long,
+      ctxLen: Int): Iterator[Span] = {
+    val first = off / ctxLen
+    val last = (off + n - 1) / ctxLen
+    (first to last).iterator.map { k =>
+      Span(shard, k, docId,
+        math.max(0L, k * ctxLen - off),
+        math.min(n, (k + 1) * ctxLen - off),
+        math.max(0L, off - k * ctxLen))
+    }
+  }
+
+  /** Per-shard packing state machine: the ONLY state is the shard's
+    * running token offset (one long per shard — constant-size state
+    * regardless of corpus size). Docs within a micro-batch pack in
+    * doc-id order; batches pack in arrival order. */
+  def packFn(ctxLen: Int)(shard: Int, docs: Iterator[DocTokens],
+      state: GroupState[Long]): Iterator[Span] = {
+    var off = state.getOption.getOrElse(0L)
+    val out = docs.toSeq.sortBy(_.doc_id).flatMap { d =>
+      val spans = spansOf(shard, d.doc_id, d.n_tokens, off, ctxLen)
+      off += d.n_tokens
+      spans
+    }
+    state.update(off)
+    out.iterator
+  }
+
+  /** Streaming sequence packing — continuous ingestion is the real
+    * deployment mode of a pretraining pipeline: documents arrive,
+    * sequences leave. `flatMapGroupsWithState` keyed by shard carries
+    * each shard's running token offset across micro-batches, so
+    * sequence numbering continues seamlessly and every emitted span
+    * is final (Append mode — no retraction, safe to sink anywhere).
+    * Replaying a corpus in doc-id order reproduces the batch
+    * manifest EXACTLY (StreamingPackingSuite parity test); under
+    * arbitrary arrival order the invariants that matter to a trainer
+    * — full fixed-size sequences, exact doc reassembly — still hold,
+    * only the doc→sequence assignment differs.
+    *
+    * Scale: one shuffle by shard per micro-batch; state is nShards
+    * longs total. */
+  def packSequencesStream(docs: DataFrame, ctxLen: Int, nShards: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): Dataset[Span] = {
+    require(ctxLen >= 1, s"ctxLen=$ctxLen must be >= 1")
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    implicit val docEnc = Encoders.product[DocTokens]
+    implicit val spanEnc = Encoders.product[Span]
+    implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
+      Encoders.scalaLong
+    val counted = docs.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("shard",
+        Sampling.hashBucket(col("doc_id"), nShards).cast("int"))
+      .select("doc_id", "shard", "n_tokens")
+      .as[DocTokens]
+    counted.groupByKey(_.shard)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(packFn(ctxLen))
   }
 }
