@@ -99,6 +99,17 @@ object Scale10Probe {
         timed("10x packSequences")(
           Packing.packSequences(d10, ctxLen = 64, nShards = 32).count())
       }
+      if (which("typicality")) {
+        // typicality: one window-by-token shuffle + one groupBy —
+        // wall must track the token count (scan-dominated)
+        import graft.llm.TextAnalysis
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        TextAnalysis.typicality(d1).count()
+        timed("1x typicality")(TextAnalysis.typicality(d1).count())
+        timed("10x typicality")(TextAnalysis.typicality(d10).count())
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus

@@ -8,9 +8,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Exact Jaccard similarity |A∩B| / |A∪B| of two SORTED, DISTINCT
   * long arrays in ONE merge pass — no hash set, no allocation, no
-  * boxing. The caller contract (asserted, not repaired): both inputs
-  * are sorted ascending with no repeated elements — i.e. the output of
-  * `sort_array` over a distinct hashed-shingle set. Sorting happens
+  * boxing. The caller contract (ASSUMED, not checked — a per-pair
+  * runtime guard would cost what the merge saves): both inputs are
+  * sorted ascending with no repeated elements — i.e. the output of
+  * `sort_array` over a distinct hashed-shingle set. Violating it
+  * yields silently wrong Jaccard (e.g. [1,1] vs [1] → 0.5, not 1.0);
+  * both call sites sort the distinct sets once per doc at the
+  * payload fetch. Sorting happens
   * once per DOCUMENT at the payload fetch; the merge runs once per
   * candidate PAIR, which is the asymmetric cost that matters — at
   * 100 TB a near-dup verify evaluates orders of magnitude more pairs

@@ -113,7 +113,13 @@ object Packing {
     * only the doc→sequence assignment differs.
     *
     * Scale: one shuffle by shard per micro-batch; state is nShards
-    * longs total. */
+    * longs total.
+    *
+    * The typed state machine needs an integral doc id (`Span.doc_id`
+    * is a long); the SHARD, however, hashes the RAW id column exactly
+    * like the batch operator — hashing after a cast would change the
+    * md5 input (e.g. "007" → "7") and silently assign different
+    * shards than batch, breaking the replay-parity contract. */
   def packSequencesStream(docs: DataFrame, ctxLen: Int, nShards: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): Dataset[Span] = {
     require(ctxLen >= 1, s"ctxLen=$ctxLen must be >= 1")
@@ -123,10 +129,9 @@ object Packing {
     implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
       Encoders.scalaLong
     val counted = docs.select(col(idCol).cast("long").as("doc_id"),
+        Sampling.hashBucket(col(idCol), nShards).cast("int").as("shard"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
-      .withColumn("shard",
-        Sampling.hashBucket(col("doc_id"), nShards).cast("int"))
       .select("doc_id", "shard", "n_tokens")
       .as[DocTokens]
     counted.groupByKey(_.shard)(Encoders.scalaInt)

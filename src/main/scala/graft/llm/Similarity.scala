@@ -163,10 +163,19 @@ object Similarity {
     * a |corpus|×nCentroids row inflation through a shuffle — the
     * dominant exchange at 100×.)
     */
+  /** `fitSampleFraction`/`fitPartitions`: the quantizer needs a
+    * bounded SKETCH, not a fraction — at 100 TB size the fraction so
+    * the sample is ~10⁵-10⁶ vectors and `fitPartitions` to the
+    * cluster (the deterministic-layout shuffle routes the whole
+    * sample through that many partitions; the 16-partition default
+    * fits the fixture, not a 25% slice of a 100 TB corpus). Both are
+    * part of the determinism key: results are a pure function of
+    * (data, seed, fitSampleFraction, fitPartitions). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L, fitSampleFraction: Double = 0.25): DataFrame = {
+      seed: Long = 42L, fitSampleFraction: Double = 0.25,
+      fitPartitions: Int = 16): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -200,7 +209,7 @@ object Similarity {
     val fitInput = c
       .where(pmod(xxhash64(col("neighbor_id"), lit(seed)), lit(10000L))
         < lit(math.round(fitSampleFraction * 10000)))
-      .repartition(16, col("neighbor_id"))
+      .repartition(fitPartitions, col("neighbor_id"))
       .sortWithinPartitions("neighbor_id")
       .select(array_to_vector(col("cv")).as("features"))
       .persist()

@@ -94,9 +94,10 @@ object TextAnalysis {
     * count-over-window partitioned by token — a single shuffle by
     * token, no vocabulary join and no driver-side vocab (a web-scale
     * vocab is itself huge, so it must never collect or broadcast);
-    * the corpus token total rides as a broadcast single-row aggregate
-    * (the scalar-subquery shape — no driver action); the per-doc mean
-    * is one groupBy by id. Two shuffles total, both keyed.
+    * the corpus token total rides as a broadcast single-row MAP-ONLY
+    * aggregate (the scalar-subquery shape — no driver action, no
+    * explode); the per-doc mean is one groupBy by id. Two keyed
+    * shuffles and two scans total (the second scan is tokenize-only).
     *
     * Docs with zero word tokens emit no row (no distribution to
     * score them under). */
@@ -105,12 +106,25 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("tok"))
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.withColumn("tf", count(lit(1)).over(wTok))
-      .crossJoin(broadcast(total))
+    // ln(tf/total) = ln tf − ln total: the per-doc aggregate then
+    // needs only sum(ln tf), and the scalar total comes from a
+    // MAP-ONLY second aggregate (scan + tokenize + size, no explode,
+    // no shuffle) — Spark does not reuse the window branch's exchange
+    // across the crossJoin (measured: ReuseExchange never fires
+    // here), so routing the total through the windowed frame would
+    // re-run the whole token shuffle, and materializing the token
+    // frame to share it is the caller's persistence decision, not the
+    // operator's. Two scans, one shuffle chain.
+    val perDoc = toks.withColumn("tf", count(lit(1)).over(wTok))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
-        round(avg(log(col("tf").cast("double") / col("n_total"))), 4)
+        sum(log(col("tf").cast("double"))).as("sum_ln_tf"))
+    val total = df.agg(
+      sum(size(tokens(col(textCol)))).cast("long").as("n_total"))
+    perDoc.crossJoin(broadcast(total))
+      .select(col(idCol), col("n_toks"),
+        round(col("sum_ln_tf") / col("n_toks")
+          - log(col("n_total").cast("double")), 4)
           .as("unigram_logprob"))
   }
 

@@ -648,6 +648,19 @@ object LlmQueries {
       .select("doc_id", "lang", "bucket")
   }
 
+  /** Shared oracle fragment: signed-64 md5-long of SQL expression `e`
+    * (first 8 digest bytes, big-endian, HUGEINT reconstruction), pmod
+    * `m` — the DuckDB rebuild of [[graft.llm.Sampling.hashBucket]].
+    * ONE copy, spliced into every oracle that shards/samples on it
+    * (sampleMix, pack): a fix to the bucket derivation lands
+    * everywhere or nowhere. */
+  private def md5BucketSql(e: String, m: Int): String =
+    s"((CAST(CAST('0x' || substring(md5($e), 1, 8) AS BIGINT)::HUGEINT" +
+      s" * 4294967296 + CAST('0x' || substring(md5($e), 9, 8) AS BIGINT)" +
+      s" - CASE WHEN CAST('0x' || substring(md5($e), 1, 8) AS BIGINT)" +
+      s" >= 2147483648 THEN 18446744073709551616 ELSE 0 END AS BIGINT)" +
+      s" % $m) + $m) % $m"
+
   val sampleMixSql: String = {
     val scores = TextAnalysis.stopwords.map { case (l, ws) =>
       val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -670,16 +683,7 @@ object LlmQueries {
        |  FROM m),
        |b AS (
        |  SELECT doc_id, lang,
-       |    ((CAST(
-       |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-       |        AS BIGINT)::HUGEINT * 4294967296
-       |      + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)
-       |        AS BIGINT)
-       |      - CASE WHEN CAST('0x' ||
-       |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-       |          >= 2147483648
-       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)
-       |      % 10000) + 10000) % 10000 AS bucket
+       |    ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} AS bucket
        |  FROM lang)
        |SELECT doc_id, lang, bucket FROM b
        |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
@@ -763,7 +767,8 @@ object LlmQueries {
 
   /** The log/avg arithmetic is continuous, so the oracle compares
     * 4-decimal roundings (ln differs by ≤1 ulp across engines; the
-    * avg's partial-sum order adds ~1e-13 — both invisible at 1e-4). */
+    * sum's accumulation order adds ~1e-13 — both invisible at 1e-4).
+    * Same ln-decomposition as the operator: sum(ln tf)/n − ln total. */
   val typicalitySql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -773,12 +778,18 @@ object LlmQueries {
       |  SELECT doc_id, tok,
       |    count(*) OVER (PARTITION BY tok) AS tf
       |  FROM toks),
-      |total AS (SELECT count(*) AS n_total FROM toks)
-      |SELECT doc_id, count(*) AS n_toks,
-      |  round(avg(ln(CAST(tf AS DOUBLE) / n_total)), 4)
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS n_toks,
+      |    sum(ln(CAST(tf AS DOUBLE))) AS sum_ln_tf
+      |  FROM tf GROUP BY doc_id),
+      |total AS (
+      |  SELECT sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |    AS n_total
+      |  FROM documents)
+      |SELECT doc_id, n_toks,
+      |  round(sum_ln_tf / n_toks - ln(CAST(n_total AS DOUBLE)), 4)
       |    AS unigram_logprob
-      |FROM tf CROSS JOIN total
-      |GROUP BY doc_id""".stripMargin
+      |FROM per_doc CROSS JOIN total""".stripMargin
 
   // --- llm_pack -----------------------------------------------------------
   /** Sequence packing manifest: ctx 64, 8 shards over `documents`. */
@@ -795,16 +806,8 @@ object LlmQueries {
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
        |      AS n_tokens,
-       |    CAST(((CAST(
-       |      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-       |        AS BIGINT)::HUGEINT * 4294967296
-       |      + CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)
-       |        AS BIGINT)
-       |      - CASE WHEN CAST('0x' ||
-       |            substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-       |          >= 2147483648
-       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)
-       |      % $nShards) + $nShards) % $nShards AS INT) AS shard
+       |    CAST(${md5BucketSql("CAST(doc_id AS VARCHAR)", nShards)}
+       |      AS INT) AS shard
        |  FROM documents
        |  WHERE len(regexp_extract_all(text, '\\S+')) > 0),
        |offs AS (
