@@ -920,6 +920,120 @@ object LlmQueries {
        |FROM kept GROUP BY fingerprint""".stripMargin
   }
 
+  // --- llm_e2e_prepare ----------------------------------------------------
+  /** The capstone integration query — the WHOLE training-data
+    * preparation pipeline composed end to end, exactly as a user of
+    * this library would run it: quality filter → language ID → exact
+    * dedup (min-id representative) → benchmark decontamination →
+    * stratified language mixing → sequence packing. Input is the
+    * planted-duplicate corpus (so dedup has work to do); the
+    * benchmark set is every 13th base doc (so decontamination drops
+    * real rows); output is the final packing manifest. Every stage is
+    * deterministic, so the composed DuckDB oracle checks the entire
+    * pipeline's row-exact output — an integration-level correctness
+    * gate on top of the per-operator ones. */
+  def e2ePrepare(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithExactDups(s, dir)
+    val sig = TextAnalysis.qualitySignals(corpus)
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .where(col("verdict") === "keep")
+    val deduped = sig.groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"),
+        min_by(col("lang"), col("doc_id")).as("lang"))
+      .drop("fingerprint")
+    val bench = docs(s, dir).where(col("doc_id") % 13 === 0)
+      .select("doc_id", "text")
+    val clean = graft.llm.Decontaminate.clean(deduped, bench)
+    val mixed = graft.llm.Sampling.sampleMix(clean, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1)
+    graft.llm.Packing.packSequences(mixed, ctxLen = 64, nShards = 8)
+  }
+
+  /** The composed oracle: every stage's CTE is the same fragment its
+    * standalone oracle uses (curation's quality/lang/fingerprint,
+    * decontaminate's winnow CTEs, sampleMix's bucket thresholds,
+    * pack's prefix-sum spans) chained over the planted-dup corpus. */
+  val e2ePrepareSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+      val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
+        s"t -> list_contains($listSql, t))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n      ")
+    s"""WITH corpus AS ($corpusExactSql),
+       |sig AS (
+       |  SELECT doc_id, text,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
+       |      greatest(length(text), 1), 4) AS punct_ratio,
+       |    round(length(regexp_replace(text, '\\s+', '', 'g')) /
+       |      greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+       |      AS mean_word_len,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |      AS fingerprint,
+       |    $scores
+       |  FROM corpus),
+       |m AS (SELECT *, $mx AS mx FROM sig),
+       |kept AS (
+       |  SELECT doc_id, text, fingerprint, CASE
+       |      $cases
+       |      ELSE 'und' END AS lang
+       |  FROM m
+       |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+       |    AND punct_ratio < 0.2 AND mean_word_len < 15),
+       |dedup AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+       |    arg_min(lang, doc_id) AS lang
+       |  FROM kept GROUP BY fingerprint),
+       |bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+       |${winnowFpsCte("dedup", "c_")},
+       |${winnowFpsCte("bench", "b_")},
+       |c_fp AS (SELECT doc_id, unnest(fps) AS fp FROM c_win),
+       |b_fp AS (SELECT DISTINCT unnest(fps) AS fp FROM b_win),
+       |contaminated AS (
+       |  SELECT doc_id FROM c_fp JOIN b_fp USING (fp)
+       |  GROUP BY doc_id HAVING count(*) >= 2),
+       |clean AS (
+       |  SELECT d.doc_id, d.text, d.lang FROM dedup d
+       |  LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL),
+       |mixed AS (
+       |  SELECT doc_id, text FROM clean
+       |  WHERE ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} <
+       |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+       |      WHEN 'fr' THEN 2500 ELSE 1000 END),
+       |counted AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(${md5BucketSql("CAST(doc_id AS VARCHAR)", 8)}
+       |      AS INT) AS shard
+       |  FROM mixed
+       |  WHERE len(regexp_extract_all(text, '\\S+')) > 0),
+       |offs AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - n_tokens AS BIGINT) AS off
+       |  FROM counted),
+       |spans AS (
+       |  SELECT shard, doc_id, n_tokens, off,
+       |    unnest(range(off // 64, (off + n_tokens - 1) // 64 + 1))
+       |      AS seq_no
+       |  FROM offs)
+       |SELECT shard, seq_no, doc_id,
+       |  greatest(0, seq_no * 64 - off) AS tok_start,
+       |  least(n_tokens, (seq_no + 1) * 64 - off) AS tok_end,
+       |  greatest(0, off - seq_no * 64) AS seq_off
+       |FROM spans""".stripMargin
+  }
+
   // --- llm_multimodal -----------------------------------------------------
   /** documents.text bytes stand in for media blobs; metadata extraction
     * runs through the real mapPartitions plumbing (stubbed codec), then
@@ -985,6 +1099,7 @@ object LlmQueries {
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
     "llm_typicality" -> (typicality _),
+    "llm_e2e_prepare" -> (e2ePrepare _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -1011,6 +1126,7 @@ object LlmQueries {
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,
     "llm_typicality" -> typicalitySql,
+    "llm_e2e_prepare" -> e2ePrepareSql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

@@ -82,6 +82,18 @@ class PackingSuite extends SparkSpec {
       s"gibberish ${scored(999999L)} not the minimum")
   }
 
+  test("e2e prepare: dedup and decontamination visibly did their jobs") {
+    val packed = graft.queries.LlmQueries.all("llm_e2e_prepare")(
+      spark, sf0001)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(packed.nonEmpty)
+    // exact dedup kept the ORIGINAL of every planted copy pair
+    assert(packed.forall(_ < 1000000L), "a planted duplicate survived")
+    // benchmark docs (every 13th) are verbatim in the corpus, so
+    // decontamination must have dropped every one that quality kept
+    assert(!packed.exists(_ % 13 == 0), "a benchmark doc was packed")
+  }
+
   test("packing is deterministic across partitionings") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =
