@@ -87,17 +87,25 @@ object Packing {
   /** Per-shard packing state machine: the ONLY state is the shard's
     * running token offset (one long per shard — constant-size state
     * regardless of corpus size). Docs within a micro-batch pack in
-    * doc-id order; batches pack in arrival order. */
+    * doc-id order; batches pack in arrival order.
+    *
+    * Memory contract: only the DOC list (one small row per doc)
+    * materializes; per-doc offsets are assigned in one eager pass so
+    * the state updates before this returns, and the Span rows — which
+    * outnumber docs and dominate bytes — stream out of a LAZY
+    * iterator (an eager flatMap here held every span of the
+    * micro-batch shard in one task's heap — review catch). */
   def packFn(ctxLen: Int)(shard: Int, docs: Iterator[DocTokens],
       state: GroupState[Long]): Iterator[Span] = {
+    val sorted = docs.toSeq.sortBy(_.doc_id)
     var off = state.getOption.getOrElse(0L)
-    val out = docs.toSeq.sortBy(_.doc_id).flatMap { d =>
-      val spans = spansOf(shard, d.doc_id, d.n_tokens, off, ctxLen)
-      off += d.n_tokens
-      spans
+    val withOff = sorted.map { d =>
+      val o = off; off += d.n_tokens; (d, o)
     }
     state.update(off)
-    out.iterator
+    withOff.iterator.flatMap { case (d, o) =>
+      spansOf(shard, d.doc_id, d.n_tokens, o, ctxLen)
+    }
   }
 
   /** Streaming sequence packing — continuous ingestion is the real
@@ -115,11 +123,16 @@ object Packing {
     * Scale: one shuffle by shard per micro-batch; state is nShards
     * longs total.
     *
-    * The typed state machine needs an integral doc id (`Span.doc_id`
-    * is a long); the SHARD, however, hashes the RAW id column exactly
-    * like the batch operator — hashing after a cast would change the
-    * md5 input (e.g. "007" → "7") and silently assign different
-    * shards than batch, breaking the replay-parity contract. */
+    * The typed state machine needs an INTEGRAL doc id (`Span.doc_id`
+    * is a long): a non-castable id fails FAST with a clear error
+    * (silently nulling it would crash the encoder mid-stream), and
+    * the shard hashes the CASTED long so id and shard always derive
+    * from the same value — hashing the raw string while keying spans
+    * by the cast would let non-canonical numerics ("07" vs "7")
+    * interleave two docs' spans under one id. Consequence: replay
+    * parity with the batch operator is guaranteed for integral-TYPED
+    * id columns (the cast is then the identity); numeric strings
+    * shard by their canonical form. */
   def packSequencesStream(docs: DataFrame, ctxLen: Int, nShards: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): Dataset[Span] = {
     require(ctxLen >= 1, s"ctxLen=$ctxLen must be >= 1")
@@ -128,10 +141,16 @@ object Packing {
     implicit val spanEnc = Encoders.product[Span]
     implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
       Encoders.scalaLong
-    val counted = docs.select(col(idCol).cast("long").as("doc_id"),
-        Sampling.hashBucket(col(idCol), nShards).cast("int").as("shard"),
+    val docId = when(col(idCol).isNotNull &&
+        col(idCol).cast("long").isNull,
+      raise_error(concat(lit(s"packSequencesStream needs an integral " +
+        s"$idCol; got "), col(idCol).cast("string"))))
+      .otherwise(col(idCol).cast("long"))
+    val counted = docs.select(docId.as("doc_id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
+      .withColumn("shard",
+        Sampling.hashBucket(col("doc_id"), nShards).cast("int"))
       .select("doc_id", "shard", "n_tokens")
       .as[DocTokens]
     counted.groupByKey(_.shard)(Encoders.scalaInt)

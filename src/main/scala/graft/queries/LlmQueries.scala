@@ -488,26 +488,16 @@ object LlmQueries {
     docs(s, dir).select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_pred"))
 
-  val langIdSql: String = {
-    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
-      val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
-        s"t -> list_contains($listSql, t))) AS s_$l"
-    }.mkString(",\n    ")
-    val langs = TextAnalysis.stopwords.map(_._1)
-    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-    val cases = langs.map(l =>
-      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n    ")
+  val langIdSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id,
-       |    $scores
+       |    $langScoresSql
        |  FROM documents),
-       |m AS (SELECT *, $mx AS mx FROM scored)
+       |m AS (SELECT *, $langMaxSql AS mx FROM scored)
        |SELECT doc_id, CASE
-       |    $cases
+       |      $langCaseSql
        |    ELSE 'und' END AS lang_pred
        |FROM m""".stripMargin
-  }
 
   // --- llm_quality --------------------------------------------------------
   def quality(s: SparkSession, dir: String): DataFrame =
@@ -661,24 +651,46 @@ object LlmQueries {
       s" >= 2147483648 THEN 18446744073709551616 ELSE 0 END AS BIGINT)" +
       s" % $m) + $m) % $m"
 
-  val sampleMixSql: String = {
-    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
+  /** Shared oracle fragments for the stopword language-ID chain —
+    * per-language score columns, the greatest() max, and the argmax
+    * CASE (tie order = stopwords order, 'und' on zero hits). ONE copy,
+    * spliced by the langId/sampleMix/curation/e2e oracles. */
+  private def langScoresSql: String = TextAnalysis.stopwords.map {
+    case (l, ws) =>
       val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
         s"t -> list_contains($listSql, t))) AS s_$l"
-    }.mkString(",\n    ")
-    val langs = TextAnalysis.stopwords.map(_._1)
-    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-    val cases = langs.map(l =>
-      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n      ")
+  }.mkString(",\n    ")
+  private def langMaxSql: String = TextAnalysis.stopwords
+    .map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+  private def langCaseSql: String = TextAnalysis.stopwords.map(_._1)
+    .map(l => s"WHEN s_$l = mx AND mx > 0 THEN '$l'")
+    .mkString("\n      ")
+
+  /** Shared oracle fragments for the quality filter — the signal
+    * column list and the keep predicate (curation + e2e oracles). */
+  private def qualitySigColsSql: String =
+    "len(regexp_extract_all(text, '\\S+')) AS n_tokens,\n" +
+      "    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /\n" +
+      "      greatest(length(text), 1), 4) AS punct_ratio,\n" +
+      "    round(length(regexp_replace(text, '\\s+', '', 'g')) /\n" +
+      "      greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)\n" +
+      "      AS mean_word_len,\n" +
+      "    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))\n" +
+      "      AS fingerprint"
+  private def qualityKeepSql: String =
+    "n_tokens >= 5 AND n_tokens <= 100000\n" +
+      "    AND punct_ratio < 0.2 AND mean_word_len < 15"
+
+  val sampleMixSql: String = {
     s"""WITH scored AS (
        |  SELECT doc_id,
-       |    $scores
+       |    $langScoresSql
        |  FROM documents),
-       |m AS (SELECT *, $mx AS mx FROM scored),
+       |m AS (SELECT *, $langMaxSql AS mx FROM scored),
        |lang AS (
        |  SELECT doc_id, CASE
-       |      $cases
+       |      $langCaseSql
        |      ELSE 'und' END AS lang
        |  FROM m),
        |b AS (
@@ -800,15 +812,17 @@ object LlmQueries {
     * the md5-long shard bucket (the sampleMix derivation, mod 8),
     * per-shard exclusive prefix sums, and span arithmetic — pure SQL,
     * so the whole manifest hash-matches cross-engine. */
-  val packSql: String = {
-    val (ctx, nShards) = (64, 8)
-    s"""WITH counted AS (
+  /** Pack oracle CTE chain + final span SELECT over a (doc_id, text)
+    * source CTE `src` — ONE copy, spliced by packSql and the e2e
+    * oracle (a span-arithmetic fix lands in both or neither). */
+  private def packSpansSql(src: String, ctx: Int, nShards: Int): String =
+    s"""counted AS (
        |  SELECT doc_id,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
        |      AS n_tokens,
        |    CAST(${md5BucketSql("CAST(doc_id AS VARCHAR)", nShards)}
        |      AS INT) AS shard
-       |  FROM documents
+       |  FROM $src
        |  WHERE len(regexp_extract_all(text, '\\S+')) > 0),
        |offs AS (
        |  SELECT shard, doc_id, n_tokens,
@@ -826,7 +840,9 @@ object LlmQueries {
        |  least(n_tokens, (seq_no + 1) * $ctx - off) AS tok_end,
        |  greatest(0, off - seq_no * $ctx) AS seq_off
        |FROM spans""".stripMargin
-  }
+
+  val packSql: String =
+    s"WITH ${packSpansSql("documents", 64, 8)}"
 
   // --- llm_repetition -----------------------------------------------------
   def repetition(s: SparkSession, dir: String): DataFrame =
@@ -884,41 +900,23 @@ object LlmQueries {
         count(lit(1)).as("n_copies"))
   }
 
-  val curationSql: String = {
-    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
-      val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
-        s"t -> list_contains($listSql, t))) AS s_$l"
-    }.mkString(",\n    ")
-    val langs = TextAnalysis.stopwords.map(_._1)
-    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-    val cases = langs.map(l =>
-      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n      ")
+  val curationSql: String =
     s"""WITH corpus AS ($corpusExactSql),
        |sig AS (
        |  SELECT doc_id,
-       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
-       |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
-       |      greatest(length(text), 1), 4) AS punct_ratio,
-       |    round(length(regexp_replace(text, '\\s+', '', 'g')) /
-       |      greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
-       |      AS mean_word_len,
-       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-       |      AS fingerprint,
-       |    $scores
+       |    $qualitySigColsSql,
+       |    $langScoresSql
        |  FROM corpus),
-       |m AS (SELECT *, $mx AS mx FROM sig),
+       |m AS (SELECT *, $langMaxSql AS mx FROM sig),
        |kept AS (
        |  SELECT doc_id, fingerprint, n_tokens, CASE
-       |      $cases
+       |      $langCaseSql
        |      ELSE 'und' END AS lang
        |  FROM m
-       |  WHERE n_tokens >= 5 AND n_tokens <= 100000
-       |    AND punct_ratio < 0.2 AND mean_word_len < 15)
+       |  WHERE $qualityKeepSql)
        |SELECT fingerprint, min(doc_id) AS doc_id, min(lang) AS lang,
        |  min(n_tokens) AS n_tokens, count(*) AS n_copies
        |FROM kept GROUP BY fingerprint""".stripMargin
-  }
 
   // --- llm_e2e_prepare ----------------------------------------------------
   /** The capstone integration query — the WHOLE training-data
@@ -956,36 +954,19 @@ object LlmQueries {
     * decontaminate's winnow CTEs, sampleMix's bucket thresholds,
     * pack's prefix-sum spans) chained over the planted-dup corpus. */
   val e2ePrepareSql: String = {
-    val scores = TextAnalysis.stopwords.map { case (l, ws) =>
-      val listSql = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
-        s"t -> list_contains($listSql, t))) AS s_$l"
-    }.mkString(",\n    ")
-    val langs = TextAnalysis.stopwords.map(_._1)
-    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-    val cases = langs.map(l =>
-      s"WHEN s_$l = mx AND mx > 0 THEN '$l'").mkString("\n      ")
     s"""WITH corpus AS ($corpusExactSql),
        |sig AS (
        |  SELECT doc_id, text,
-       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
-       |    round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) /
-       |      greatest(length(text), 1), 4) AS punct_ratio,
-       |    round(length(regexp_replace(text, '\\s+', '', 'g')) /
-       |      greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
-       |      AS mean_word_len,
-       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-       |      AS fingerprint,
-       |    $scores
+       |    $qualitySigColsSql,
+       |    $langScoresSql
        |  FROM corpus),
-       |m AS (SELECT *, $mx AS mx FROM sig),
+       |m AS (SELECT *, $langMaxSql AS mx FROM sig),
        |kept AS (
        |  SELECT doc_id, text, fingerprint, CASE
-       |      $cases
+       |      $langCaseSql
        |      ELSE 'und' END AS lang
        |  FROM m
-       |  WHERE n_tokens >= 5 AND n_tokens <= 100000
-       |    AND punct_ratio < 0.2 AND mean_word_len < 15),
+       |  WHERE $qualityKeepSql),
        |dedup AS (
        |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
        |    arg_min(lang, doc_id) AS lang
@@ -1008,30 +989,7 @@ object LlmQueries {
        |  WHERE ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} <
        |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
        |      WHEN 'fr' THEN 2500 ELSE 1000 END),
-       |counted AS (
-       |  SELECT doc_id,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
-       |      AS n_tokens,
-       |    CAST(${md5BucketSql("CAST(doc_id AS VARCHAR)", 8)}
-       |      AS INT) AS shard
-       |  FROM mixed
-       |  WHERE len(regexp_extract_all(text, '\\S+')) > 0),
-       |offs AS (
-       |  SELECT shard, doc_id, n_tokens,
-       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |      - n_tokens AS BIGINT) AS off
-       |  FROM counted),
-       |spans AS (
-       |  SELECT shard, doc_id, n_tokens, off,
-       |    unnest(range(off // 64, (off + n_tokens - 1) // 64 + 1))
-       |      AS seq_no
-       |  FROM offs)
-       |SELECT shard, seq_no, doc_id,
-       |  greatest(0, seq_no * 64 - off) AS tok_start,
-       |  least(n_tokens, (seq_no + 1) * 64 - off) AS tok_end,
-       |  greatest(0, off - seq_no * 64) AS seq_off
-       |FROM spans""".stripMargin
+       |${packSpansSql("mixed", 64, 8)}""".stripMargin
   }
 
   // --- llm_multimodal -----------------------------------------------------
