@@ -102,6 +102,53 @@ class PackingSuite extends SparkSpec {
       "a flaggable benchmark doc was packed")
   }
 
+  test("property: packFn over any chunking equals the single batch " +
+      "(random corpora, TestGroupState)") {
+    // Pure-JVM state-machine property: splitting a sorted doc list
+    // into ANY consecutive chunks (micro-batches) must yield exactly
+    // the single-batch spans, with the offset state threading through.
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.llm.Packing.{DocTokens, Span}
+    val fn = Packing.packFn(64) _
+    import org.apache.spark.api.java.{Optional => JOptional}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def run(chunks: Seq[Seq[DocTokens]]): Seq[Span] = {
+      var off = Option.empty[Long]
+      chunks.flatMap { chunk =>
+        val st = TestGroupState.create[Long](
+          off.map(JOptional.of[Long]).getOrElse(JOptional.empty[Long]()),
+          GroupStateTimeout.NoTimeout, 0L,
+          JOptional.empty[Long](), false)
+        val out = fn(0, chunk.iterator, st).toSeq
+        off = Some(st.get)
+        out
+      }
+    }
+    val lenGen = Gen.chooseNum(1L, 200L)
+    (0 until 30).foreach { trial =>
+      val n = 1 + trial % 12
+      val docs = (0 until n).map { i =>
+        DocTokens(i.toLong * 3 + 1, 0,
+          lenGen.apply(Gen.Parameters.default, Seed(trial * 100L + i)).get)
+      }
+      val single = run(Seq(docs))
+      // random consecutive chunking driven by the trial index
+      val k = 1 + trial % 4
+      val chunked = run(docs.grouped(math.max(1, n / k)).toSeq)
+      assert(chunked == single, s"trial $trial: chunking changed spans")
+      // tiling invariants on the single-batch output
+      val byDoc = single.groupBy(_.doc_id)
+      docs.foreach { d =>
+        val sp = byDoc(d.doc_id).sortBy(_.tok_start)
+        assert(sp.head.tok_start == 0 && sp.last.tok_end == d.n_tokens)
+        assert(sp.map(s => s.tok_end - s.tok_start).sum == d.n_tokens)
+        assert(sp.forall(s => s.seq_off >= 0 && s.seq_off < 64))
+      }
+    }
+  }
+
   test("packing is deterministic across partitionings") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =
