@@ -44,6 +44,50 @@ class StreamingPackingSuite extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("checkpointed restart recovers the shard offsets: resumed stream " +
+      "completes the exact batch manifest") {
+    // The durability contract of the stateful operator: stop the query
+    // after half the corpus, land the rest while it is down, restart
+    // from the checkpoint — the recovered per-shard offsets must
+    // continue sequence numbering exactly where they left off, so the
+    // accumulated file-sink output equals the batch manifest over the
+    // whole corpus. (Without state recovery the second half would
+    // restart every shard at offset 0 and collide with the first.)
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-pack-ckpt").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // split at the median id; each half lands as ONE file so arrival
+    // order (file order × within-batch doc-id sort) is global id order
+    val mid = docs.select("doc_id").as[Long].collect().sorted
+      .apply((docs.count() / 2).toInt)
+    docs.where(col("doc_id") < mid).coalesce(1).write.parquet(s"$root/in")
+
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = Packing.packSequencesStream(in, ctxLen = 64, nShards = 8)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    // second half lands while the query is down
+    docs.where(col("doc_id") >= mid).coalesce(1)
+      .write.mode("append").parquet(s"$root/in")
+    runOnce()
+
+    val streamed = spark.read.parquet(s"$root/out")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Packing.packSequences(
+      spark.read.parquet(s"$sf0001/documents.parquet"), ctxLen = 64,
+      nShards = 8)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("arbitrary arrival order still yields full sequences and exact reassembly") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").orderBy(col("doc_id").desc) // reversed
