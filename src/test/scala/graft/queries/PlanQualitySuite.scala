@@ -100,6 +100,18 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("e2e prepare composes the stages' plan invariants") {
+    // The composed pipeline must inherit each stage's plan contract:
+    // the decontamination benchmark side broadcasts (never a
+    // SortMergeJoin against the corpus), and the packing window is
+    // present. (The no-cartesian test already covers e2e — it is
+    // deliberately NOT whitelisted there.)
+    val p = plan("llm_e2e_prepare")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffles for a join")
+    assert(p.contains("Window"), "lost the packing prefix-sum window")
+  }
+
   test("packing plans one shard-partitioned window, no join") {
     // The design: ONE shuffle by shard + a per-shard window + map-only
     // span arithmetic. A join or a second aggregate appearing here
