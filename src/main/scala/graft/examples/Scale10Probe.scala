@@ -110,6 +110,40 @@ object Scale10Probe {
         timed("1x typicality")(TextAnalysis.typicality(d1).count())
         timed("10x typicality")(TextAnalysis.typicality(d10).count())
       }
+      if (which("e2e")) {
+        // the composed prepare pipeline (quality → lang → dedup →
+        // decontaminate → mix → pack) — every stage individually
+        // probed linear must stay linear composed
+        import graft.llm.{Decontaminate, Packing, Sampling, TextAnalysis}
+        def prepare(corpus: org.apache.spark.sql.DataFrame,
+            bench: org.apache.spark.sql.DataFrame): Long = {
+          val sig = TextAnalysis.qualitySignals(corpus)
+            .withColumn("lang", TextAnalysis.langId(col("text")))
+            .withColumn("fingerprint",
+              TextAnalysis.fingerprint(col("text")))
+            .where(col("verdict") === "keep")
+          val deduped = sig.groupBy("fingerprint")
+            .agg(min("doc_id").as("doc_id"),
+              min_by(col("text"), col("doc_id")).as("text"),
+              min_by(col("lang"), col("doc_id")).as("lang"))
+            .drop("fingerprint")
+          val clean = Decontaminate.clean(deduped, bench)
+          val mixed = Sampling.sampleMix(clean, "lang",
+            Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25),
+            defaultRate = 0.1)
+          Packing.packSequences(mixed, ctxLen = 64, nShards = 32).count()
+        }
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        val bench = d1
+          .where(col("doc_id") % 13 === 0 && col("doc_id") < 1000000)
+          .localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs, " +
+          s"bench ${bench.count()}")
+        prepare(d1, bench) // warmup
+        timed("1x e2e prepare")(prepare(d1, bench))
+        timed("10x e2e prepare")(prepare(d10, bench))
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus
