@@ -141,11 +141,15 @@ object Packing {
     implicit val spanEnc = Encoders.product[Span]
     implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
       Encoders.scalaLong
-    val docId = when(col(idCol).isNotNull &&
-        col(idCol).cast("long").isNull,
+    // try_cast (not cast): ANSI mode would otherwise throw its own
+    // CAST_INVALID_INPUT before this guard runs, and non-ANSI would
+    // silently null — try_cast + raise_error gives the same clear
+    // failure under either setting
+    val cast = expr(s"try_cast($idCol AS BIGINT)")
+    val docId = when(col(idCol).isNotNull && cast.isNull,
       raise_error(concat(lit(s"packSequencesStream needs an integral " +
         s"$idCol; got "), col(idCol).cast("string"))))
-      .otherwise(col(idCol).cast("long"))
+      .otherwise(cast)
     val counted = docs.select(docId.as("doc_id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)

@@ -88,6 +88,22 @@ class StreamingPackingSuite extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("non-integral doc ids fail fast with a clear error") {
+    // The typed state machine requires integral ids; a silent null
+    // cast would crash the encoder mid-stream instead. Batch
+    // execution of the streaming operator exercises the same guard.
+    val df = Seq(("doc-42", "some words here for tokens"))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      Packing.packSequencesStream(df, ctxLen = 8, nShards = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("integral")),
+      s"unexpected error: $e")
+  }
+
   test("arbitrary arrival order still yields full sequences and exact reassembly") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").orderBy(col("doc_id").desc) // reversed
