@@ -114,6 +114,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** N-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold —
+    * the asymmetric companion to [[ngramJaccardPairs]], catching a
+    * document fully (or mostly) CONTAINED in a larger one: quoted
+    * passages, boilerplate inclusions, tail-extended copies — pairs
+    * whose Jaccard is low precisely because the sizes differ, which
+    * the Jaccard length bound (min ≥ t·max) deliberately discards.
+    * Same inverted-index shape and count-common verify; NO length
+    * bound can ride this join (size asymmetry is the signal), so the
+    * `maxDf` hot-shingle cap is the load-bearing scale lever here —
+    * a stopword-ish shingle's quadratic candidate tail has no other
+    * guard in the containment setting. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, threshold: Double = 0.9,
+      maxDf: Int = 1000): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+      .withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("id"), col("sz"),
+      explode(col("sh")).as("h"))
+    val capped = dropHotKeys(inv, Seq("h"), maxDf)
+    capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id"), col("a.sz"), col("b.sz"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("common") / least(col("a.sz"), col("b.sz")), 4)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Distinct hashed shingle sets with md5-LONG shingle hashes
     * (first 8 digest bytes of the shingle STRING, big-endian): the
     * cross-engine-reproducible twin of [[shingleSets]] — DuckDB can

@@ -87,6 +87,32 @@ object LlmQueries {
        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
        |HAVING round(count(*) / (a.sz + b.sz - count(*)), 4) >= 0.5""".stripMargin
 
+  // --- llm_containment --------------------------------------------------
+  /** Containment over the near-dup corpus: the planted tail-extended
+    * copies are exact containment-1.0 pairs of their originals. */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(docsWithNearDups(s, dir),
+      threshold = 0.9, maxDf = 1000000)
+
+  val containmentSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM tok),
+       |inv AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(count(*) / least(a.sz, b.sz), 4) AS containment
+       |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+       |HAVING round(count(*) / least(a.sz, b.sz), 4) >= 0.9""".stripMargin
+
   // --- llm_minhash_lsh (xxhash64-based → rows-only check) ---------------
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
@@ -1034,6 +1060,7 @@ object LlmQueries {
   val all: Map[String, Q] = Map(
     "llm_exact_dedup" -> (exactDedup _),
     "llm_ngram_jaccard" -> (ngramJaccard _),
+    "llm_containment" -> (containment _),
     "llm_minhash_lsh" -> (minhashLsh _),
     "llm_minhash_md5" -> (minhashMd5 _),
     "llm_simhash" -> (simhashDup _),
@@ -1067,6 +1094,7 @@ object LlmQueries {
     "llm_minhash_md5" -> minhashMd5Sql,
     "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" -> ngramJaccardSql,
+    "llm_containment" -> containmentSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_embed_dup" -> embedDupSql,
     "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,

@@ -26,6 +26,22 @@ class LlmSuite extends SparkSpec {
     assert(planted == expected)
   }
 
+  test("containment: every planted tail-extended copy contains its " +
+      "original at exactly 1.0") {
+    // appending tokens keeps every original shingle, so the original
+    // set is a strict subset of its extended copy: containment 1.0
+    // even where Jaccard is diluted by the added shingles
+    val pairs = LlmQueries.all("llm_containment")(spark, sf0001)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    val planted = pairs.filter { case (a, b, _) => b == a + 1000000 }
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count()
+    assert(planted.length == expected,
+      s"${planted.length}/$expected planted containment pairs")
+    assert(planted.forall(_._3 == 1.0))
+  }
+
   test("minhash LSH recall vs exact jaccard is high, precision exact") {
     val exact = LlmQueries.ngramJaccard(spark, sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
