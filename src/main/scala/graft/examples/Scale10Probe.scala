@@ -75,6 +75,20 @@ object Scale10Probe {
         timed("10x minhashLshPairs")(
           Dedup.minhashLshPairs(d, threshold = 0.5).count())
       }
+      if (which("containment")) {
+        // containment has NO length bound by definition — maxDf is
+        // its only quadratic-tail guard; measure the lever at 10×
+        val d = docsX(10).localCheckpoint(true)
+        println(s"--- scale 10x: ${d.count()} docs")
+        Dedup.ngramContainmentPairs(docsX(1), threshold = 0.9,
+          maxDf = 1000000).count()
+        timed("10x containment uncapped")(
+          Dedup.ngramContainmentPairs(d, threshold = 0.9,
+            maxDf = 1000000).count())
+        timed("10x containment maxDf=2000")(
+          Dedup.ngramContainmentPairs(d, threshold = 0.9,
+            maxDf = 2000).count())
+      }
       if (which("ngram")) {
         val d = docsX(10).localCheckpoint(true)
         println(s"--- scale 10x: ${d.count()} docs")
