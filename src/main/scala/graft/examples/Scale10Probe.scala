@@ -114,8 +114,10 @@ object Scale10Probe {
           Packing.packSequences(d10, ctxLen = 64, nShards = 32).count())
       }
       if (which("typicality")) {
-        // typicality: one window-by-token shuffle + one groupBy —
-        // wall must track the token count (scan-dominated)
+        // typicality (round-6 skew-safe shape): partial-aggregated
+        // groupBy(id,tok) → groupBy(tok) tf → join back — wall must
+        // track the token count (scan-dominated), with no Window task
+        // holding a whole token's occurrences
         import graft.llm.TextAnalysis
         val d1 = docsX(1).localCheckpoint(true)
         val d10 = docsX(10).localCheckpoint(true)

@@ -124,7 +124,16 @@ object Dedup {
     * bound can ride this join (size asymmetry is the signal), so the
     * `maxDf` hot-shingle cap is the load-bearing scale lever here —
     * a stopword-ish shingle's quadratic candidate tail has no other
-    * guard in the containment setting. */
+    * guard in the containment setting.
+    *
+    * Like [[ngramJaccardPairs]], common/sz count xxhash64-HASHED
+    * shingles while the DuckDB oracle joins raw trigram strings (the
+    * accepted minhash precedent — 1035 vs 1036 candidates): a 64-bit
+    * collision shrinks a set on the Spark side only, and because the
+    * denominator here is least(|A|,|B|), a single collision weighs
+    * proportionally MORE on short documents than under Jaccard's
+    * union denominator — none observed in the fixtures (both SFs
+    * hash-match). */
   def ngramContainmentPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.9,
       maxDf: Int = 1000): DataFrame = {

@@ -43,11 +43,17 @@ object Packing {
       .where(col("n_tokens") > 0)
       .withColumn("shard",
         Sampling.hashBucket(col(idCol), nShards).cast("int"))
+    // Explicit ROWS frame, not the default RANGE: with unique doc ids
+    // the two coincide, but RANGE would give DUPLICATE ids identical
+    // cumulative offsets — silently overlapping sequences, diverging
+    // from the DuckDB oracle (which pins ROWS explicitly). ROWS keeps
+    // the frame well-defined for any input.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     // Exclusive prefix sum: the offset of the doc's first token in
-    // its shard's concatenated stream. (doc ids are unique, so the
-    // default RANGE frame equals ROWS here.)
+    // its shard's concatenated stream.
     val offs = counted.withColumn("off",
       sum(col("n_tokens")).over(w) - col("n_tokens"))
     // One span per ctxLen-window the doc overlaps. The casts divide
@@ -124,19 +130,33 @@ object Packing {
     * longs total.
     *
     * The typed state machine needs an INTEGRAL doc id (`Span.doc_id`
-    * is a long): a non-castable id fails FAST with a clear error
-    * (silently nulling it would crash the encoder mid-stream), and
-    * the shard hashes the CASTED long so id and shard always derive
-    * from the same value — hashing the raw string while keying spans
-    * by the cast would let non-canonical numerics ("07" vs "7")
-    * interleave two docs' spans under one id. Consequence: replay
-    * parity with the batch operator is guaranteed for integral-TYPED
-    * id columns (the cast is then the identity); numeric strings
-    * shard by their canonical form. */
+    * is a long): the id column must be an integral or string TYPE
+    * (checked up front — a fractional type would try_cast by
+    * TRUNCATION, silently interleaving 7.2 and 7.9 as one doc 7 and
+    * diverging from batch packSequences, which keys spans by the raw
+    * id), and per row a NULL or non-castable id fails FAST with a
+    * clear raise_error (silently nulling would crash the non-nullable
+    * Long encoder mid-stream with an opaque message). The shard
+    * hashes the CASTED long so id and shard always derive from the
+    * same value — hashing the raw string while keying spans by the
+    * cast would let non-canonical numerics ("07" vs "7") interleave
+    * two docs' spans under one id. Consequence: replay parity with
+    * the batch operator is guaranteed for integral-TYPED id columns
+    * (the cast is then the identity); numeric strings shard by their
+    * canonical form, and fractional STRINGS ("7.2") are rejected by
+    * the row guard (BIGINT try_cast accepts only integral text). */
   def packSequencesStream(docs: DataFrame, ctxLen: Int, nShards: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): Dataset[Span] = {
     require(ctxLen >= 1, s"ctxLen=$ctxLen must be >= 1")
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    import org.apache.spark.sql.types._
+    val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType
+    val integralOrString =
+      Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+    require(integralOrString.contains(idType),
+      s"packSequencesStream needs an integral or string $idCol; got " +
+        s"${idType.simpleString} — a fractional id would truncate and " +
+        "merge distinct documents")
     implicit val docEnc = Encoders.product[DocTokens]
     implicit val spanEnc = Encoders.product[Span]
     implicit val stateEnc: org.apache.spark.sql.Encoder[Long] =
@@ -144,15 +164,19 @@ object Packing {
     // try_cast (not cast): ANSI mode would otherwise throw its own
     // CAST_INVALID_INPUT before this guard runs, and non-ANSI would
     // silently null — try_cast + raise_error gives the same clear
-    // failure under either setting
+    // failure under either setting. The filter on n_tokens runs
+    // BEFORE the guard projection, so a NULL/bad id on an empty doc
+    // (which contributes nothing) never trips it.
     val cast = expr(s"try_cast($idCol AS BIGINT)")
-    val docId = when(col(idCol).isNotNull && cast.isNull,
+    val docId = when(cast.isNull,
       raise_error(concat(lit(s"packSequencesStream needs an integral " +
-        s"$idCol; got "), col(idCol).cast("string"))))
+        s"$idCol; got "), coalesce(col(idCol).cast("string"), lit("NULL")))))
       .otherwise(cast)
-    val counted = docs.select(docId.as("doc_id"),
+    val counted = docs
+      .select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
+      .select(docId.as("doc_id"), col("n_tokens"))
       .withColumn("shard",
         Sampling.hashBucket(col("doc_id"), nShards).cast("int"))
       .select("doc_id", "shard", "n_tokens")

@@ -90,14 +90,28 @@ object TextAnalysis {
     * far below the corpus median; the threshold is the caller's
     * policy (percentiles are data, not operator constants).
     *
-    * Scale shape: per-occurrence term frequency comes from ONE
-    * count-over-window partitioned by token — a single shuffle by
-    * token, no vocabulary join and no driver-side vocab (a web-scale
-    * vocab is itself huge, so it must never collect or broadcast);
-    * the corpus token total rides as a broadcast single-row MAP-ONLY
+    * Scale shape: NO window by token. A
+    * `count(*) over (partition by tok)` would shuffle every raw token
+    * occurrence keyed by a Zipf-skewed vocabulary and materialize each
+    * token's whole partition in ONE WindowExec task — the head token
+    * of a natural corpus is 3-5 % of ALL occurrences, so at 100 TB
+    * that is a ~10¹¹-row straggler with no partial aggregation and no
+    * AQE skew-split (AQE cannot split window partitions). Instead:
+    * (1) groupBy(id, tok) occurrence counts — partial-aggregated, and
+    * the id in the key spreads even the hottest token across every
+    * map task; (2) groupBy(tok) term frequencies from those counts —
+    * also partial-aggregated, so the Zipf head collapses map-side to
+    * one row per task before the shuffle; (3) tf joins back on tok —
+    * a keyed join AQE can skew-split, unlike a window. The per-doc
+    * aggregate then uses sum(cnt·ln tf) ≡ sum over occurrences of
+    * ln tf. No vocabulary ever collects or broadcasts statically (a
+    * web-scale vocab is itself huge; AQE may demote the tf side from
+    * MEASURED sizes at fixture scale, which is the right call there).
+    * The corpus token total rides as a broadcast single-row MAP-ONLY
     * aggregate (the scalar-subquery shape — no driver action, no
-    * explode); the per-doc mean is one groupBy by id. Two keyed
-    * shuffles and two scans total (the second scan is tokenize-only).
+    * explode; measured round 5: ReuseExchange never fires across the
+    * crossJoin, so routing the total through the token frame would
+    * re-run the whole tokenize).
     *
     * Docs with zero word tokens emit no row (no distribution to
     * score them under). */
@@ -105,20 +119,18 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol),
       explode(tokens(col(textCol))).as("tok"))
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
-    // ln(tf/total) = ln tf − ln total: the per-doc aggregate then
-    // needs only sum(ln tf), and the scalar total comes from a
-    // MAP-ONLY second aggregate (scan + tokenize + size, no explode,
-    // no shuffle) — Spark does not reuse the window branch's exchange
-    // across the crossJoin (measured: ReuseExchange never fires
-    // here), so routing the total through the windowed frame would
-    // re-run the whole token shuffle, and materializing the token
-    // frame to share it is the caller's persistence decision, not the
-    // operator's. Two scans, one shuffle chain.
-    val perDoc = toks.withColumn("tf", count(lit(1)).over(wTok))
+    // Per-(doc, tok) occurrence counts: the only pass over raw
+    // occurrences, and it partial-aggregates before its shuffle.
+    val docTok = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    // Corpus term frequency per token, from the counts (not the raw
+    // occurrences): the skewed key arrives pre-collapsed.
+    val tf = docTok.groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("tf"))
+    val perDoc = docTok.join(tf, "tok")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"),
-        sum(log(col("tf").cast("double"))).as("sum_ln_tf"))
+      .agg(sum(col("cnt")).as("n_toks"),
+        sum(col("cnt") * log(col("tf").cast("double"))).as("sum_ln_tf"))
     val total = df.agg(
       sum(size(tokens(col(textCol)))).cast("long").as("n_total"))
     perDoc.crossJoin(broadcast(total))

@@ -89,10 +89,23 @@ object LlmQueries {
 
   // --- llm_containment --------------------------------------------------
   /** Containment over the near-dup corpus: the planted tail-extended
-    * copies are exact containment-1.0 pairs of their originals. */
+    * copies are exact containment-1.0 pairs of their originals.
+    *
+    * Registered CAPPED (maxDf = 2000): containment admits no length
+    * bound (size asymmetry IS the signal), so the hot-shingle cap is
+    * the ONLY guard against the quadratic candidate tail — the plan
+    * you'd run at 100 TB is the capped one (10× probe: 20.7 s
+    * uncapped vs 8.7 s capped, SCALE.md). The cap is deterministic
+    * (drop shingles with df > maxDf from the inverted index; set
+    * sizes stay FULL), so the oracle models it with a df CTE. At
+    * fixture scale no shingle reaches df 2000, so output is
+    * unchanged; the planted pairs ride rare shingles and survive far
+    * lower caps (suite-tested at maxDf = 50). */
+  val containmentMaxDf = 2000
+
   def containment(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramContainmentPairs(docsWithNearDups(s, dir),
-      threshold = 0.9, maxDf = 1000000)
+      threshold = 0.9, maxDf = containmentMaxDf)
 
   val containmentSql: String =
     s"""WITH corpus AS ($corpusNearSql),
@@ -106,10 +119,15 @@ object LlmQueries {
        |    ELSE [] END) AS sh
        |  FROM tok),
        |inv AS (
-       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets)
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+       |df AS (
+       |  SELECT s, count(*) AS df FROM inv GROUP BY s),
+       |capped AS (
+       |  SELECT inv.doc_id, inv.sz, inv.s FROM inv
+       |  JOIN df ON inv.s = df.s WHERE df.df <= $containmentMaxDf)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  round(count(*) / least(a.sz, b.sz), 4) AS containment
-       |FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
        |HAVING round(count(*) / least(a.sz, b.sz), 4) >= 0.9""".stripMargin
 
@@ -264,13 +282,13 @@ object LlmQueries {
       |  FROM embeddings WHERE vec_id % 5 = 0)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_dot_product(a.embedding, b.embedding) /
-      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
+      |    (greatest(sqrt(list_dot_product(a.embedding, a.embedding)), 1e-12) *
+      |     greatest(sqrt(list_dot_product(b.embedding, b.embedding)), 1e-12)), 4) AS sim
       |FROM corpus a JOIN corpus b
       |  ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.embedding, b.embedding) /
-      |    (sqrt(list_dot_product(a.embedding, a.embedding)) *
-      |     sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.999""".stripMargin
+      |    (greatest(sqrt(list_dot_product(a.embedding, a.embedding)), 1e-12) *
+      |     greatest(sqrt(list_dot_product(b.embedding, b.embedding)), 1e-12)), 4) >= 0.999""".stripMargin
 
   // --- llm_embed_dup_lsh_md5 (md5-derived plane signs → the FULL
   // cross-engine oracle for the hyperplane-LSH pipeline: signature →
@@ -341,14 +359,14 @@ object LlmQueries {
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  round(list_dot_product(va.vec, vb.vec) /
-       |    (sqrt(list_dot_product(va.vec, va.vec)) *
-       |     sqrt(list_dot_product(vb.vec, vb.vec))), 4) AS sim
+       |    (greatest(sqrt(list_dot_product(va.vec, va.vec)), 1e-12) *
+       |     greatest(sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12)), 4) AS sim
        |FROM cand
        |JOIN corpus va ON va.vec_id = id_a
        |JOIN corpus vb ON vb.vec_id = id_b
        |WHERE round(list_dot_product(va.vec, vb.vec) /
-       |    (sqrt(list_dot_product(va.vec, va.vec)) *
-       |     sqrt(list_dot_product(vb.vec, vb.vec))), 4) >= 0.999""".stripMargin
+       |    (greatest(sqrt(list_dot_product(va.vec, va.vec)), 1e-12) *
+       |     greatest(sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12)), 4) >= 0.999""".stripMargin
   }
 
   // --- llm_ann_topk ------------------------------------------------------
@@ -365,8 +383,8 @@ object LlmQueries {
       |scored AS (
       |  SELECT query_id, neighbor_id,
       |    round(list_dot_product(qv, cv) /
-      |      (sqrt(list_dot_product(qv, qv)) *
-      |       sqrt(list_dot_product(cv, cv))), 6) AS sim
+      |      (greatest(sqrt(list_dot_product(qv, qv)), 1e-12) *
+      |       greatest(sqrt(list_dot_product(cv, cv)), 1e-12)), 6) AS sim
       |  FROM c, q WHERE query_id <> neighbor_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, sim, row_number() OVER (
@@ -441,8 +459,8 @@ object LlmQueries {
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    round(list_dot_product(q.vec, n.vec) /
-       |      (sqrt(list_dot_product(q.vec, q.vec)) *
-       |       sqrt(list_dot_product(n.vec, n.vec))), 6) AS sim
+       |      (greatest(sqrt(list_dot_product(q.vec, q.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(n.vec, n.vec)), 1e-12)), 6) AS sim
        |  FROM cand
        |  JOIN c q ON q.vec_id = query_id
        |  JOIN c n ON n.vec_id = neighbor_id),

@@ -42,6 +42,24 @@ class LlmSuite extends SparkSpec {
     assert(planted.forall(_._3 == 1.0))
   }
 
+  test("containment: planted pairs survive an aggressive maxDf cap — " +
+      "they ride rare shingles") {
+    // The registered query caps hot shingles (the only quadratic-tail
+    // guard containment has). The planted copies must not depend on
+    // hot shingles: even a cap 40× tighter than the registered 2000
+    // keeps every planted pair at containment 1.0 (dropping a hot
+    // shingle removes it from BOTH sets' index entries, but sz stays
+    // full — so only common falls; rare-shingle overlap carries it).
+    val pairs = graft.llm.Dedup.ngramContainmentPairs(
+        LlmQueries.docsWithNearDups(spark, sf0001),
+        threshold = 0.9, maxDf = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val planted = pairs.count { case (a, b) => b == a + 1000000 }
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count()
+    assert(planted == expected, s"$planted/$expected planted pairs at maxDf=50")
+  }
+
   test("minhash LSH recall vs exact jaccard is high, precision exact") {
     val exact = LlmQueries.ngramJaccard(spark, sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

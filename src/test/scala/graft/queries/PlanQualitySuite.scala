@@ -100,6 +100,19 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("typicality plans no window — tf comes from partial-aggregated " +
+      "groupBys and a skew-splittable join") {
+    // The round-5 shape (count over Window.partitionBy(tok)) shuffled
+    // every raw token occurrence keyed by a Zipf-skewed vocabulary
+    // into single-task window partitions — the classic 100 TB
+    // straggler. The contract now: no Window anywhere, and the
+    // occurrence pass partial-aggregates before its exchange.
+    val p = plan("llm_typicality")
+    assert(!p.contains("Window"), "typicality regressed to a window")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "typicality lost partial aggregation")
+  }
+
   test("e2e prepare composes the stages' plan invariants") {
     // The composed pipeline must inherit each stage's plan contract:
     // the decontamination benchmark side broadcasts (never a
