@@ -8,8 +8,8 @@ import org.apache.spark.sql.types._
 import graft.mock.MockGen
 import graft.normalize.NormalizerSpec
 import graft.ops.Stages
-import graft.pipeline.{Decoders, Pipeline, PipelineConfig, WireCodec,
-  WireRecord}
+import graft.pipeline.{Decoders, Pipeline, PipelineConfig, ProtoCodec,
+  ProtoRecord, WireCodec, WireRecord, WireSite}
 import graft.sink.RotationPolicy
 import graft.sources.DataFrameSource
 
@@ -28,9 +28,17 @@ import graft.sources.DataFrameSource
   *                        /root/reference/proto.go:106-172)
   *  - `binary-columnar` — same wire format decoded entirely with
   *                        codegen'd expressions (the Spark-first path)
+  *  - `proto`           — REAL protobuf wire format (varint/zigzag/
+  *                        fixed64/nested, graft.pipeline.ProtoCodec)
+  *                        through the typed boundary — the closest
+  *                        analogue to the reference's generated-proto
+  *                        decode (/root/reference/proto.go:106-172)
+  *  - `proto-columnar`  — protobuf decoded by the one-pass codegen'd
+  *                        `ProtoParseExpr`
   *
   * Usage: runMain graft.examples.ThroughputBench [nMessages] [mode]
-  *   mode ∈ json | binary | binary-columnar | all (default all)
+  *   mode ∈ json | binary | binary-columnar | proto | proto-columnar |
+  *          all (default all)
   */
 object ThroughputBench {
 
@@ -80,8 +88,10 @@ object ThroughputBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val mode = args.drop(1).headOption.getOrElse("all")
-    require(Set("all", "json", "binary", "binary-columnar")(mode),
-      s"unknown mode '$mode' (json | binary | binary-columnar | all)")
+    require(Set("all", "json", "binary", "binary-columnar", "proto",
+      "proto-columnar")(mode),
+      s"unknown mode '$mode' (json | binary | binary-columnar | proto " +
+        "| proto-columnar | all)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -104,6 +114,17 @@ object ThroughputBench {
           .toDF("value")
           .withColumn("timestamp", current_timestamp()))
     }
+    lazy val protoWire = {
+      implicit val enc = ExpressionEncoder[WireRecord]()
+      implicit val benc = ExpressionEncoder[Array[Byte]]()
+      val prefix = Array.fill[Byte](6)(0)
+      stage(spark, s"$root/msgs_proto",
+        rows.as[WireRecord].map { r =>
+          prefix ++ ProtoCodec.encode(ProtoRecord(r.id,
+            WireSite(r.site.id, r.site.kind), r.score, r.flag, r.id - 500L))
+        }.toDF("value")
+          .withColumn("timestamp", current_timestamp()))
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (mode == "all" || mode == "json")
@@ -115,6 +136,12 @@ object ThroughputBench {
     if (mode == "all" || mode == "binary-columnar")
       results("binary-columnar") = runMode(spark, root, "binary-columnar",
         binWire, WireCodec.decodeColumnar, n)
+    if (mode == "all" || mode == "proto")
+      results("proto") = runMode(spark, root, "proto", protoWire,
+        Decoders.typed(ProtoCodec.decode), n)
+    if (mode == "all" || mode == "proto-columnar")
+      results("proto-columnar") = runMode(spark, root, "proto-columnar",
+        protoWire, ProtoCodec.decodeColumnar, n)
 
     if (results.size > 1) {
       val base = results.getOrElse("json", results.values.head)

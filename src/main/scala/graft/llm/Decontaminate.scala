@@ -50,4 +50,30 @@ object Decontaminate {
       contaminated(docs, benchmark, k, w, minShared, idCol, textCol)
         .select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Streaming-friendly clean: the SAME contamination predicate as a
+    * PER-ROW decision. The benchmark's distinct fingerprint set folds
+    * into ONE single-row array (eval sets are MBs against a multi-TB
+    * corpus by definition) broadcast to every task; each doc
+    * intersects its own winnow fingerprints with it map-side. No
+    * stream-side join state, no aggregation, no watermark — the pass
+    * composes into an append-mode streaming query unchanged. Per-doc
+    * winnow fingerprints are distinct, so the intersect size equals
+    * [[clean]]'s distinct-overlap count: output is row-identical
+    * (suite-pinned). Batch callers should prefer [[clean]] — the
+    * exploded broadcast-hash semi-join keeps the per-row work
+    * proportional to MATCHES, not to the benchmark set size. */
+  def cleanStreaming(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchSet = benchmark
+      .select(explode(TextAnalysis.winnowFingerprints(col(textCol), k, w))
+        .as("fp"))
+      .agg(collect_set(col("fp")).as("bench_fps"))
+    docs.crossJoin(broadcast(benchSet))
+      .where(size(array_intersect(
+        TextAnalysis.winnowFingerprints(col(textCol), k, w),
+        col("bench_fps"))) < minShared)
+      .drop("bench_fps")
+  }
 }

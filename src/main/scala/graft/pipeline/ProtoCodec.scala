@@ -1,0 +1,391 @@
+package graft.pipeline
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The demo record for the REAL protobuf ingest path — the
+  * length-prefixed [[WireRecord]] shape plus a signed `ts` delta so
+  * every proto3 scalar encoding is on the wire:
+  * ```proto
+  *   message ProtoRecord {            // field · wire type
+  *     int64  id    = 1;              // varint
+  *     Site   site  = 2;              // length-delimited, nested
+  *     double score = 3;              // fixed64 (little-endian)
+  *     bool   flag  = 4;              // varint
+  *     sint64 ts    = 5;              // zigzag varint
+  *   }
+  *   message Site { string id = 1; string kind = 2; }
+  * ```
+  * `site == null` models an absent message field (proto3 presence);
+  * absent scalars decode to their defaults (0 / 0.0 / false / ""). */
+final case class ProtoRecord(id: Long, site: WireSite, score: Double,
+    flag: Boolean, ts: Long)
+
+/** Protocol-buffers wire-format primitives (public knowledge: the
+  * format is varint keys `(field << 3) | wireType` with wire types
+  * 0 = varint, 1 = fixed64, 2 = length-delimited, 5 = fixed32;
+  * sint64 maps negatives via zigzag `(n << 1) ^ (n >> 63)`; fixed
+  * widths are little-endian). No protobuf jar involved — this is the
+  * format itself, hand-rolled, so the reference's canonical decode
+  * path (generated-protobuf `unmarshalFunc`,
+  * /root/reference/proto.go:33,106-172) has a REAL stand-in instead
+  * of the length-prefixed [[WireCodec]] approximation. */
+object ProtoWire {
+  final class Malformed(val msg: String)
+    extends Exception(msg, null, false, false)
+
+  /** Mutable read cursor; every read throws [[Malformed]] rather than
+    * over-running `end` (which doubles as the nested-message limit). */
+  final class Cursor(val bytes: Array[Byte], var pos: Int, val end: Int) {
+    def hasRemaining: Boolean = pos < end
+
+    def readVarint(): Long = {
+      var shift = 0
+      var result = 0L
+      while (shift < 70) {
+        if (pos >= end) throw new Malformed("truncated varint")
+        val b = bytes(pos)
+        pos += 1
+        result |= (b & 0x7FL) << shift
+        if ((b & 0x80) == 0) return result
+        shift += 7
+      }
+      throw new Malformed("varint over 10 bytes")
+    }
+
+    def readFixed64(): Long = {
+      if (pos + 8 > end) throw new Malformed("truncated fixed64")
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xFFL); i -= 1 }
+      pos += 8
+      v
+    }
+
+    /** Length prefix of a length-delimited field, bounds-checked. */
+    def readLen(): Int = {
+      val l = readVarint()
+      if (l < 0 || l > end - pos)
+        throw new Malformed(s"bad length $l (${end - pos} bytes left)")
+      l.toInt
+    }
+
+    /** Skip an unknown field by its wire type (groups, wire types 3/4,
+      * are pre-proto3 relics — rejected as malformed). */
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => readVarint()
+      case 1 =>
+        if (pos + 8 > end) throw new Malformed("truncated fixed64")
+        pos += 8
+      // NOT `pos += readLen()`: that desugars to `pos = pos + readLen()`
+      // and reads the OLD pos before readLen() advances it past the
+      // length byte — silently rewinding the cursor into the payload
+      case 2 => val l = readLen(); pos += l
+      case 5 =>
+        if (pos + 4 > end) throw new Malformed("truncated fixed32")
+        pos += 4
+      case w => throw new Malformed(s"unsupported wire type $w")
+    }
+  }
+
+  def zigzagEncode(n: Long): Long = (n << 1) ^ (n >> 63)
+  def zigzagDecode(z: Long): Long = (z >>> 1) ^ -(z & 1L)
+
+  def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7FL) != 0) {
+      out.write(((v & 0x7F) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  def writeTag(out: ByteArrayOutputStream, field: Int, wireType: Int): Unit =
+    writeVarint(out, (field.toLong << 3) | wireType)
+
+  def writeFixed64(out: ByteArrayOutputStream, value: Long): Unit = {
+    var i = 0
+    while (i < 8) { out.write(((value >>> (8 * i)) & 0xFF).toInt); i += 1 }
+  }
+}
+
+/** Real proto wire-format codec for [[ProtoRecord]] at the same
+  * pluggable `unmarshalFunc` boundary as [[WireCodec]]
+  * (/root/reference/proto.go:33,106-172). Encoder follows generated
+  * proto3 writer semantics (default-valued scalars omitted, judged on
+  * raw double BITS so -0.0/NaN still serialize; empty strings
+  * omitted; a null `site` omits the field, a non-null empty one
+  * emits `tag, len 0`). Decoder follows proto reader semantics:
+  * fields in ANY order, unknown fields skipped by wire type,
+  * last-one-wins on duplicates, absent scalars default. Malformed
+  * input (truncated varint/fixed, length past the buffer, wire types
+  * 3/4) routes to the dead letter frame, not an exception.
+  *
+  * Two decoders, same semantics — the [[WireCodec]] pattern:
+  * [[decode]] through `Decoders.typed` (reference-parity boundary),
+  * [[decodeColumnar]] as ONE native codegen'd [[ProtoParseExpr]]
+  * reading fields straight off the byte array (UTF8String slices, no
+  * intermediate objects). */
+object ProtoCodec {
+  import ProtoWire._
+
+  def encodeSite(s: WireSite): Array[Byte] = {
+    val out = new ByteArrayOutputStream(32)
+    if (s.id != null && s.id.nonEmpty) {
+      val b = s.id.getBytes(UTF_8)
+      writeTag(out, 1, 2); writeVarint(out, b.length.toLong); out.write(b)
+    }
+    if (s.kind != null && s.kind.nonEmpty) {
+      val b = s.kind.getBytes(UTF_8)
+      writeTag(out, 2, 2); writeVarint(out, b.length.toLong); out.write(b)
+    }
+    out.toByteArray
+  }
+
+  def encode(r: ProtoRecord): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    if (r.id != 0L) { writeTag(out, 1, 0); writeVarint(out, r.id) }
+    if (r.site != null) {
+      val body = encodeSite(r.site)
+      writeTag(out, 2, 2); writeVarint(out, body.length.toLong)
+      out.write(body)
+    }
+    if (java.lang.Double.doubleToRawLongBits(r.score) != 0L) {
+      writeTag(out, 3, 1)
+      writeFixed64(out, java.lang.Double.doubleToLongBits(r.score))
+    }
+    if (r.flag) { writeTag(out, 4, 0); writeVarint(out, 1L) }
+    if (r.ts != 0L) { writeTag(out, 5, 0); writeVarint(out, zigzagEncode(r.ts)) }
+    out.toByteArray
+  }
+
+  private def parseSite(c: Cursor): WireSite = {
+    var id = ""
+    var kind = ""
+    while (c.hasRemaining) {
+      val tag = c.readVarint()
+      val field = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      if (field == 1 && wt == 2) {
+        val l = c.readLen()
+        id = new String(c.bytes, c.pos, l, UTF_8); c.pos += l
+      } else if (field == 2 && wt == 2) {
+        val l = c.readLen()
+        kind = new String(c.bytes, c.pos, l, UTF_8); c.pos += l
+      } else c.skip(wt)
+    }
+    WireSite(id, kind)
+  }
+
+  /** Typed decoder: malformed payloads route to the dead letter frame
+    * (decode-error parity, /root/reference/proto.go:133-145). */
+  val decode: Array[Byte] => DecodeResult[ProtoRecord] = { bytes =>
+    if (bytes == null) DecodeResult.Failed("null message value")
+    else try {
+      val c = new Cursor(bytes, 0, bytes.length)
+      var id = 0L
+      var site: WireSite = null
+      var score = 0.0
+      var flag = false
+      var ts = 0L
+      while (c.hasRemaining) {
+        val tag = c.readVarint()
+        val field = (tag >>> 3).toInt
+        val wt = (tag & 7).toInt
+        if (field == 1 && wt == 0) id = c.readVarint()
+        else if (field == 2 && wt == 2) {
+          val l = c.readLen()
+          val sub = new Cursor(c.bytes, c.pos, c.pos + l)
+          site = parseSite(sub)
+          c.pos += l
+        } else if (field == 3 && wt == 1)
+          score = java.lang.Double.longBitsToDouble(c.readFixed64())
+        else if (field == 4 && wt == 0) flag = c.readVarint() != 0L
+        else if (field == 5 && wt == 0) ts = zigzagDecode(c.readVarint())
+        else c.skip(wt)
+      }
+      DecodeResult.Ok(ProtoRecord(id, site, score, flag, ts))
+    } catch {
+      case m: Malformed =>
+        DecodeResult.Failed(s"malformed protobuf: ${m.msg}")
+    }
+  }
+
+  /** Columnar decoder: same output shape as
+    * `Decoders.typed(ProtoCodec.decode)` — (id, site struct, score,
+    * flag, ts, timestamp, _corrupt) — with malformed payloads flagged
+    * via `_corrupt` instead of dropped rows. */
+  val decodeColumnar: DataFrame => DataFrame = { df =>
+    val r = ColumnBridge.column(
+      ProtoParseExpr(ColumnBridge.expression(col("value"))))
+    df.select(
+      r.getField("id").as("id"),
+      r.getField("site").as("site"),
+      r.getField("score").as("score"),
+      r.getField("flag").as("flag"),
+      r.getField("ts").as("ts"),
+      col("timestamp"),
+      coalesce(r.getField("_corrupt"),
+        when(col("value").isNull, lit("null message value")))
+        .as("_corrupt"))
+  }
+}
+
+/** Native one-pass protobuf parse: `binary` → struct<id, site<id,kind>,
+  * score, flag, ts, _corrupt>. Good rows carry null `_corrupt`;
+  * malformed rows carry the error text with every data field null —
+  * decode-error routing parity (/root/reference/proto.go:133-145).
+  * Strings land as `UTF8String` slices straight off the record bytes
+  * (no intermediate java.lang.String); codegen'd via a direct
+  * `compute` call — the [[WireParseExpr]] pattern on the real proto
+  * wire format. */
+case class ProtoParseExpr(child: Expression) extends UnaryExpression {
+  import ProtoWire._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("site", StructType(Seq(
+      StructField("id", StringType), StructField("kind", StringType)))),
+    StructField("score", DoubleType),
+    StructField("flag", BooleanType),
+    StructField("ts", LongType),
+    StructField("_corrupt", StringType)))
+  override def nullable: Boolean = true
+
+  private def parseSiteRow(bytes: Array[Byte], start: Int,
+      end: Int): InternalRow = {
+    val c = new Cursor(bytes, start, end)
+    var id = UTF8String.EMPTY_UTF8
+    var kind = UTF8String.EMPTY_UTF8
+    while (c.hasRemaining) {
+      val tag = c.readVarint()
+      val field = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      if (field == 1 && wt == 2) {
+        val l = c.readLen()
+        id = UTF8String.fromBytes(bytes, c.pos, l); c.pos += l
+      } else if (field == 2 && wt == 2) {
+        val l = c.readLen()
+        kind = UTF8String.fromBytes(bytes, c.pos, l); c.pos += l
+      } else c.skip(wt)
+    }
+    new GenericInternalRow(Array[Any](id, kind))
+  }
+
+  def compute(bytes: Array[Byte]): InternalRow = try {
+    val c = new Cursor(bytes, 0, bytes.length)
+    var id = 0L
+    var site: InternalRow = null
+    var score = 0.0
+    var flag = false
+    var ts = 0L
+    while (c.hasRemaining) {
+      val tag = c.readVarint()
+      val field = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      if (field == 1 && wt == 0) id = c.readVarint()
+      else if (field == 2 && wt == 2) {
+        val l = c.readLen()
+        site = parseSiteRow(bytes, c.pos, c.pos + l)
+        c.pos += l
+      } else if (field == 3 && wt == 1)
+        score = java.lang.Double.longBitsToDouble(c.readFixed64())
+      else if (field == 4 && wt == 0) flag = c.readVarint() != 0L
+      else if (field == 5 && wt == 0) ts = zigzagDecode(c.readVarint())
+      else c.skip(wt)
+    }
+    new GenericInternalRow(Array[Any](id, site, score, flag, ts, null))
+  } catch {
+    case m: Malformed => new GenericInternalRow(Array[Any](
+      null, null, null, null, null,
+      UTF8String.fromString(s"malformed protobuf: ${m.msg}")))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoParseExpr", this)
+    val rowCls = classOf[InternalRow].getName
+    defineCodeGen(ctx, ev, c => s"($rowCls) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProtoParseExpr =
+    copy(child = c)
+  override def prettyName: String = "proto_parse"
+}
+
+/** Native protobuf ENCODE: struct<id, site<id,kind>, score, flag, ts>
+  * → `binary`, proto3 writer semantics (see [[ProtoCodec]]). Lets a
+  * whole encode→wire→decode round trip run columnar with no typed
+  * boundary — used by the oracled query (the fixture generator side)
+  * and the throughput A/B. Null input struct → null bytes; a null
+  * `site` field omits field 2; null strings inside site encode as
+  * absent (decode to ""). */
+case class ProtoEncodeExpr(child: Expression) extends UnaryExpression {
+  import ProtoWire._
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  def compute(row: InternalRow): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    val id = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (id != 0L) { writeTag(out, 1, 0); writeVarint(out, id) }
+    if (!row.isNullAt(1)) {
+      val s = row.getStruct(1, 2)
+      val body = new ByteArrayOutputStream(32)
+      if (!s.isNullAt(0)) {
+        val b = s.getUTF8String(0).getBytes
+        if (b.length > 0) {
+          writeTag(body, 1, 2); writeVarint(body, b.length.toLong)
+          body.write(b)
+        }
+      }
+      if (!s.isNullAt(1)) {
+        val b = s.getUTF8String(1).getBytes
+        if (b.length > 0) {
+          writeTag(body, 2, 2); writeVarint(body, b.length.toLong)
+          body.write(b)
+        }
+      }
+      writeTag(out, 2, 2); writeVarint(out, body.size.toLong)
+      body.writeTo(out)
+    }
+    val score = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
+    if (java.lang.Double.doubleToRawLongBits(score) != 0L) {
+      writeTag(out, 3, 1)
+      writeFixed64(out, java.lang.Double.doubleToLongBits(score))
+    }
+    if (!row.isNullAt(3) && row.getBoolean(3)) {
+      writeTag(out, 4, 0); writeVarint(out, 1L)
+    }
+    val ts = if (row.isNullAt(4)) 0L else row.getLong(4)
+    if (ts != 0L) { writeTag(out, 5, 0); writeVarint(out, zigzagEncode(ts)) }
+    out.toByteArray
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoEncodeExpr", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ProtoEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "proto_encode"
+}

@@ -96,6 +96,63 @@ object OperatorQueries {
       |SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
       |FROM dec GROUP BY status""".stripMargin
 
+  /** P1 — REAL protobuf wire-format decode, no jar involved
+    * (graft.pipeline.ProtoCodec: hand-rolled varint / zigzag /
+    * fixed64 / length-delimited / nested-message codec — the
+    * reference's canonical generated-protobuf `unmarshalFunc`
+    * boundary, /root/reference/proto.go:33,106-172, with the actual
+    * wire format instead of the length-prefixed stand-in). The whole
+    * round trip is columnar: events → `ProtoEncodeExpr` → inject an
+    * unknown field (15, varint) on every 5th payload — a proto reader
+    * MUST skip it — corrupt every 7th to a truncated varint →
+    * `ProtoParseExpr` decode with dead-letter routing. The oracle
+    * predicts the decoded values straight from the source columns, so
+    * any varint/zigzag/nesting/skip misparse breaks the hash match;
+    * `ts = event_id − 500` puts NEGATIVE zigzag values on the wire. */
+  def protoDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.pipeline.{ProtoCodec, ProtoEncodeExpr}
+    val ev = Tables.load(s, dir, "events")
+    val rec = struct(
+      col("event_id").as("id"),
+      struct(concat(lit("u"), col("user_id").cast("string")).as("id"),
+        col("event_type").as("kind")).as("site"),
+      col("value").as("score"),
+      (col("event_id") % 2 === 0).as("flag"),
+      (col("event_id") - 500).as("ts"))
+    val payload = ColumnBridge.column(
+      ProtoEncodeExpr(ColumnBridge.expression(rec)))
+    // bindOnce: the encode rides two branches of the CASE — without
+    // the pin it would re-encode per reference (SCALE.md CSE lesson)
+    val wire = graft.functions.ExprUtils.bindOnce(payload) { p =>
+      when(col("event_id") % 7 === 0, unhex(lit("FFFF")))
+        .when(col("event_id") % 5 === 0, concat(p, unhex(lit("7801"))))
+        .otherwise(p)
+    }
+    val msgs = ev.select(wire.as("value"),
+      current_timestamp().as("timestamp"))
+    ProtoCodec.decodeColumnar(msgs)
+      .select(col("id"), col("site.id").as("site_id"),
+        col("site.kind").as("site_kind"), col("score"), col("flag"),
+        col("ts"),
+        when(col("_corrupt").isNull, lit("ok"))
+          .otherwise(lit("__corrupt")).as("status"))
+  }
+
+  val protoDecodeSql: String =
+    """SELECT
+      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id END AS id,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL
+      |       ELSE 'u' || CAST(user_id AS VARCHAR) END AS site_id,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+      |    AS site_kind,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS score,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE (event_id % 2 = 0) END
+      |    AS flag,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id - 500 END AS ts,
+      |  CASE WHEN event_id % 7 = 0 THEN '__corrupt' ELSE 'ok' END AS status
+      |FROM events""".stripMargin
+
   /** K1/K2/K4+Q1 — whole-pipeline smoke as a batch query: messages →
     * pipeline (munge, decode, rotate-per-batch, runner) → returns the
     * segment manifest. Not SQL-expressible → rows-only check. */
@@ -198,6 +255,7 @@ object OperatorQueries {
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
     "op_munge_decode" -> (mungeDecode _),
+    "op_proto_decode" -> (protoDecode _),
     "op_pipeline_sink" -> (pipelineSink _),
     "op_mock_source" -> (mockSource _),
     "op_asof_join" -> (asofJoin _),
@@ -207,6 +265,7 @@ object OperatorQueries {
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
     "op_munge_decode" -> mungeDecodeSql,
+    "op_proto_decode" -> protoDecodeSql,
     "op_asof_join" -> asofJoinSql,
     "op_event_window" -> eventWindowSql
   )

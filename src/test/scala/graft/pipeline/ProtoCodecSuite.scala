@@ -1,0 +1,226 @@
+package graft.pipeline
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProtoCodecSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // ---- wire primitives --------------------------------------------------
+
+  test("varint round-trips boundary values, rejects truncation/overlength") {
+    val cases = Seq(0L, 1L, 127L, 128L, 300L, 16383L, 16384L,
+      Long.MaxValue, -1L, Long.MinValue)
+    cases.foreach { v =>
+      val out = new ByteArrayOutputStream()
+      ProtoWire.writeVarint(out, v)
+      val b = out.toByteArray
+      // negatives always serialize as 10 bytes (two's complement)
+      if (v < 0) assert(b.length == 10, s"$v")
+      val c = new ProtoWire.Cursor(b, 0, b.length)
+      assert(c.readVarint() == v, s"$v")
+      assert(!c.hasRemaining, s"$v")
+      // every strict prefix with the continuation bit still set fails
+      if (b.length > 1) {
+        val cut = new ProtoWire.Cursor(b, 0, b.length - 1)
+        intercept[ProtoWire.Malformed](cut.readVarint())
+      }
+    }
+    // 11 continuation bytes = over the 10-byte int64 maximum
+    val over = Array.fill[Byte](11)(0x80.toByte)
+    intercept[ProtoWire.Malformed](
+      new ProtoWire.Cursor(over, 0, over.length).readVarint())
+  }
+
+  test("zigzag maps signed to unsigned per the spec table") {
+    val table = Seq(0L -> 0L, -1L -> 1L, 1L -> 2L, -2L -> 3L, 2L -> 4L,
+      Long.MaxValue -> -2L, Long.MinValue -> -1L)
+    table.foreach { case (n, z) =>
+      assert(ProtoWire.zigzagEncode(n) == z, s"encode $n")
+      assert(ProtoWire.zigzagDecode(z) == n, s"decode $z")
+    }
+  }
+
+  // ---- golden bytes -----------------------------------------------------
+
+  private val golden = ProtoRecord(150L, WireSite("ab", "x"), 1.5,
+    flag = true, ts = -2L)
+  /** Hand-computed wire image of `golden` (what protoc would emit):
+    * id: 08 96 01 | site: 12 07 (0A 02 'a' 'b', 12 01 'x') |
+    * score: 19 + 1.5-bits LE | flag: 20 01 | ts: 28 03 (zigzag -2). */
+  private val goldenBytes = bytes(
+    0x08, 0x96, 0x01,
+    0x12, 0x07, 0x0A, 0x02, 0x61, 0x62, 0x12, 0x01, 0x78,
+    0x19, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F,
+    0x20, 0x01,
+    0x28, 0x03)
+
+  test("encoder emits the exact golden wire bytes") {
+    assert(ProtoCodec.encode(golden).toSeq == goldenBytes.toSeq)
+  }
+
+  test("decoder parses the hand-written golden bytes (independent of " +
+      "the encoder)") {
+    assert(ProtoCodec.decode(goldenBytes) == DecodeResult.Ok(golden))
+  }
+
+  test("proto3 defaults: zero/empty/absent fields round-trip; empty " +
+      "message encodes to zero bytes") {
+    assert(ProtoCodec.encode(
+      ProtoRecord(0L, null, 0.0, flag = false, ts = 0L)).isEmpty)
+    // zero bytes decode back to all defaults with an ABSENT site
+    assert(ProtoCodec.decode(Array.emptyByteArray) ==
+      DecodeResult.Ok(ProtoRecord(0L, null, 0.0, flag = false, ts = 0L)))
+    // present-but-empty site = tag + len 0, distinct from absent
+    val withEmptySite = ProtoRecord(0L, WireSite("", ""), 0.0,
+      flag = false, ts = 0L)
+    assert(ProtoCodec.encode(withEmptySite).toSeq == Seq[Byte](0x12, 0x00))
+    assert(ProtoCodec.decode(bytes(0x12, 0x00)) ==
+      DecodeResult.Ok(withEmptySite))
+  }
+
+  test("reader semantics: any field order, unknown fields skipped, " +
+      "duplicates last-one-wins") {
+    // golden's fields reordered: ts, score, site, flag, id
+    val reordered = bytes(0x28, 0x03) ++
+      bytes(0x19, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F) ++
+      bytes(0x12, 0x07, 0x0A, 0x02, 0x61, 0x62, 0x12, 0x01, 0x78) ++
+      bytes(0x20, 0x01) ++ bytes(0x08, 0x96, 0x01)
+    assert(ProtoCodec.decode(reordered) == DecodeResult.Ok(golden))
+    // unknown fields: 15/varint, 6/length-delimited, 7/fixed32 — all
+    // skipped, including inside the nested site message (field 9)
+    val unknowns = goldenBytes ++
+      bytes(0x78, 0x01) ++                   // field 15, varint 1
+      bytes(0x32, 0x03, 0x01, 0x02, 0x03) ++ // field 6, 3-byte blob
+      bytes(0x3D, 0x01, 0x02, 0x03, 0x04)    // field 7, fixed32
+    assert(ProtoCodec.decode(unknowns) == DecodeResult.Ok(golden))
+    val siteWithUnknown = bytes(0x12, 0x0A,
+      0x0A, 0x02, 0x61, 0x62, 0x4A, 0x01, 0x07, 0x12, 0x01, 0x78)
+    assert(ProtoCodec.decode(siteWithUnknown) == DecodeResult.Ok(
+      ProtoRecord(0L, WireSite("ab", "x"), 0.0, flag = false, ts = 0L)))
+    // duplicate scalar: last occurrence wins (proto merge rule)
+    val dupId = bytes(0x08, 0x01) ++ goldenBytes
+    assert(ProtoCodec.decode(dupId) == DecodeResult.Ok(golden))
+  }
+
+  test("malformed payloads fail cleanly: truncated varint/fixed64, " +
+      "length past buffer, group wire types") {
+    val cases = Seq(
+      "truncated varint" -> bytes(0x96),
+      "tag then EOF varint" -> bytes(0x08, 0x80),
+      "truncated fixed64" -> bytes(0x19, 0x00, 0x01),
+      "length past buffer" -> bytes(0x12, 0x05, 0x0A),
+      "group start" -> bytes(0x0B),
+      "nested length past nested end" -> bytes(0x12, 0x02, 0x0A, 0x05))
+    cases.foreach { case (name, b) =>
+      assert(ProtoCodec.decode(b).isInstanceOf[DecodeResult.Failed], name)
+    }
+    // a strict prefix of the golden bytes must never decode to golden
+    // (it may decode to a VALID shorter record — proto has no length
+    // header — but silent truncation into the same record is a bug)
+    (1 until goldenBytes.length).foreach { cut =>
+      ProtoCodec.decode(goldenBytes.take(cut)) match {
+        case DecodeResult.Ok(r) => assert(r != golden, s"cut $cut")
+        case _ => ()
+      }
+    }
+  }
+
+  test("property: round-trip holds for arbitrary records") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val recGen = for {
+      id <- Gen.choose(Long.MinValue, Long.MaxValue)
+      hasSite <- Gen.oneOf(true, false)
+      sid <- Gen.stringOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('é', '中', ' '))).map(_.take(400))
+      kind <- Gen.stringOf(Gen.alphaNumChar).map(_.take(100))
+      score <- Gen.oneOf(Gen.choose(-1e308, 1e308), Gen.oneOf(
+        0.0, -0.0, Double.PositiveInfinity, Double.MinPositiveValue))
+      flag <- Gen.oneOf(true, false)
+      ts <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield ProtoRecord(id, if (hasSite) WireSite(sid, kind) else null,
+      score, flag, ts)
+    (0 until 200).foreach { i =>
+      val r = recGen.apply(Gen.Parameters.default, Seed(11L + i)).get
+      assert(ProtoCodec.decode(ProtoCodec.encode(r)) == DecodeResult.Ok(r),
+        s"seed $i")
+    }
+  }
+
+  // ---- native expressions ----------------------------------------------
+
+  test("ProtoParseExpr doGenCode compiles and matches eval (no fallback)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.BinaryType
+    val expr = ProtoParseExpr(BoundReference(0, BinaryType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on bad code
+    val out = proj(InternalRow(goldenBytes)).getStruct(0, 6)
+    assert(out.getLong(0) == 150L)
+    assert(out.getStruct(1, 2).getUTF8String(0).toString == "ab")
+    assert(out.getStruct(1, 2).getUTF8String(1).toString == "x")
+    assert(out.getDouble(2) == 1.5)
+    assert(out.getBoolean(3))
+    assert(out.getLong(4) == -2L)
+    assert(out.isNullAt(5))
+    val bad = proj(InternalRow(bytes(0x96))).getStruct(0, 6)
+    assert(bad.isNullAt(0) && !bad.isNullAt(5))
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
+  test("ProtoEncodeExpr doGenCode compiles and emits the golden bytes") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType,
+      StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val inType = StructType(Seq(
+      StructField("id", LongType),
+      StructField("site", StructType(Seq(
+        StructField("id", StringType), StructField("kind", StringType)))),
+      StructField("score", DoubleType),
+      StructField("flag", BooleanType),
+      StructField("ts", LongType)))
+    val expr = ProtoEncodeExpr(BoundReference(0, inType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val in = new GenericInternalRow(Array[Any](150L,
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString("ab"), UTF8String.fromString("x"))),
+      1.5, true, -2L))
+    assert(proj(InternalRow(in)).getBinary(0).toSeq == goldenBytes.toSeq)
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
+  test("columnar encode → decode round trip equals the typed path on a " +
+      "mixed batch") {
+    implicit val benc = ExpressionEncoder[Array[Byte]]()
+    val good = (0 until 100).map { i =>
+      ProtoCodec.encode(ProtoRecord(i.toLong,
+        if (i % 9 == 0) null else WireSite(s"s$i", if (i % 2 == 0) "web" else "app"),
+        i * 0.25, i % 3 == 0, i.toLong - 50L))
+    }
+    val bad = Seq(bytes(0x96), bytes(0x12, 0x05, 0x01), bytes(0x0B))
+    val df = (good ++ bad).toDF("value")
+      .withColumn("timestamp", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val typed = Decoders.typed[ProtoRecord](ProtoCodec.decode).apply(df)
+    val columnar = ProtoCodec.decodeColumnar(df)
+    assert(columnar.columns.toSeq == typed.columns.toSeq)
+    val key = Seq("id", "site", "score", "flag", "ts")
+    val tGood = typed.where(col("_corrupt").isNull).select(key.map(col): _*)
+    val cGood = columnar.where(col("_corrupt").isNull).select(key.map(col): _*)
+    assert(cGood.exceptAll(tGood).count() == 0)
+    assert(tGood.exceptAll(cGood).count() == 0)
+    assert(typed.where(col("_corrupt").isNotNull).count() == bad.size)
+    assert(columnar.where(col("_corrupt").isNotNull).count() == bad.size)
+  }
+}
