@@ -207,8 +207,17 @@ object LlmQueries {
   // leaked 61k chance-collision pairs at sf0.1; round 2's cap at 3 was
   // banding-honest but cut planted-pair recall to 46/72. Radius 7 with
   // a matching guarantee keeps both the suite and the oracle green.
+  /** Registered CAPPED (maxBucket = 2000, the round-4 10×-probe
+    * setting): the 256-value-per-band key space saturates
+    * quadratically on low-entropy corpora (measured 14× wall at 10×
+    * scale), and the cap is deterministic, so the oracle models it
+    * with a bucket-df CTE — the containment playbook. No-op at
+    * fixture scale (max bucket 1564 at sf0.1, measured). */
+  val simhashMaxBucket = 2000
+
   def simhashDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearDups(s, dir), maxHamming = 7, bands = 8)
+    Dedup.simhashPairs(docsWithNearDups(s, dir), maxHamming = 7, bands = 8,
+      maxBucket = simhashMaxBucket)
       .orderBy("id_a", "id_b")
 
   /** Full cross-engine SimHash oracle: md5-based token hashes are
@@ -240,9 +249,15 @@ object LlmQueries {
        |    CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j % 8 AS INT)
        |             ELSE 0 END) AS BIGINT) AS chunk
        |  FROM votes GROUP BY doc_id, j // 8),
+       |bdf AS (
+       |  SELECT band, chunk, count(*) AS n FROM chunks GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT c.doc_id, c.band, c.chunk FROM chunks c
+       |  JOIN bdf ON c.band = bdf.band AND c.chunk = bdf.chunk
+       |  WHERE bdf.n <= $simhashMaxBucket),
        |cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM chunks a JOIN chunks b
+       |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
@@ -295,9 +310,16 @@ object LlmQueries {
   // band bucket → candidate (incl. the 48-bit pre-verify hamming
   // bound) → exact cosine — the minhash_md5 playbook on embeddings.
   // The xxhash default stays the operator (rows-only) path.) ------------
+  /** Registered CAPPED (maxBucket = 2000, the round-4 10×-probe
+    * setting): 12-bit tables are a fixed 4096-value key space, so the
+    * hot-bucket cap is the saturation guard at scale; deterministic,
+    * so the oracle mirrors it with a bucket-df CTE. No-op at fixture
+    * scale (≈3 vectors per bucket at sf0.1). */
+  val embedLshMaxBucket = 2000
+
   def embedDupLshMd5(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineDupPairsLsh(embsWithDups(s, dir), threshold = 0.999,
-      md5Signs = true)
+      maxBucket = embedLshMaxBucket, md5Signs = true)
       .orderBy("id_a", "id_b")
 
   /** DuckDB rebuild of the whole hyperplane-LSH dedup pipeline. Plane
@@ -346,7 +368,12 @@ object LlmQueries {
        |    CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << j
        |      ELSE 0 END) AS BIGINT) AS sig
        |  FROM proj GROUP BY vec_id, grp, t),
-       |bands AS (SELECT vec_id, t, sig FROM sigs WHERE grp = 0),
+       |bands0 AS (SELECT vec_id, t, sig FROM sigs WHERE grp = 0),
+       |bdf AS (SELECT t, sig, count(*) AS n FROM bands0 GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT b.vec_id, b.t, b.sig FROM bands0 b
+       |  JOIN bdf ON b.t = bdf.t AND b.sig = bdf.sig
+       |  WHERE bdf.n <= $embedLshMaxBucket),
        |pre AS (SELECT vec_id, sig AS sig2 FROM sigs WHERE grp = 1),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -65,13 +65,24 @@ class PlanQualitySuite extends SparkSpec {
     // through the driver — fine at sf0.1, an OOM at 100 TB. The
     // static plan must be shuffle joins end-to-end; only AQE may
     // demote a side to broadcast at runtime from MEASURED sizes.
+    // ONE broadcast IS by design: dropHotKeys' LeftAnti join against
+    // the hot-bucket key set (keys over the cap — a handful of longs
+    // by construction, never payloads). Inner broadcast joins remain
+    // forbidden.
     Seq("llm_minhash_lsh", "llm_minhash_md5", "llm_embed_dup_lsh",
       "llm_embed_dup_lsh_md5").foreach { q =>
       val p = plan(q)
-      assert(!p.contains("BroadcastExchange"),
-        s"$q statically broadcasts a full-corpus subplan")
-      assert(!p.contains("BroadcastHashJoin"),
-        s"$q statically plans a broadcast join")
+      val bhj = "BroadcastHashJoin [^\\n]*".r.findAllIn(p).toList
+      bhj.foreach { j =>
+        assert(j.contains("LeftAnti"),
+          s"$q statically plans a non-anti broadcast join: $j")
+      }
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop broadcast join")
+      // broadcasts must be exactly the anti-join builds — no extra
+      // BroadcastExchange feeding anything else
+      assert("BroadcastExchange".r.findAllIn(p).length == bhj.length,
+        s"$q has a broadcast feeding a non-anti join")
     }
   }
 
