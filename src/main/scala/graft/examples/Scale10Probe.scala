@@ -99,6 +99,17 @@ object Scale10Probe {
           Dedup.ngramJaccardPairs(d, threshold = 0.5,
             maxDf = 1000000).count())
       }
+      if (which("spans")) {
+        // duplicate-passage spans: positional match join + pair-local
+        // islands window — wall must track corpus size (the window
+        // partitions by (pair, alignment), bounded by doc length)
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        Dedup.duplicateSpans(d1).count()
+        timed("1x duplicateSpans")(Dedup.duplicateSpans(d1).count())
+        timed("10x duplicateSpans")(Dedup.duplicateSpans(d10).count())
+      }
       if (which("pack")) {
         // packing: per-shard window — wall must stay ~linear and the
         // span invariants hold at 10× (full sequences except shard

@@ -152,6 +152,69 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Verbatim duplicate-passage SPANS — exact-substring dedup at the
+    * PASSAGE level (the Lee et al. "Deduplicating Training Data Makes
+    * Language Models Better" signal): the doc-level family above says
+    * two documents overlap; this says WHERE and HOW LONG, so a
+    * pipeline can cut the repeated passage instead of dropping whole
+    * documents. Emits one row per maximal verbatim run of
+    * ≥ `minTokens` tokens shared by a document pair, with the
+    * token-offset start in each doc.
+    *
+    * Shape: positional md5-long k-gram hashes (the winnow hash —
+    * DuckDB-reproducible, so the WHOLE pipeline carries a
+    * cross-engine oracle) → `maxDf` hot-hash cap (boilerplate
+    * k-grams shared by everything would square the match join — the
+    * ngram/containment lever) → self-join on hash for positional
+    * matches → gaps-and-islands on (pair, posA−posB): consecutive
+    * positions at a fixed alignment are ONE verbatim run, detected
+    * with a row_number window PARTITIONED BY (pair, alignment) —
+    * bounded by document length, never by corpus size (not the
+    * typicality Zipf hazard). A run of m consecutive k-grams is
+    * m + k − 1 verbatim tokens.
+    *
+    * Output: (id_a, id_b, a_start, b_start, n_tokens), id_a < id_b,
+    * 0-based token offsets; a doc pair sharing several distinct
+    * passages (or the same passage at several alignments) emits one
+    * row per run. */
+  def duplicateSpans(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, minTokens: Int = 16,
+      maxDf: Int = 1000): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(minTokens >= k,
+      s"minTokens=$minTokens must be >= k=$k (a single matching " +
+        "k-gram already witnesses k verbatim tokens)")
+    val hs = df.select(col(idCol).as("id"),
+      graft.functions.ShingleMd5Hash64Expr.shingle_md5_hash64(
+        TextAnalysis.tokens(col(textCol)), k, distinct = false).as("hs"))
+    // posexplode_OUTER, then drop the null rows AFTER the generate:
+    // plain posexplode adds an implicit `size(hs) > 0 AND hs IS NOT
+    // NULL` filter that pushdown re-inlines BELOW the projection's
+    // exchange — the whole shingle-hash pass re-evaluates per
+    // predicate term in a separate stage (measured 3× per row per
+    // side; the bindOnce lesson in pushdown clothing). The outer
+    // generate has no implicit filter; the null check on the
+    // GENERATED column is a per-row long test.
+    val pos = hs.select(col("id"), posexplode_outer(col("hs")))
+      .toDF("id", "p", "h")
+      .where(col("h").isNotNull)
+    val capped = dropHotKeys(pos, Seq("h"), maxDf)
+    val m = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diff"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diff").orderBy("pa")
+    m.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diff", "isl")
+      .agg(min(col("pa")).as("a_min"), max(col("pa")).as("a_max"))
+      .select(col("id_a"), col("id_b"),
+        col("a_min").cast("long").as("a_start"),
+        (col("a_min") - col("diff")).cast("long").as("b_start"),
+        (col("a_max") - col("a_min") + k).cast("long").as("n_tokens"))
+      .where(col("n_tokens") >= minTokens)
+  }
+
   /** Distinct hashed shingle sets with md5-LONG shingle hashes
     * (first 8 digest bytes of the shingle STRING, big-endian): the
     * cross-engine-reproducible twin of [[shingleSets]] — DuckDB can

@@ -131,6 +131,64 @@ object LlmQueries {
        |GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
        |HAVING round(count(*) / least(a.sz, b.sz), 4) >= 0.9""".stripMargin
 
+  // --- llm_dup_spans ----------------------------------------------------
+  /** Duplicate-passage spans over the near-dup corpus: every planted
+    * tail-extended copy shares its ENTIRE original verbatim, so each
+    * planted pair must emit a span starting at token 0 in both docs
+    * covering the original's full token count (suite-pinned); the
+    * md5 k-gram hashes make the whole run-detection pipeline
+    * reproducible in DuckDB. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(docsWithNearDups(s, dir), k = 8, minTokens = 16,
+      maxDf = 1000)
+
+  /** DuckDB rebuild: positional 8-gram md5-long hashes (the winnow
+    * signed-64 reconstruction), hot-hash df cap, positional match
+    * join, gaps-and-islands by (pair, alignment), span arithmetic. */
+  val dupSpansSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+       |    list_transform(range(1, len(w) - 6),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+       |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
+       |        || w[i+7])
+       |    ELSE [] END AS s
+       |  FROM tok),
+       |h AS (
+       |  SELECT doc_id, list_transform(s, x -> CAST(
+       |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
+       |        * 4294967296
+       |      + CAST('0x' || substring(md5(x), 9, 8) AS BIGINT)
+       |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
+       |          >= 2147483648
+       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)) AS hs
+       |  FROM sh),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(0, len(hs))) AS p, unnest(hs) AS h
+       |  FROM h),
+       |hdf AS (SELECT h, count(*) AS n FROM pos GROUP BY h),
+       |capped AS (
+       |  SELECT pos.doc_id, pos.p, pos.h FROM pos
+       |  JOIN hdf ON pos.h = hdf.h WHERE hdf.n <= 1000),
+       |m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa,
+       |    a.p - b.p AS diff
+       |  FROM capped a JOIN capped b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT *, pa - row_number()
+       |    OVER (PARTITION BY id_a, id_b, diff ORDER BY pa) AS g
+       |  FROM m)
+       |SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,
+       |  CAST(min(pa) - diff AS BIGINT) AS b_start,
+       |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
+       |FROM isl GROUP BY id_a, id_b, diff, g
+       |HAVING max(pa) - min(pa) + 8 >= 16""".stripMargin
+
   // --- llm_minhash_lsh (xxhash64-based → rows-only check) ---------------
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docsWithNearDups(s, dir), threshold = 0.5)
@@ -1106,6 +1164,7 @@ object LlmQueries {
     "llm_exact_dedup" -> (exactDedup _),
     "llm_ngram_jaccard" -> (ngramJaccard _),
     "llm_containment" -> (containment _),
+    "llm_dup_spans" -> (dupSpans _),
     "llm_minhash_lsh" -> (minhashLsh _),
     "llm_minhash_md5" -> (minhashMd5 _),
     "llm_simhash" -> (simhashDup _),
@@ -1140,6 +1199,7 @@ object LlmQueries {
     "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" -> ngramJaccardSql,
     "llm_containment" -> containmentSql,
+    "llm_dup_spans" -> dupSpansSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_embed_dup" -> embedDupSql,
     "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,

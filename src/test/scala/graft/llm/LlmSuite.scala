@@ -60,6 +60,34 @@ class LlmSuite extends SparkSpec {
     assert(planted == expected, s"$planted/$expected planted pairs at maxDf=50")
   }
 
+  test("dup spans: every planted tail-copy pair emits the full-document " +
+      "verbatim span at offset 0/0") {
+    // the copy = original text + 4 appended tokens, so the ENTIRE
+    // original is one verbatim run at alignment 0 — the span must
+    // start at token 0 in both docs and cover the original's full
+    // token count (for originals long enough to clear minTokens)
+    val spans = LlmQueries.all("llm_dup_spans")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .where(col("n") >= 16)
+      .as[(Long, Long)].collect().toMap
+    assert(expected.nonEmpty)
+    expected.foreach { case (id, n) =>
+      assert(spans.exists { case (a, b, as_, bs, nt) =>
+        a == id && b == id + 1000000 && as_ == 0 && bs == 0 && nt == n
+      }, s"planted pair ($id, ${id + 1000000}) missing its full span of $n")
+    }
+    // spans never extend past either document's verbatim overlap: the
+    // planted pair's run cannot exceed the original's length
+    spans.filter { case (a, b, _, _, _) => b == a + 1000000 }
+      .foreach { case (a, _, _, _, nt) =>
+        expected.get(a).foreach(n => assert(nt <= n, s"span $nt > doc $n"))
+      }
+  }
+
   test("minhash LSH recall vs exact jaccard is high, precision exact") {
     val exact = LlmQueries.ngramJaccard(spark, sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
