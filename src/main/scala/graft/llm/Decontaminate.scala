@@ -28,12 +28,18 @@ object Decontaminate {
   def contaminated(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // explode_outer + null test on the GENERATED column: plain
+    // explode's implicit size/notnull filter re-runs the winnow pass
+    // below the exchange (the shingleInv lesson in Dedup)
     val benchFps = benchmark
-      .select(explode(TextAnalysis.winnowFingerprints(col(textCol), k, w))
-        .as("fp"))
+      .select(explode_outer(
+        TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .where(col("fp").isNotNull)
       .distinct()
     val docFps = docs.select(col(idCol),
-      explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      explode_outer(TextAnalysis.winnowFingerprints(col(textCol), k, w))
+        .as("fp"))
+      .where(col("fp").isNotNull)
     // per-doc fingerprints are already distinct (winnowing dedups), so
     // a plain count after the semi-join is the distinct-overlap count
     docFps.join(broadcast(benchFps), Seq("fp"))

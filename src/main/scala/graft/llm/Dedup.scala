@@ -85,12 +85,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, threshold: Double = 0.6,
       maxDf: Int = 1000): DataFrame = {
+    // coalesce makes sz provably non-null: sz rides the length-bound
+    // JOIN condition, so Catalyst otherwise infers isnotnull(size(sh))
+    // and pushes it into the scan filter — re-running the shingle pass
+    // there (empty docs never reach the join anyway: their null
+    // exploded rows die in shingleInv).
     val sets = shingleSets(df, idCol, textCol, n)
-      .withColumn("sz", size(col("sh")))
+      .withColumn("sz", coalesce(size(col("sh")), lit(0)))
     // Inverted index on the hashed shingles: the join/shuffle key is a
     // long, not a multi-word string.
-    val inv = sets.select(col("id"), col("sz"),
-      explode(col("sh")).as("h"))
+    val inv = shingleInv(sets)
     // Hot-shingle cap: a stopword-ish shingle shared by millions of
     // docs would otherwise create a quadratic join (dropHotKeys).
     val capped = dropHotKeys(inv, Seq("h"), maxDf)
@@ -138,9 +142,8 @@ object Dedup {
       textCol: String = "text", n: Int = 3, threshold: Double = 0.9,
       maxDf: Int = 1000): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-      .withColumn("sz", size(col("sh")))
-    val inv = sets.select(col("id"), col("sz"),
-      explode(col("sh")).as("h"))
+      .withColumn("sz", coalesce(size(col("sh")), lit(0)))
+    val inv = shingleInv(sets)
     val capped = dropHotKeys(inv, Seq("h"), maxDf)
     capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -286,6 +289,19 @@ object Dedup {
     * simhash/embed-LSH bucket caps): the over-hot key list is tiny by
     * construction, so a broadcast anti-join beats any per-key window.
     */
+  /** Inverted index from (id, sz, sh): explode_OUTER + a null filter
+    * on the GENERATED column. Plain explode's implicit
+    * `size(sh) > 0 AND sh IS NOT NULL` filter gets pushed below the
+    * shingle projection's exchange and re-evaluates the whole shingle
+    * pass per predicate term in a separate stage (SCALE.md round-6
+    * lesson — measured 24 → 8 plan occurrences on dup_spans); the
+    * outer generate has no implicit filter and the null test lands on
+    * a generated long. Empty sets emit one null row → filtered:
+    * row-identical to the plain explode. */
+  private def shingleInv(sets: DataFrame): DataFrame =
+    sets.select(col("id"), col("sz"), explode_outer(col("sh")).as("h"))
+      .where(col("h").isNotNull)
+
   private[llm] def dropHotKeys(df: DataFrame, keys: Seq[String],
       maxPerKey: Int): DataFrame =
     if (maxPerKey == Int.MaxValue) df
@@ -307,8 +323,13 @@ object Dedup {
     // The hashed shingle sets are the verification payload too:
     // Jaccard over them equals Jaccard over string sets (modulo ~1e-8
     // collisions), and only longs ship through the shuffles.
+    // No size(sh) pre-filter: that predicate gets pushed below the
+    // shingle projection and re-evaluates the shingle pass per term
+    // (the shingleInv lesson). Empty sets produce a NULL signature
+    // (MinHashSignatureExpr contract) which the band explode below
+    // turns into null band keys → filtered there, one cheap test on
+    // generated values.
     val sets = rawSets
-      .where(size(col("sh")) > 0)
       .withColumn("sig", graft.functions.MinHashSignatureExpr
         .minhash_signature(col("sh"), k, seed))
     // Band rows carry ONLY (id, band, band_key): candidate generation
@@ -321,17 +342,22 @@ object Dedup {
     // from pure hash collisions — every one a false candidate that
     // pays the payload join + Jaccard verify). xxhash64 keeps chance
     // bucket collisions ~0 at any realistic corpus for 8 bytes of key.
+    // NULL sig (empty doc) → null band key: concat_ws would otherwise
+    // skip the null elements and key every empty doc to "" — one
+    // giant false bucket.
     val bandKey: Column => Column = bnd => {
       val slice = concat_ws("_", (0 until rows).map(r =>
         element_at(col("sig"),
           (bnd * rows + r + 1).cast("int"))): _*)
-      if (exactBandKey) slice else xxhash64(slice, bnd)
+      when(col("sig").isNotNull,
+        if (exactBandKey) slice else xxhash64(slice, bnd))
     }
     val banded = sets.select(col("id"),
-      posexplode(transform(
+      posexplode_outer(transform(
         sequence(lit(0), lit(bands - 1)), bandKey)))
       .withColumnRenamed("col", "band_key")
       .withColumnRenamed("pos", "band")
+      .where(col("band_key").isNotNull)
     // True self-join; the shuffle_hash hint pins BOTH sides to the
     // same shuffle exchange (a broadcast on one side would break
     // exchange reuse and recompute the signature lineage twice).

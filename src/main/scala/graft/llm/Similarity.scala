@@ -110,11 +110,15 @@ object Similarity {
         .withColumn(outNorm, greatest(norm(col(outVec)), lit(1e-12)))
         .select(col(outId), col(outVec), col(outNorm),
           // all nTables signatures in one native pass (bit-identical
-          // to per-table lshSignature calls — see HyperplaneSigsExpr)
-          posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
-            col(outVec), nBits, nTables, seed, md5Signs)))
+          // to per-table lshSignature calls — see HyperplaneSigsExpr).
+          // outer explode + null test on the GENERATED column: plain
+          // posexplode's implicit size/notnull filter re-evaluates the
+          // whole sig pass below the exchange (shingleInv lesson)
+          posexplode_outer(graft.functions.HyperplaneSigsExpr
+            .hyperplane_sigs(col(outVec), nBits, nTables, seed, md5Signs)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "sig")
+        .where(col("sig").isNotNull)
     require(multiProbe >= 0 && multiProbe <= 2,
       s"multiProbe=$multiProbe: supported probe radii are 0, 1, 2")
     val cB = banded(corpus, "neighbor_id", "cv", "cn")
@@ -335,14 +339,22 @@ object Similarity {
     // probability < 1e-8 at the threshold, ~0 for exact-direction
     // copies (identical sign patterns modulo float rounding).
     val preBound = preVerifyBound(threshold)
+    // outer explode + null test on the GENERATED column (shingleInv
+    // lesson: the implicit filter would re-run BOTH sig passes below
+    // the exchange)
     val banded0 = v.select(col("id"),
-      element_at(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
-        col("vec"), PreVerifyBits, 1, seed + nTables * 7919L, md5Signs),
-        1).as("sig2"),
-      posexplode(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
+      // coalesce: sig2 rides the hamming-bound JOIN condition, so a
+      // nullable sig2 makes Catalyst push isnotnull(<48-plane pass>)
+      // into the scan filter — re-running it there. Null-vec rows die
+      // at the bucket filter below regardless.
+      coalesce(element_at(graft.functions.HyperplaneSigsExpr
+        .hyperplane_sigs(col("vec"), PreVerifyBits, 1,
+          seed + nTables * 7919L, md5Signs), 1), lit(0L)).as("sig2"),
+      posexplode_outer(graft.functions.HyperplaneSigsExpr.hyperplane_sigs(
         col("vec"), nBits, nTables, seed, md5Signs)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")
+      .where(col("bucket").isNotNull)
     // Hot-bucket cap (off by default): clustered embeddings pile into
     // few hyperplane buckets — a 2^nBits key space is FIXED, so bucket
     // sizes and candidate pairs (Σ size²) grow quadratically with the

@@ -117,8 +117,12 @@ object TextAnalysis {
     * score them under). */
   def typicality(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // explode_outer + null test on the GENERATED column: the implicit
+    // explode filter re-runs the tokenizer regexp per predicate term
+    // (the Dedup.shingleInv lesson)
     val toks = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("tok"))
+      explode_outer(tokens(col(textCol))).as("tok"))
+      .where(col("tok").isNotNull)
     // Per-(doc, tok) occurrence counts: the only pass over raw
     // occurrences, and it partial-aggregates before its shuffle.
     val docTok = toks.groupBy(col(idCol), col("tok"))
@@ -286,7 +290,11 @@ object TextAnalysis {
         .otherwise(array().cast(
           "array<struct<chunk_id:int,chunk_text:string,n_tokens:int>>"))
     }
-    df.select(col(idCol).as("doc_id"), explode(chunks).as("c"))
+    // explode_outer + null test on the GENERATED column: plain
+    // explode's implicit size/notnull filter re-runs the whole chunk
+    // build per predicate term (the Dedup.shingleInv lesson)
+    df.select(col(idCol).as("doc_id"), explode_outer(chunks).as("c"))
+      .where(col("c").isNotNull)
       .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"),
         col("c.n_tokens"))
   }

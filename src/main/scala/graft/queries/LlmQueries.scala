@@ -686,9 +686,12 @@ object LlmQueries {
   /** Winnowing document fingerprints, exploded to (doc_id, fp) rows —
     * the joinable shared-passage key set. */
   def winnow(s: SparkSession, dir: String): DataFrame =
+    // explode_outer + null test on the generated column (the
+    // Dedup.shingleInv lesson: no winnow re-run in a pushed filter)
     docs(s, dir).select(col("doc_id"),
-      explode(TextAnalysis.winnowFingerprints(col("text"), k = 4, w = 4))
-        .as("fp"))
+      explode_outer(TextAnalysis.winnowFingerprints(col("text"), k = 4,
+        w = 4)).as("fp"))
+      .where(col("fp").isNotNull)
 
   /** Winnow-fingerprint CTE chain over source CTE/table `src`, names
     * prefixed with `p` (so two corpora can be fingerprinted in one
