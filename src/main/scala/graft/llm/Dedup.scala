@@ -218,6 +218,70 @@ object Dedup {
       .where(col("n_tokens") >= minTokens)
   }
 
+  /** Cut duplicated passages OUT of documents — the second half of
+    * passage-level dedup: [[duplicateSpans]] says WHERE two docs share
+    * a verbatim run; this removes each run from the HIGHER-id doc
+    * (greedy keep-lowest-id, the exact-dedup representative rule —
+    * the passage survives in the id_a side), so near-copies shrink to
+    * their novel remainder instead of being dropped whole.
+    *
+    * Contract: spans are TOKEN offsets of this engine's canonical
+    * `[a-z0-9]+` lowercase token stream, so `text_cut` is the
+    * token-level reconstruction (lowercased, punctuation-free) — the
+    * same stream every downstream operator here consumes (token
+    * counts, fingerprints, packing). Docs with no spans pass through
+    * with `text_cut` = their own token reconstruction (n_removed 0),
+    * keeping the column comparable corpus-wide.
+    *
+    * Shape: per-doc interval merge (overlapping cut ranges union) via
+    * a running-max window PARTITIONED BY doc — bounded by a doc's
+    * span count, never corpus size; merged intervals collect to ONE
+    * array per doc and join back to the corpus (left join — spans
+    * frames are tiny next to the corpus); the cut itself is a
+    * map-only filter over the token array. Deterministic regardless
+    * of window tie order: islands depend only on the interval SET. */
+  def cutSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val iv = spans.select(col("id_b").as("id"), col("b_start").as("s"),
+      (col("b_start") + col("n_tokens")).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("s")
+    val withMax = iv.withColumn("prev_max", max(col("e")).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)))
+    val grp = withMax
+      .withColumn("ni", when(col("prev_max").isNull ||
+        col("s") > col("prev_max"), 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val merged = grp.groupBy(col("id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.join(ivs, docs(idCol) === ivs("id"), "left")
+      .select(docs(idCol), col(textCol), col("ivs"))
+      .select(col(idCol),
+        graft.functions.ExprUtils.bindOnce(
+          TextAnalysis.tokens(col(textCol))) { t =>
+          // guard: Spark's sequence counts DOWN when start > stop, so
+          // an empty token array would yield [0, -1], not []
+          val keptIdx = filter(
+            when(size(t) > 0, sequence(lit(0), size(t) - 1))
+              .otherwise(array().cast("array<int>")), i =>
+            when(col("ivs").isNull, lit(true)).otherwise(
+              !exists(col("ivs"), v =>
+                i >= v.getField("s") && i < v.getField("e"))))
+          struct(
+            concat_ws(" ", transform(keptIdx,
+              i => element_at(t, (i + 1).cast("int")))).as("text_cut"),
+            when(size(t) > 0,
+              (size(t) - size(keptIdx)).cast("long")).otherwise(lit(0L))
+              .as("n_removed"))
+        }.as("c"))
+      .select(col(idCol), col("c.text_cut"), col("c.n_removed"))
+  }
+
   /** Distinct hashed shingle sets with md5-LONG shingle hashes
     * (first 8 digest bytes of the shingle STRING, big-endian): the
     * cross-engine-reproducible twin of [[shingleSets]] — DuckDB can
@@ -523,7 +587,14 @@ object Dedup {
     val simExpr = graft.functions.SimHash64Expr.simhash64(
       graft.functions.TokenMd5Hash64Expr.token_md5_hash64(
         TextAnalysis.tokens(col(textCol))))
-    val sigs = df.select(col(idCol).as("id"), simExpr.as("sim"))
+    // sim rides the hamming-bound JOIN condition, so a nullable sim
+    // makes Catalyst infer isnotnull(simhash64(...)) and push the
+    // whole signature pass into the scan filter (the shingleInv/sz
+    // lesson). simhash64 is null ONLY for null text: filter that on
+    // the RAW column (cheap scan predicate), then coalesce is the
+    // identity and sim is provably non-null.
+    val sigs = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), coalesce(simExpr, lit(0L)).as("sim"))
     val banded0 = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sim"), b * width)

@@ -144,9 +144,11 @@ object LlmQueries {
 
   /** DuckDB rebuild: positional 8-gram md5-long hashes (the winnow
     * signed-64 reconstruction), hot-hash df cap, positional match
-    * join, gaps-and-islands by (pair, alignment), span arithmetic. */
-  val dupSpansSql: String =
-    s"""WITH corpus AS ($corpusNearSql),
+    * join, gaps-and-islands by (pair, alignment), span arithmetic.
+    * Factored as CTEs ending in `spans` so the cut oracle can build
+    * on the identical span pipeline. */
+  private val dupSpansCtes: String =
+    s"""corpus AS ($corpusNearSql),
        |tok AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
        |  FROM corpus),
@@ -182,12 +184,72 @@ object LlmQueries {
        |isl AS (
        |  SELECT *, pa - row_number()
        |    OVER (PARTITION BY id_a, id_b, diff ORDER BY pa) AS g
-       |  FROM m)
-       |SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,
-       |  CAST(min(pa) - diff AS BIGINT) AS b_start,
-       |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
-       |FROM isl GROUP BY id_a, id_b, diff, g
-       |HAVING max(pa) - min(pa) + 8 >= 16""".stripMargin
+       |  FROM m),
+       |spans AS (
+       |  SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,
+       |    CAST(min(pa) - diff AS BIGINT) AS b_start,
+       |    CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
+       |  FROM isl GROUP BY id_a, id_b, diff, g
+       |  HAVING max(pa) - min(pa) + 8 >= 16)""".stripMargin
+
+  // plain concatenation, NOT an interpolated stripMargin: the CTE text
+  // contains lines starting with `||` (shingle concat), which a second
+  // stripMargin would truncate to `|`
+  val dupSpansSql: String =
+    "WITH " + dupSpansCtes +
+      "\nSELECT id_a, id_b, a_start, b_start, n_tokens FROM spans"
+
+  // --- llm_cut_spans ----------------------------------------------------
+  /** The cut composed over the detected spans: planted copies lose
+    * their contained original and shrink to the 4-token probe tail;
+    * every other doc passes through as its token reconstruction. */
+  def cutSpansQ(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(s, dir)
+    Dedup.cutSpans(corpus,
+      Dedup.duplicateSpans(corpus, k = 8, minTokens = 16, maxDf = 1000))
+  }
+
+  /** DuckDB rebuild on top of the span CTEs: per-doc interval merge
+    * via the running-max window, interval list join-back, token-index
+    * filter, token-level reconstruction. */
+  val cutSpansSql: String =
+    "WITH " + dupSpansCtes + ",\n" +
+    """iv AS (
+       |  SELECT id_b AS id, b_start AS s, b_start + n_tokens AS e
+       |  FROM spans),
+       |wm AS (
+       |  SELECT id, s, e, max(e) OVER (PARTITION BY id ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM iv),
+       |g AS (
+       |  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+       |    THEN 1 ELSE 0 END AS ni FROM wm),
+       |g2 AS (
+       |  SELECT *, sum(ni) OVER (PARTITION BY id ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM g),
+       |mrg AS (
+       |  SELECT id, isl, min(s) AS s, max(e) AS e FROM g2 GROUP BY 1, 2),
+       |ivl AS (
+       |  SELECT id, list({'s': s, 'e': e} ORDER BY s) AS ivs
+       |  FROM mrg GROUP BY id),
+       |base AS (
+       |  SELECT c.doc_id,
+       |    regexp_extract_all(lower(c.text), '[a-z0-9]+') AS w, ivl.ivs
+       |  FROM corpus c LEFT JOIN ivl ON c.doc_id = ivl.id),
+       |kept AS (
+       |  SELECT doc_id, w,
+       |    CASE WHEN ivs IS NULL THEN range(0, len(w))
+       |      ELSE list_filter(range(0, len(w)), i ->
+       |        len(list_filter(ivs, v -> i >= v.s AND i < v.e)) = 0)
+       |    END AS ki
+       |  FROM base)
+       |SELECT doc_id,
+       |  coalesce(
+       |    array_to_string(list_transform(ki, i -> w[i + 1]), ' '), '')
+       |    AS text_cut,
+       |  CAST(len(w) - len(ki) AS BIGINT) AS n_removed
+       |FROM kept""".stripMargin
 
   // --- llm_minhash_lsh (xxhash64-based → rows-only check) ---------------
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -1168,6 +1230,7 @@ object LlmQueries {
     "llm_ngram_jaccard" -> (ngramJaccard _),
     "llm_containment" -> (containment _),
     "llm_dup_spans" -> (dupSpans _),
+    "llm_cut_spans" -> (cutSpansQ _),
     "llm_minhash_lsh" -> (minhashLsh _),
     "llm_minhash_md5" -> (minhashMd5 _),
     "llm_simhash" -> (simhashDup _),
@@ -1203,6 +1266,7 @@ object LlmQueries {
     "llm_ngram_jaccard" -> ngramJaccardSql,
     "llm_containment" -> containmentSql,
     "llm_dup_spans" -> dupSpansSql,
+    "llm_cut_spans" -> cutSpansSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_embed_dup" -> embedDupSql,
     "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,

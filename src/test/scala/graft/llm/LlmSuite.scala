@@ -88,6 +88,43 @@ class LlmSuite extends SparkSpec {
       }
   }
 
+  test("cut spans: planted copies shrink to the probe tail; originals " +
+      "pass through untouched") {
+    val spans = LlmQueries.all("llm_dup_spans")(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val cutIds = spans.map(_._2).toSet // cut side = higher id
+    val cut = LlmQueries.all("llm_cut_spans")(spark, sf0001)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val longOriginals = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0)
+      .where(TextAnalysis.tokenCount(col("text")) >= 16)
+      .select("doc_id").as[Long].collect()
+    assert(longOriginals.nonEmpty)
+    longOriginals.foreach { id =>
+      val copy = id + 1000000
+      // a copy that only duplicates ITS original keeps exactly the
+      // 4-token appended tail; copies also cut by natural spans (or
+      // originals that are themselves someone's b-side) are excluded
+      if (spans.count { case (_, b) => b == copy } == 1) {
+        val (text, removed) = cut(copy)
+        assert(text == "graft dup probe tail",
+          s"copy $copy cut to '$text'")
+        assert(removed > 0)
+      }
+      if (!cutIds.contains(id))
+        assert(cut(id)._2 == 0L, s"original $id lost tokens")
+    }
+    // conservation: n_removed equals the token-count drop, corpus-wide
+    val bad = LlmQueries.all("llm_cut_spans")(spark, sf0001).as("c")
+      .join(LlmQueries.docsWithNearDups(spark, sf0001).as("d"),
+        col("c.doc_id") === col("d.doc_id"))
+      .where(TextAnalysis.tokenCount(col("d.text"))
+        - TextAnalysis.tokenCount(col("c.text_cut")) =!= col("c.n_removed"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("minhash LSH recall vs exact jaccard is high, precision exact") {
     val exact = LlmQueries.ngramJaccard(spark, sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
