@@ -148,6 +148,28 @@ class PlanQualitySuite extends SparkSpec {
       s"extra exchange in packing plan:\n${p.take(800)}")
   }
 
+  test("no expensive native expression is re-evaluated in a Filter node " +
+      "anywhere (explode/join-key pushdown re-inline guard)") {
+    // Two pushdown mechanisms re-ran shingle/signature passes inside
+    // scan filters, in separate stages from their projections (round-6
+    // sweep, SCALE.md): explode's implicit size/notnull filter, and
+    // isnotnull(<expr>) inferred from JOIN conditions on nullable
+    // expressions. Both are fixed by outer explodes + null tests on
+    // GENERATED columns and coalesce on join keys; this guard keeps
+    // them fixed. (Filter nodes on the cheap tokenizer regexp alone
+    // are exempt where the whole operator is a single scan stage.)
+    val heavy = Seq("hashed_shingles", "shingle_md5_hash64",
+      "hyperplane_sigs", "simhash64(", "minhash_signature")
+    graft.SparkEntry.queries.keys.filter(_.startsWith("llm_")).foreach { q =>
+      plan(q).linesIterator.filter(_.contains("Filter")).foreach { line =>
+        heavy.foreach { e =>
+          assert(!line.contains(e),
+            s"$q re-evaluates $e in a Filter:\n${line.take(300)}")
+        }
+      }
+    }
+  }
+
   test("every registered query runs at sf0.001 (driver smoke parity)") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf0001)
