@@ -109,6 +109,15 @@ object Scale10Probe {
         Dedup.duplicateSpans(d1).count()
         timed("1x duplicateSpans")(Dedup.duplicateSpans(d1).count())
         timed("10x duplicateSpans")(Dedup.duplicateSpans(d10).count())
+        // force the ACTUAL cut: a bare count() lets Catalyst eliminate
+        // the left join (unique right keys) and prune the whole token
+        // filter — it measures corpus count, not the operator
+        def runCut(d: org.apache.spark.sql.DataFrame): Long =
+          Dedup.cutSpans(d, Dedup.duplicateSpans(d))
+            .agg(sum(length(col("text_cut"))), sum(col("n_removed")))
+            .collect()(0).getLong(1)
+        timed("1x cutSpans (tokens removed)")(runCut(d1))
+        timed("10x cutSpans (tokens removed)")(runCut(d10))
       }
       if (which("pack")) {
         // packing: per-shard window — wall must stay ~linear and the
