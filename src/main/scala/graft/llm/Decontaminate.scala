@@ -66,9 +66,15 @@ object Decontaminate {
     * composes into an append-mode streaming query unchanged. Per-doc
     * winnow fingerprints are distinct, so the intersect size equals
     * [[clean]]'s distinct-overlap count: output is row-identical
-    * (suite-pinned). Batch callers should prefer [[clean]] — the
-    * exploded broadcast-hash semi-join keeps the per-row work
-    * proportional to MATCHES, not to the benchmark set size. */
+    * (suite-pinned) — PROVIDED `idCol` is unique per row, its
+    * position in the pipeline (after exact dedup). With duplicate
+    * ids, [[clean]] aggregates overlap ACROSS the id's rows before
+    * the anti-join while this decides per row — a doc split across
+    * two rows with 1 shared fingerprint each is dropped by batch
+    * (1+1 ≥ minShared) but kept here. Batch callers should prefer
+    * [[clean]] — the exploded broadcast-hash semi-join keeps the
+    * per-row work proportional to MATCHES, not to the benchmark set
+    * size. */
   def cleanStreaming(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

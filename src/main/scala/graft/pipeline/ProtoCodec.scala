@@ -127,9 +127,13 @@ object ProtoWire {
   * omitted; a null `site` omits the field, a non-null empty one
   * emits `tag, len 0`). Decoder follows proto reader semantics:
   * fields in ANY order, unknown fields skipped by wire type,
-  * last-one-wins on duplicates, absent scalars default. Malformed
-  * input (truncated varint/fixed, length past the buffer, wire types
-  * 3/4) routes to the dead letter frame, not an exception.
+  * last-one-wins on duplicate scalars, duplicate embedded MESSAGE
+  * fields MERGE (fragments concatenate — a conformant writer may
+  * split `site` across occurrences), absent scalars default.
+  * Malformed input (truncated varint/fixed, length past the buffer,
+  * wire types 3/4, field number 0 — rejecting the latter keeps
+  * zeroed buffers out of the good-rows path) routes to the dead
+  * letter frame, not an exception.
   *
   * Two decoders, same semantics — the [[WireCodec]] pattern:
   * [[decode]] through `Decoders.typed` (reference-parity boundary),
@@ -169,13 +173,18 @@ object ProtoCodec {
     out.toByteArray
   }
 
-  private def parseSite(c: Cursor): WireSite = {
-    var id = ""
-    var kind = ""
+  /** Parses one `Site` fragment, MERGING into `base`: a duplicated
+    * non-repeated message field concatenates its fragments per the
+    * proto merge rule (scalars last-one-wins, so a fragment's set
+    * fields overwrite; unset fields keep the earlier value). */
+  private def parseSite(c: Cursor, base: WireSite): WireSite = {
+    var id = base.id
+    var kind = base.kind
     while (c.hasRemaining) {
       val tag = c.readVarint()
       val field = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
+      if (field == 0) throw new Malformed("field number 0")
       if (field == 1 && wt == 2) {
         val l = c.readLen()
         id = new String(c.bytes, c.pos, l, UTF_8); c.pos += l
@@ -202,11 +211,15 @@ object ProtoCodec {
         val tag = c.readVarint()
         val field = (tag >>> 3).toInt
         val wt = (tag & 7).toInt
+        // field number 0 is invalid wire data (protobuf reserves it);
+        // skipping it would decode zeroed buffers as default records
+        if (field == 0) throw new Malformed("field number 0")
         if (field == 1 && wt == 0) id = c.readVarint()
         else if (field == 2 && wt == 2) {
           val l = c.readLen()
           val sub = new Cursor(c.bytes, c.pos, c.pos + l)
-          site = parseSite(sub)
+          site = parseSite(sub,
+            if (site == null) WireSite("", "") else site)
           c.pos += l
         } else if (field == 3 && wt == 1)
           score = java.lang.Double.longBitsToDouble(c.readFixed64())
@@ -262,15 +275,21 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
     StructField("_corrupt", StringType)))
   override def nullable: Boolean = true
 
-  private def parseSiteRow(bytes: Array[Byte], start: Int,
-      end: Int): InternalRow = {
+  /** Parses one `Site` fragment, MERGING into `base` (null base =
+    * fresh defaults) — the proto merge rule for duplicated
+    * non-repeated message fields, matching [[ProtoCodec.parseSite]]. */
+  private def parseSiteRow(bytes: Array[Byte], start: Int, end: Int,
+      base: InternalRow): InternalRow = {
     val c = new Cursor(bytes, start, end)
-    var id = UTF8String.EMPTY_UTF8
-    var kind = UTF8String.EMPTY_UTF8
+    var id = if (base == null) UTF8String.EMPTY_UTF8
+      else base.getUTF8String(0)
+    var kind = if (base == null) UTF8String.EMPTY_UTF8
+      else base.getUTF8String(1)
     while (c.hasRemaining) {
       val tag = c.readVarint()
       val field = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
+      if (field == 0) throw new Malformed("field number 0")
       if (field == 1 && wt == 2) {
         val l = c.readLen()
         id = UTF8String.fromBytes(bytes, c.pos, l); c.pos += l
@@ -293,10 +312,11 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
       val tag = c.readVarint()
       val field = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
+      if (field == 0) throw new Malformed("field number 0")
       if (field == 1 && wt == 0) id = c.readVarint()
       else if (field == 2 && wt == 2) {
         val l = c.readLen()
-        site = parseSiteRow(bytes, c.pos, c.pos + l)
+        site = parseSiteRow(bytes, c.pos, c.pos + l, site)
         c.pos += l
       } else if (field == 3 && wt == 1)
         score = java.lang.Double.longBitsToDouble(c.readFixed64())

@@ -248,7 +248,7 @@ object LlmQueries {
        |  coalesce(
        |    array_to_string(list_transform(ki, i -> w[i + 1]), ' '), '')
        |    AS text_cut,
-       |  CAST(len(w) - len(ki) AS BIGINT) AS n_removed
+       |  CAST(coalesce(len(w) - len(ki), 0) AS BIGINT) AS n_removed
        |FROM kept""".stripMargin
 
   // --- llm_minhash_lsh (xxhash64-based → rows-only check) ---------------

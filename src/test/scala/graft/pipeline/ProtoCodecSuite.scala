@@ -107,6 +107,29 @@ class ProtoCodecSuite extends SparkSpec {
     // duplicate scalar: last occurrence wins (proto merge rule)
     val dupId = bytes(0x08, 0x01) ++ goldenBytes
     assert(ProtoCodec.decode(dupId) == DecodeResult.Ok(golden))
+    // duplicate embedded MESSAGE fields MERGE: a conformant writer may
+    // split site across occurrences — {id:"ab"} then {kind:"x"}
+    val splitSite = bytes(0x12, 0x04, 0x0A, 0x02, 0x61, 0x62) ++
+      bytes(0x12, 0x03, 0x12, 0x01, 0x78)
+    assert(ProtoCodec.decode(splitSite) == DecodeResult.Ok(
+      ProtoRecord(0L, WireSite("ab", "x"), 0.0, flag = false, ts = 0L)))
+    // ...and a later fragment's SET fields overwrite
+    val overwrite = splitSite ++ bytes(0x12, 0x04, 0x0A, 0x02, 0x63, 0x64)
+    assert(ProtoCodec.decode(overwrite) == DecodeResult.Ok(
+      ProtoRecord(0L, WireSite("cd", "x"), 0.0, flag = false, ts = 0L)))
+  }
+
+  test("field number 0 is malformed — zeroed buffers never decode Ok") {
+    // tag byte 0x00 = field 0, wire type 0; protobuf reserves field 0
+    // and conformant parsers reject it. Accepting it would decode an
+    // all-zero buffer (an upstream framing bug) as a fabricated
+    // default record in the good-rows table.
+    Seq(bytes(0x00), bytes(0x00, 0x00), Array.fill[Byte](16)(0),
+      bytes(0x12, 0x02, 0x00, 0x00)). // field 0 inside nested site
+      foreach { b =>
+        assert(ProtoCodec.decode(b).isInstanceOf[DecodeResult.Failed],
+          b.mkString(","))
+      }
   }
 
   test("malformed payloads fail cleanly: truncated varint/fixed64, " +

@@ -49,6 +49,20 @@ class StreamingPrepareSuite extends SparkSpec {
       .withColumn("doc_id", col("doc_id") + 1000000)
     val bench = docs.where(col("doc_id") % 13 === 0)
       .select("doc_id", "text").cache()
+    // PRECONDITION for the min-id parity argument: within ONE
+    // micro-batch, streaming dropDuplicates keeps an ARBITRARY row per
+    // key, not the min id — the first-arrival-equals-min-id reasoning
+    // only covers collisions ACROSS batches. The originals batch must
+    // therefore be fingerprint-collision-free (true at sf0.001; sf0.1
+    // has 8 colliding originals — this guard turns a silent
+    // nondeterministic failure into an explicit one if the fixture or
+    // SF ever changes).
+    val collisions = docs
+      .groupBy(graft.llm.TextAnalysis.fingerprint(col("text")))
+      .count().where(col("count") > 1).count()
+    assert(collisions == 0,
+      s"$collisions fingerprint collisions among originals — the " +
+        "single-batch min-id parity precondition does not hold")
 
     def prepareStream(df: org.apache.spark.sql.DataFrame) = {
       val sig = TextAnalysis.qualitySignals(df)
