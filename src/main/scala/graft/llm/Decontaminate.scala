@@ -71,10 +71,14 @@ object Decontaminate {
     * ids, [[clean]] aggregates overlap ACROSS the id's rows before
     * the anti-join while this decides per row — a doc split across
     * two rows with 1 shared fingerprint each is dropped by batch
-    * (1+1 ≥ minShared) but kept here. Batch callers should prefer
-    * [[clean]] — the exploded broadcast-hash semi-join keeps the
-    * per-row work proportional to MATCHES, not to the benchmark set
-    * size. */
+    * (1+1 ≥ minShared) but kept here. Null/short texts yield a NULL
+    * fingerprint array, which is coalesced to empty below — a doc
+    * with no fingerprints can't be contaminated, and [[clean]]'s
+    * anti-join likewise keeps it (a bare NULL would make the WHERE
+    * three-valued and silently DROP the row). Batch callers should
+    * prefer [[clean]] — the exploded broadcast-hash semi-join keeps
+    * the per-row work proportional to MATCHES, not to the benchmark
+    * set size. */
   def cleanStreaming(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -84,7 +88,8 @@ object Decontaminate {
       .agg(collect_set(col("fp")).as("bench_fps"))
     docs.crossJoin(broadcast(benchSet))
       .where(size(array_intersect(
-        TextAnalysis.winnowFingerprints(col(textCol), k, w),
+        coalesce(TextAnalysis.winnowFingerprints(col(textCol), k, w),
+          array()),
         col("bench_fps"))) < minShared)
       .drop("bench_fps")
   }

@@ -123,7 +123,9 @@ object ProtoWire {
   * pluggable `unmarshalFunc` boundary as [[WireCodec]]
   * (/root/reference/proto.go:33,106-172). Encoder follows generated
   * proto3 writer semantics (default-valued scalars omitted, judged on
-  * raw double BITS so -0.0/NaN still serialize; empty strings
+  * raw double BITS so -0.0/NaN still serialize, and WRITTEN as raw
+  * bits so non-canonical NaN payloads round-trip bit-exactly, like
+  * protobuf-java's writeDoubleNoTag; empty strings
   * omitted; a null `site` omits the field, a non-null empty one
   * emits `tag, len 0`). Decoder follows proto reader semantics:
   * fields in ANY order, unknown fields skipped by wire type,
@@ -166,7 +168,7 @@ object ProtoCodec {
     }
     if (java.lang.Double.doubleToRawLongBits(r.score) != 0L) {
       writeTag(out, 3, 1)
-      writeFixed64(out, java.lang.Double.doubleToLongBits(r.score))
+      writeFixed64(out, java.lang.Double.doubleToRawLongBits(r.score))
     }
     if (r.flag) { writeTag(out, 4, 0); writeVarint(out, 1L) }
     if (r.ts != 0L) { writeTag(out, 5, 0); writeVarint(out, zigzagEncode(r.ts)) }
@@ -386,7 +388,7 @@ case class ProtoEncodeExpr(child: Expression) extends UnaryExpression {
     val score = if (row.isNullAt(2)) 0.0 else row.getDouble(2)
     if (java.lang.Double.doubleToRawLongBits(score) != 0L) {
       writeTag(out, 3, 1)
-      writeFixed64(out, java.lang.Double.doubleToLongBits(score))
+      writeFixed64(out, java.lang.Double.doubleToRawLongBits(score))
     }
     if (!row.isNullAt(3) && row.getBoolean(3)) {
       writeTag(out, 4, 0); writeVarint(out, 1L)

@@ -139,14 +139,22 @@ object OperatorQueries {
           .otherwise(lit("__corrupt")).as("status"))
   }
 
+  // COALESCEs mirror proto3 default semantics: a NULL source column
+  // encodes as an ABSENT field on the wire and decodes to ""/0.0 on
+  // the Spark side, while bare SQL would propagate NULL ('u'||NULL =
+  // NULL) — a silent hash mismatch if the events fixture ever gains
+  // nulls (ADVICE r6). flag/ts derive from event_id, the row key.
   val protoDecodeSql: String =
     """SELECT
       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id END AS id,
       |  CASE WHEN event_id % 7 = 0 THEN NULL
-      |       ELSE 'u' || CAST(user_id AS VARCHAR) END AS site_id,
-      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+      |       ELSE COALESCE('u' || CAST(user_id AS VARCHAR), '') END
+      |    AS site_id,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL
+      |       ELSE COALESCE(event_type, '') END
       |    AS site_kind,
-      |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS score,
+      |  CASE WHEN event_id % 7 = 0 THEN NULL
+      |       ELSE COALESCE(value, 0.0) END AS score,
       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE (event_id % 2 = 0) END
       |    AS flag,
       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id - 500 END AS ts,

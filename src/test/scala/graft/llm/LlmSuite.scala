@@ -68,10 +68,13 @@ class LlmSuite extends SparkSpec {
     // token count (for originals long enough to clear minTokens)
     val spans = LlmQueries.all("llm_dup_spans")(spark, sf0001)
       .as[(Long, Long, Long, Long, Long)].collect()
+    // size(tokens(...)): the SAME canonical [a-z0-9]+ stream the span
+    // pipeline consumes — whitespace tokenCount only coincides on
+    // punctuation-free lowercase fixtures (ADVICE r6)
     val expected = spark.read.parquet(s"$sf0001/documents.parquet")
       .where(col("doc_id") % 7 === 0)
       .select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
       .where(col("n") >= 16)
       .as[(Long, Long)].collect().toMap
     assert(expected.nonEmpty)
@@ -98,7 +101,7 @@ class LlmSuite extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     val longOriginals = spark.read.parquet(s"$sf0001/documents.parquet")
       .where(col("doc_id") % 7 === 0)
-      .where(TextAnalysis.tokenCount(col("text")) >= 16)
+      .where(size(TextAnalysis.tokens(col("text"))) >= 16)
       .select("doc_id").as[Long].collect()
     assert(longOriginals.nonEmpty)
     longOriginals.foreach { id =>

@@ -177,6 +177,25 @@ class ProtoCodecSuite extends SparkSpec {
     }
   }
 
+  test("NaN score round-trips bit-exactly (raw-bits fixed64 branch)") {
+    // case-class == fails on NaN (NaN != NaN), so the assertion must
+    // compare raw bits; covers both the canonical NaN and a non-
+    // canonical payload the IEEE-754 bit pattern must preserve.
+    val nans = Seq(Double.NaN,
+      java.lang.Double.longBitsToDouble(0x7ff8dead
+        .toLong << 32 | 0xbeefL))
+    nans.foreach { d =>
+      val r = ProtoRecord(1L, WireSite("s", "k"), d, flag = false, 0L)
+      ProtoCodec.decode(ProtoCodec.encode(r)) match {
+        case DecodeResult.Ok(back) =>
+          assert(java.lang.Double.doubleToRawLongBits(back.score) ==
+            java.lang.Double.doubleToRawLongBits(d))
+          assert(back.copy(score = 0.0) == r.copy(score = 0.0))
+        case other => fail(s"NaN record failed to decode: $other")
+      }
+    }
+  }
+
   // ---- native expressions ----------------------------------------------
 
   test("ProtoParseExpr doGenCode compiles and matches eval (no fallback)") {
