@@ -52,6 +52,26 @@ object LlmQueries {
       |UNION ALL SELECT doc_id + 1000000, text || ' graft dup probe tail'
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** documents ∪ exact copies of every 10th doc (ids +1000000) ∪
+    * near-copies of every 7th (4-token tail, ids +2000000) — the
+    * fuzzy-e2e corpus: the exact stage catches only the first family
+    * (the near-copies ride UNIQUE fingerprints straight through), so
+    * the fuzzy stage has real, attributable work. */
+  private[graft] def docsWithMixedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+      .unionByName(d.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", concat(col("text"), lit(" graft dup probe tail"))))
+  }
+  private val corpusMixedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text FROM documents
+      |WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 2000000, text || ' graft dup probe tail'
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   // --- llm_exact_dedup ------------------------------------------------
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docsWithExactDups(s, dir))
@@ -262,26 +282,30 @@ object LlmQueries {
     Dedup.minhashLshPairsMd5(docsWithNearDups(s, dir), threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** DuckDB rebuild of the whole MinHash pipeline: md5-long shingle
-    * hashes (signed-64 reconstruction in HUGEINT — the winnow-oracle
-    * trick), the seeded affine (a*h+b) mod P signature minima with the
-    * a/b parameters inlined as literals, `_`-joined band keys, band
-    * bucket join for candidates, exact Jaccard verify. */
-  val minhashMd5Sql: String = {
+  /** DuckDB rebuild of the whole MinHash pipeline over a (doc_id,
+    * text) source CTE `src`: md5-long shingle hashes (signed-64
+    * reconstruction in HUGEINT — the winnow-oracle trick), the seeded
+    * affine (a*h+b) mod P signature minima with the a/b parameters
+    * inlined as literals, `_`-joined band keys, band bucket join for
+    * candidates, exact Jaccard verify →
+    * `mh_pairs(id_a, id_b, jaccard)` at ≥ `threshold`. ONE copy
+    * (mh_-prefixed names so it splices beside other chains), used by
+    * the minhash_md5 oracle and the fuzzy e2e oracle — a banding or
+    * signature fix lands in both or neither. */
+  private def minhashPairsCtes(src: String, threshold: Double): String = {
     val params = graft.llm.Dedup.minhashParams(32, 42L)
     val aList = params.map(_._1).mkString("[", ", ", "]")
     val bList = params.map(_._2).mkString("[", ", ", "]")
-    s"""WITH corpus AS ($corpusNearSql),
-       |tok AS (
+    s"""mh_tok AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-       |  FROM corpus),
-       |sets AS (
+       |  FROM $src),
+       |mh_sets AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
        |    list_transform(range(1, len(w) - 1),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |    ELSE [] END) AS s
-       |  FROM tok),
-       |hs AS (
+       |  FROM mh_tok),
+       |mh_hs AS (
        |  SELECT doc_id, list_transform(s, x -> CAST(
        |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
        |        * 4294967296
@@ -289,36 +313,42 @@ object LlmQueries {
        |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
        |          >= 2147483648
        |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)) AS hs
-       |  FROM sets WHERE len(s) > 0),
-       |folded AS (
+       |  FROM mh_sets WHERE len(s) > 0),
+       |mh_folded AS (
        |  SELECT doc_id, ((h % 2147483647) + 2147483647) % 2147483647 AS hm
-       |  FROM (SELECT doc_id, unnest(hs) AS h FROM hs)),
-       |sig AS (
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM mh_hs)),
+       |mh_sig AS (
        |  SELECT doc_id, j,
        |    min((($aList)[j + 1] * hm + ($bList)[j + 1])
        |      % 2147483647) AS v
-       |  FROM folded CROSS JOIN range(32) r(j)
+       |  FROM mh_folded CROSS JOIN range(32) r(j)
        |  GROUP BY doc_id, j),
-       |bands AS (
+       |mh_bands AS (
        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
        |    string_agg(CAST(v AS VARCHAR), '_' ORDER BY j) AS bk
-       |  FROM sig GROUP BY doc_id, j // 4),
-       |cand AS (
+       |  FROM mh_sig GROUP BY doc_id, j // 4),
+       |mh_cand AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM mh_bands a JOIN mh_bands b
        |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |  round(len(list_intersect(ha.hs, hb.hs)) /
-       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
-       |    4) AS jaccard
-       |FROM cand
-       |JOIN hs ha ON ha.doc_id = id_a
-       |JOIN hs hb ON hb.doc_id = id_b
-       |WHERE round(len(list_intersect(ha.hs, hb.hs)) /
-       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
-       |    4) >= 0.5""".stripMargin
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(ha.hs, hb.hs)) /
+       |      (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+       |      4) AS jaccard
+       |  FROM mh_cand
+       |  JOIN mh_hs ha ON ha.doc_id = id_a
+       |  JOIN mh_hs hb ON hb.doc_id = id_b
+       |  WHERE round(len(list_intersect(ha.hs, hb.hs)) /
+       |      (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))),
+       |      4) >= $threshold)""".stripMargin
   }
+
+  val minhashMd5Sql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |${minhashPairsCtes("corpus", 0.5)}
+       |SELECT id_a, id_b, jaccard FROM mh_pairs""".stripMargin
 
   // --- llm_simhash ------------------------------------------------------
   // 8×8-bit banding + maxHamming=7: the banding guarantee (pigeonhole,
@@ -638,12 +668,29 @@ object LlmQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Connected-components CTE chain over a pair CTE `src(id_a, id_b)`:
+    * symmetric edges feed a recursive reachability CTE —
+    * cc_reach(id, v) holds every node v reachable from id, and min(v)
+    * per id is the component representative →
+    * `cc_labels(id, cluster_rep)`. The UNION (not UNION ALL) dedups
+    * tuples, so the recursion terminates at the transitive closure.
+    * The caller's WITH must be RECURSIVE. ONE copy, spliced by the
+    * dedup_clusters oracle and the fuzzy e2e oracle. */
+  private def ccLabelsCtes(src: String): String =
+    s"""cc_edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM $src
+       |  UNION ALL SELECT id_b, id_a FROM $src),
+       |cc_reach(id, v) AS (
+       |  SELECT DISTINCT src, src FROM cc_edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM cc_reach r JOIN cc_edges e
+       |    ON e.src = r.v),
+       |cc_labels AS (
+       |  SELECT id, min(v) AS cluster_rep FROM cc_reach GROUP BY id)""".stripMargin
+
   /** Cross-engine oracle: the near-dup pair table (string-shingle
-    * Jaccard, same as the ngram oracle) feeds a recursive reachability
-    * CTE — reach(id, v) holds every node v reachable from id, and
-    * min(v) per id is the connected-component representative. The
-    * UNION (not UNION ALL) dedups tuples, so the recursion terminates
-    * at the transitive closure. */
+    * Jaccard, same as the ngram oracle) feeds the shared
+    * connected-components chain. */
   val dedupClustersSql: String =
     s"""WITH RECURSIVE corpus AS ($corpusNearSql),
        |tok AS (
@@ -662,17 +709,9 @@ object LlmQueries {
        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
        |  HAVING round(count(*) / (a.sz + b.sz - count(*)), 4) >= 0.5),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM pairs
-       |  UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(id, v) AS (
-       |  SELECT DISTINCT src, src FROM edges
-       |  UNION
-       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.v),
-       |labels AS (
-       |  SELECT id, min(v) AS cluster_rep FROM reach GROUP BY id)
+       |${ccLabelsCtes("pairs")}
        |SELECT cluster_rep, count(*) AS cluster_size
-       |FROM labels GROUP BY cluster_rep""".stripMargin
+       |FROM cc_labels GROUP BY cluster_rep""".stripMargin
 
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -1124,17 +1163,23 @@ object LlmQueries {
     * deterministic, so the composed DuckDB oracle checks the entire
     * pipeline's row-exact output — an integration-level correctness
     * gate on top of the per-operator ones. */
-  def e2ePrepare(s: SparkSession, dir: String): DataFrame = {
-    val corpus = docsWithExactDups(s, dir)
+  /** quality → lang → fingerprint → keep → min-id exact dedup: the
+    * shared prefix of both e2e pipelines (and the suite's stage
+    * probe). */
+  private[graft] def keptDeduped(corpus: DataFrame): DataFrame = {
     val sig = TextAnalysis.qualitySignals(corpus)
       .withColumn("lang", TextAnalysis.langId(col("text")))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
       .where(col("verdict") === "keep")
-    val deduped = sig.groupBy("fingerprint")
+    sig.groupBy("fingerprint")
       .agg(min("doc_id").as("doc_id"),
         min_by(col("text"), col("doc_id")).as("text"),
         min_by(col("lang"), col("doc_id")).as("lang"))
       .drop("fingerprint")
+  }
+
+  def e2ePrepare(s: SparkSession, dir: String): DataFrame = {
+    val deduped = keptDeduped(docsWithExactDups(s, dir))
     val bench = docs(s, dir).where(col("doc_id") % 13 === 0)
       .select("doc_id", "text")
     val clean = graft.llm.Decontaminate.clean(deduped, bench)
@@ -1185,6 +1230,97 @@ object LlmQueries {
        |      WHEN 'fr' THEN 2500 ELSE 1000 END),
        |${packSpansSql("mixed", 64, 8)}""".stripMargin
   }
+
+  // --- llm_e2e_prepare_fuzzy ----------------------------------------------
+  /** Exact+fuzzy deduped survivors of the mixed-dup corpus (pre-
+    * decontamination), factored out so the suite can pin stage
+    * attribution: the planted near-copies ride UNIQUE fingerprints
+    * straight through the exact stage; the minhash-LSH pair →
+    * connected-components → keep-lowest-rep stage is what drops them.
+    *
+    * Scale shape: the pair generation is the banded MinHash pipeline
+    * (bucket-local candidates, bare-key shuffles); the cluster loop is
+    * one job per iteration, O(log diameter) iterations; the final
+    * drop is a shuffle anti-join on bare ids — NOT a forced broadcast,
+    * because the dropped-doc set is proportional to the corpus dup
+    * rate (30-50 % on real crawls), far too big to ship to every
+    * executor; AQE may still demote it to broadcast when the measured
+    * size allows. */
+  private[graft] def fuzzySurvivors(s: SparkSession, dir: String): DataFrame = {
+    val deduped = keptDeduped(docsWithMixedDups(s, dir))
+    val pairs = Dedup.minhashLshPairsMd5(deduped, threshold = 0.5)
+    val nonReps = Dedup.dedupClusters(pairs)
+      .where(col("id") =!= col("cluster_rep"))
+      .select(col("id").as("doc_id"))
+    deduped.join(nonReps, Seq("doc_id"), "left_anti")
+  }
+
+  /** The production-shaped capstone — [[e2ePrepare]] with the fuzzy
+    * dedup stage a real pipeline runs between exact dedup and
+    * decontamination: quality → lang → exact dedup → minhash-md5
+    * near-dup pairs → transitive clusters → keep-lowest-rep →
+    * decontaminate → mix → pack. The corpus plants BOTH duplicate
+    * families (exact copies of every 10th doc, tail-extended
+    * near-copies of every 7th); only the fuzzy stage catches the
+    * second, so the composed oracle checks the near-dup machinery's
+    * effect on the final manifest row-exactly. */
+  def e2ePrepareFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val survivors = fuzzySurvivors(s, dir)
+    val bench = docs(s, dir).where(col("doc_id") % 13 === 0)
+      .select("doc_id", "text")
+    val clean = graft.llm.Decontaminate.clean(survivors, bench)
+    val mixed = graft.llm.Sampling.sampleMix(clean, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1)
+    graft.llm.Packing.packSequences(mixed, ctxLen = 64, nShards = 8)
+  }
+
+  /** The composed fuzzy oracle: [[e2ePrepareSql]]'s chain with the
+    * shared minhash-pair and connected-components fragments spliced
+    * between the exact-dedup and decontamination CTEs — every
+    * fragment is the SAME text its standalone oracle uses. */
+  val e2ePrepareFuzzySql: String =
+    s"""WITH RECURSIVE corpus AS ($corpusMixedSql),
+       |sig AS (
+       |  SELECT doc_id, text,
+       |    $qualitySigColsSql,
+       |    $langScoresSql
+       |  FROM corpus),
+       |m AS (SELECT *, $langMaxSql AS mx FROM sig),
+       |kept AS (
+       |  SELECT doc_id, text, fingerprint, CASE
+       |      $langCaseSql
+       |      ELSE 'und' END AS lang
+       |  FROM m
+       |  WHERE $qualityKeepSql),
+       |dedup AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+       |    arg_min(lang, doc_id) AS lang
+       |  FROM kept GROUP BY fingerprint),
+       |${minhashPairsCtes("dedup", 0.5)},
+       |${ccLabelsCtes("mh_pairs")},
+       |fuzzy AS (
+       |  SELECT d.doc_id, d.text, d.lang FROM dedup d
+       |  LEFT JOIN cc_labels l ON d.doc_id = l.id
+       |  WHERE l.id IS NULL OR l.cluster_rep = d.doc_id),
+       |bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+       |${winnowFpsCte("fuzzy", "c_")},
+       |${winnowFpsCte("bench", "b_")},
+       |c_fp AS (SELECT doc_id, unnest(fps) AS fp FROM c_win),
+       |b_fp AS (SELECT DISTINCT unnest(fps) AS fp FROM b_win),
+       |contaminated AS (
+       |  SELECT doc_id FROM c_fp JOIN b_fp USING (fp)
+       |  GROUP BY doc_id HAVING count(*) >= 2),
+       |clean AS (
+       |  SELECT f.doc_id, f.text, f.lang FROM fuzzy f
+       |  LEFT JOIN contaminated c ON f.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL),
+       |mixed AS (
+       |  SELECT doc_id, text FROM clean
+       |  WHERE ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} <
+       |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+       |      WHEN 'fr' THEN 2500 ELSE 1000 END),
+       |${packSpansSql("mixed", 64, 8)}""".stripMargin
 
   // --- llm_multimodal -----------------------------------------------------
   /** documents.text bytes stand in for media blobs; metadata extraction
@@ -1255,6 +1391,7 @@ object LlmQueries {
     "llm_pack" -> (pack _),
     "llm_typicality" -> (typicality _),
     "llm_e2e_prepare" -> (e2ePrepare _),
+    "llm_e2e_prepare_fuzzy" -> (e2ePrepareFuzzy _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -1285,6 +1422,7 @@ object LlmQueries {
     "llm_pack" -> packSql,
     "llm_typicality" -> typicalitySql,
     "llm_e2e_prepare" -> e2ePrepareSql,
+    "llm_e2e_prepare_fuzzy" -> e2ePrepareFuzzySql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

@@ -17,6 +17,38 @@ class LlmSuite extends SparkSpec {
     assert(out.where(col("keep_id") >= 1000000).count() == 0)
   }
 
+  test("e2e fuzzy: planted near-copies pass the exact stage and are " +
+      "dropped by the fuzzy stage") {
+    // Stage attribution for llm_e2e_prepare_fuzzy: the mixed corpus
+    // plants exact copies (+1000000, every 10th doc) AND tail-extended
+    // near-copies (+2000000, every 7th doc). The near-copies ride
+    // UNIQUE fingerprints, so the exact stage can't touch them — only
+    // the minhash-pair → cluster → keep-lowest-rep stage drops them.
+    val exact = LlmQueries.keptDeduped(
+        LlmQueries.docsWithMixedDups(spark, sf0001))
+      .select("doc_id").as[Long].collect().toSet
+    val fuzzy = LlmQueries.fuzzySurvivors(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    // exact stage: all exact copies gone, ALL near-copies still there
+    assert(!exact.exists(id => id >= 1000000 && id < 2000000),
+      "an exact copy survived the exact stage")
+    val nearInExact = exact.filter(_ >= 2000000)
+    val expectedNear = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 7 === 0).count()
+    assert(nearInExact.size == expectedNear,
+      s"${nearInExact.size}/$expectedNear near-copies survived the " +
+        "exact stage (their fingerprints are unique by construction)")
+    // fuzzy stage: every planted near-copy dropped (measured exactly
+    // 72/72 at sf0.001 — deterministic: seeded minhash, md5 hashes)
+    assert(fuzzy.subsetOf(exact))
+    assert(!fuzzy.exists(_ >= 2000000),
+      "a planted near-copy survived the fuzzy stage")
+    // the stage drops non-reps only: survivors shrink, nothing appears
+    val dropped = exact -- fuzzy
+    assert(dropped.size >= expectedNear,
+      "fuzzy dropped fewer docs than the planted near-copies alone")
+  }
+
   test("ngram jaccard finds every planted near-dup pair") {
     val pairs = LlmQueries.ngramJaccard(spark, sf0001)
     val planted = pairs
