@@ -220,11 +220,47 @@ object Similarity {
     val model =
       try km.fit(fitInput)
       finally fitInput.unpersist(blocking = false)
-    // Centroids + their norms are driver-side constants; norms are
-    // accumulated left-to-right like `norm` so rankings agree with the
-    // expression form bit-for-bit.
+    // Centroids are driver-side constants from here on.
     val centArrs: Seq[Seq[Double]] =
       model.clusterCenters.map(_.toArray.toSeq).toSeq
+    ivfTopKFrom(queries, corpus, k, centArrs, nProbe, idCol, vecCol)
+  }
+
+  /** The nCentroids lowest-id corpus vectors, as driver-side centroid
+    * literals — the deterministic, SQL-reproducible coarse quantizer
+    * for [[ivfTopKFrom]]'s oracle twin: sample points ARE a legitimate
+    * Voronoi quantizer (recall is governed by nProbe, not centroid
+    * polish — the [[ivfTopK]] scaladoc's own argument), and "ORDER BY
+    * id LIMIT n" is reproducible in any engine, where a KMeans fit
+    * (partition-wise float sums) is not. Collects n tiny rows. */
+  def lowestIdCentroids(corpus: DataFrame, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Double]] = {
+    val rows = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("cv"))
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select("cv").collect()
+    require(rows.length == nCentroids,
+      s"corpus has only ${rows.length} rows for $nCentroids centroids")
+    rows.map(_.getSeq[Double](0).toSeq).toSeq
+  }
+
+  /** IVF assignment → probe → top-k with EXPLICIT centroids: the
+    * quantizer is pluggable — KMeans-fitted in [[ivfTopK]] (the
+    * operator path), deterministic sample vectors
+    * ([[lowestIdCentroids]]) in the `llm_ann_ivf_md5` twin whose full
+    * pipeline a DuckDB oracle rebuilds. Same map-only assignment,
+    * same probe fan-out, same tie-breaks. */
+  def ivfTopKFrom(queries: DataFrame, corpus: DataFrame, k: Int,
+      centArrs: Seq[Seq[Double]], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nCentroids = centArrs.length
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
+      .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
+    // Centroid norms are accumulated left-to-right like `norm` so
+    // rankings agree with the expression form bit-for-bit.
     val centNorms: Seq[Double] = centArrs.map { a =>
       var s = 0.0; a.foreach(x => s += x * x)
       math.max(math.sqrt(s), 1e-12)

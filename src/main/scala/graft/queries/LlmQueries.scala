@@ -657,6 +657,67 @@ object LlmQueries {
       nCentroids = 16, nProbe = 4)
   }
 
+  // --- llm_ann_ivf_md5 (deterministic sample-vector centroids → the
+  // FULL DuckDB oracle for the IVF pipeline: argmax cell assignment →
+  // nProbe probing → exact cosine → top-k. The KMeans fit stays the
+  // operator path — Lloyd's partition-wise float sums aren't
+  // SQL-reproducible; the quantizer is the ONLY swapped component.) ------
+  def annIvfMd5(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopKFrom(e.where(col("vec_id") < 10), e, k = 5,
+      Similarity.lowestIdCentroids(e, nCentroids = 16), nProbe = 4)
+  }
+
+  /** DuckDB rebuild of the IVF top-k with the sample-vector quantizer:
+    * centroids = the 16 lowest-vec_id corpus vectors (cid in id
+    * order), corpus rows argmax-assigned to their best cell (score
+    * DESC, cid ASC — Spark's array_position-first-max tie-break),
+    * queries probe their 4 best cells, exact cosine over probed
+    * cells, ranked (sim DESC, neighbor ASC). Raw-double score
+    * comparisons are safe cross-engine because both sides accumulate
+    * dots left-to-right over identical doubles (the annLshMd5 `pr >
+    * 0` precedent). */
+  val annIvfMd5Sql: String = {
+    val (nCent, nProbe, k) = (16, 4, 5)
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cv,
+       |    greatest(sqrt(list_dot_product(vec, vec)), 1e-12) AS cnn
+       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT $nCent)),
+       |cell_sc AS (
+       |  SELECT v.vec_id, ct.cid,
+       |    list_dot_product(v.vec, ct.cv) / ct.cnn AS score
+       |  FROM c v CROSS JOIN cents ct),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+       |    FROM cell_sc) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+       |    FROM cell_sc WHERE vec_id < 10) WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round(list_dot_product(qq.vec, cc.vec) /
+       |      (greatest(sqrt(list_dot_product(qq.vec, qq.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(cc.vec, cc.vec)), 1e-12)), 6)
+       |      AS sim
+       |  FROM qprobe q
+       |  JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+       |  JOIN c qq ON qq.vec_id = q.query_id
+       |  JOIN c cc ON cc.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+       |    AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, sim FROM ranked
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // --- llm_dedup_clusters (rows-only: transitive closure of near-dup
   // pairs → per-doc cluster representative + cluster sizes) --------------
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -1377,6 +1438,7 @@ object LlmQueries {
     "llm_ann_lsh" -> (annLsh _),
     "llm_ann_lsh_md5" -> (annLshMd5 _),
     "llm_ann_ivf" -> (annIvf _),
+    "llm_ann_ivf_md5" -> (annIvfMd5 _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_lang_id" -> (langId _),
     "llm_quality" -> (quality _),
@@ -1409,6 +1471,7 @@ object LlmQueries {
     "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,
     "llm_ann_topk" -> annTopKSql,
     "llm_ann_lsh_md5" -> annLshMd5Sql,
+    "llm_ann_ivf_md5" -> annIvfMd5Sql,
     "llm_lang_id" -> langIdSql,
     "llm_quality" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
