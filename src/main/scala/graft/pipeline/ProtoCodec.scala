@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** The demo record for the REAL protobuf ingest path — the
   * length-prefixed [[WireRecord]] shape plus a signed `ts` delta so
-  * every proto3 scalar encoding is on the wire:
+  * every proto3 scalar encoding is on the wire, plus the two
+  * non-scalar cardinalities the reference's type surface carries
+  * (`Repeated`, /root/reference/custom.go:15; proto map,
+  * /root/reference/README.md:10-11):
   * ```proto
   *   message ProtoRecord {            // field · wire type
   *     int64  id    = 1;              // varint
@@ -23,13 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     double score = 3;              // fixed64 (little-endian)
   *     bool   flag  = 4;              // varint
   *     sint64 ts    = 5;              // zigzag varint
+  *     repeated sint64 tags = 6;      // packed (proto3 default);
+  *                                    // reader also accepts unpacked
+  *     map<string, int64> attrs = 7;  // repeated entry messages
   *   }
   *   message Site { string id = 1; string kind = 2; }
   * ```
   * `site == null` models an absent message field (proto3 presence);
-  * absent scalars decode to their defaults (0 / 0.0 / false / ""). */
+  * absent scalars decode to their defaults (0 / 0.0 / false / "");
+  * an absent repeated/map field decodes to empty. */
 final case class ProtoRecord(id: Long, site: WireSite, score: Double,
-    flag: Boolean, ts: Long)
+    flag: Boolean, ts: Long, tags: Seq[Long] = Nil,
+    attrs: Map[String, Long] = Map.empty)
 
 /** Protocol-buffers wire-format primitives (public knowledge: the
   * format is varint keys `(field << 3) | wireType` with wire types
@@ -172,6 +180,30 @@ object ProtoCodec {
     }
     if (r.flag) { writeTag(out, 4, 0); writeVarint(out, 1L) }
     if (r.ts != 0L) { writeTag(out, 5, 0); writeVarint(out, zigzagEncode(r.ts)) }
+    // Repeated scalar → ONE packed length-delimited run (the proto3
+    // writer default). Every element is written — packed runs have no
+    // per-element default omission; an empty list omits the field.
+    if (r.tags.nonEmpty) {
+      val body = new ByteArrayOutputStream(16)
+      r.tags.foreach(t => writeVarint(body, zigzagEncode(t)))
+      writeTag(out, 6, 2); writeVarint(out, body.size.toLong)
+      body.writeTo(out)
+    }
+    // Map → one entry message per key, keys in sorted order (a
+    // canonical-writer choice — readers must accept any order, and
+    // [[decode]] does); default-valued key/value are omitted inside
+    // the entry per proto3 writer semantics (reader defaults them).
+    r.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val body = new ByteArrayOutputStream(16)
+      if (k.nonEmpty) {
+        val kb = k.getBytes(UTF_8)
+        writeTag(body, 1, 2); writeVarint(body, kb.length.toLong)
+        body.write(kb)
+      }
+      if (v != 0L) { writeTag(body, 2, 0); writeVarint(body, v) }
+      writeTag(out, 7, 2); writeVarint(out, body.size.toLong)
+      body.writeTo(out)
+    }
     out.toByteArray
   }
 
@@ -209,6 +241,8 @@ object ProtoCodec {
       var score = 0.0
       var flag = false
       var ts = 0L
+      val tags = scala.collection.mutable.ArrayBuffer[Long]()
+      val attrs = scala.collection.mutable.LinkedHashMap[String, Long]()
       while (c.hasRemaining) {
         val tag = c.readVarint()
         val field = (tag >>> 3).toInt
@@ -227,9 +261,42 @@ object ProtoCodec {
           score = java.lang.Double.longBitsToDouble(c.readFixed64())
         else if (field == 4 && wt == 0) flag = c.readVarint() != 0L
         else if (field == 5 && wt == 0) ts = zigzagDecode(c.readVarint())
-        else c.skip(wt)
+        // Repeated field, reader side: occurrences CONCATENATE — a
+        // packed run (wt 2) appends its whole payload, an unpacked
+        // element (wt 0) appends one value; any interleaving of the
+        // two is conformant input and order is preserved.
+        else if (field == 6 && wt == 2) {
+          val l = c.readLen()
+          val sub = new Cursor(c.bytes, c.pos, c.pos + l)
+          while (sub.hasRemaining) tags += zigzagDecode(sub.readVarint())
+          c.pos += l
+        } else if (field == 6 && wt == 0)
+          tags += zigzagDecode(c.readVarint())
+        // Map entry: one message per occurrence; duplicate keys merge
+        // LAST-one-wins (the map<k,v> reader rule); absent key/value
+        // inside an entry default to "" / 0.
+        else if (field == 7 && wt == 2) {
+          val l = c.readLen()
+          val sub = new Cursor(c.bytes, c.pos, c.pos + l)
+          var k = ""
+          var v = 0L
+          while (sub.hasRemaining) {
+            val t2 = sub.readVarint()
+            val f2 = (t2 >>> 3).toInt
+            val w2 = (t2 & 7).toInt
+            if (f2 == 0) throw new Malformed("field number 0")
+            if (f2 == 1 && w2 == 2) {
+              val kl = sub.readLen()
+              k = new String(sub.bytes, sub.pos, kl, UTF_8); sub.pos += kl
+            } else if (f2 == 2 && w2 == 0) v = sub.readVarint()
+            else sub.skip(w2)
+          }
+          attrs(k) = v
+          c.pos += l
+        } else c.skip(wt)
       }
-      DecodeResult.Ok(ProtoRecord(id, site, score, flag, ts))
+      DecodeResult.Ok(ProtoRecord(id, site, score, flag, ts,
+        tags.toSeq, attrs.toMap))
     } catch {
       case m: Malformed =>
         DecodeResult.Failed(s"malformed protobuf: ${m.msg}")
@@ -249,6 +316,8 @@ object ProtoCodec {
       r.getField("score").as("score"),
       r.getField("flag").as("flag"),
       r.getField("ts").as("ts"),
+      r.getField("tags").as("tags"),
+      r.getField("attrs").as("attrs"),
       col("timestamp"),
       coalesce(r.getField("_corrupt"),
         when(col("value").isNull, lit("null message value")))
@@ -274,6 +343,9 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
     StructField("score", DoubleType),
     StructField("flag", BooleanType),
     StructField("ts", LongType),
+    StructField("tags", org.apache.spark.sql.types.ArrayType(LongType)),
+    StructField("attrs",
+      org.apache.spark.sql.types.MapType(StringType, LongType)),
     StructField("_corrupt", StringType)))
   override def nullable: Boolean = true
 
@@ -310,6 +382,10 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
     var score = 0.0
     var flag = false
     var ts = 0L
+    val tags = scala.collection.mutable.ArrayBuffer[Any]()
+    // insertion-ordered with last-one-wins overwrite, then key-sorted
+    // for a deterministic columnar map regardless of wire entry order
+    val attrs = scala.collection.mutable.LinkedHashMap[UTF8String, Long]()
     while (c.hasRemaining) {
       val tag = c.readVarint()
       val field = (tag >>> 3).toInt
@@ -324,12 +400,45 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
         score = java.lang.Double.longBitsToDouble(c.readFixed64())
       else if (field == 4 && wt == 0) flag = c.readVarint() != 0L
       else if (field == 5 && wt == 0) ts = zigzagDecode(c.readVarint())
-      else c.skip(wt)
+      else if (field == 6 && wt == 2) { // packed run: append whole payload
+        val l = c.readLen()
+        val sub = new Cursor(bytes, c.pos, c.pos + l)
+        while (sub.hasRemaining) tags += zigzagDecode(sub.readVarint())
+        c.pos += l
+      } else if (field == 6 && wt == 0) // unpacked element: append one
+        tags += zigzagDecode(c.readVarint())
+      else if (field == 7 && wt == 2) { // map entry: last-one-wins
+        val l = c.readLen()
+        val sub = new Cursor(bytes, c.pos, c.pos + l)
+        var k = UTF8String.EMPTY_UTF8
+        var v = 0L
+        while (sub.hasRemaining) {
+          val t2 = sub.readVarint()
+          val f2 = (t2 >>> 3).toInt
+          val w2 = (t2 & 7).toInt
+          if (f2 == 0) throw new Malformed("field number 0")
+          if (f2 == 1 && w2 == 2) {
+            val kl = sub.readLen()
+            k = UTF8String.fromBytes(bytes, sub.pos, kl); sub.pos += kl
+          } else if (f2 == 2 && w2 == 0) v = sub.readVarint()
+          else sub.skip(w2)
+        }
+        attrs(k) = v
+        c.pos += l
+      } else c.skip(wt)
     }
-    new GenericInternalRow(Array[Any](id, site, score, flag, ts, null))
+    val sorted = attrs.toSeq.sortWith((a, b) => a._1.compareTo(b._1) < 0)
+    val attrMap = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.map(_._1.asInstanceOf[Any]).toArray),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.map(_._2.asInstanceOf[Any]).toArray))
+    new GenericInternalRow(Array[Any](id, site, score, flag, ts,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(tags.toArray),
+      attrMap, null))
   } catch {
     case m: Malformed => new GenericInternalRow(Array[Any](
-      null, null, null, null, null,
+      null, null, null, null, null, null, null,
       UTF8String.fromString(s"malformed protobuf: ${m.msg}")))
   }
 
@@ -395,6 +504,42 @@ case class ProtoEncodeExpr(child: Expression) extends UnaryExpression {
     }
     val ts = if (row.isNullAt(4)) 0L else row.getLong(4)
     if (ts != 0L) { writeTag(out, 5, 0); writeVarint(out, zigzagEncode(ts)) }
+    // Optional trailing fields — a 5-field struct (the original shape)
+    // still encodes; numFields-guarded so both input shapes stay valid.
+    if (row.numFields > 5 && !row.isNullAt(5)) { // repeated → packed
+      val arr = row.getArray(5)
+      val n = arr.numElements()
+      if (n > 0) {
+        val body = new ByteArrayOutputStream(16)
+        var i = 0
+        while (i < n) {
+          writeVarint(body,
+            zigzagEncode(if (arr.isNullAt(i)) 0L else arr.getLong(i)))
+          i += 1
+        }
+        writeTag(out, 6, 2); writeVarint(out, body.size.toLong)
+        body.writeTo(out)
+      }
+    }
+    if (row.numFields > 6 && !row.isNullAt(6)) { // map → sorted entries
+      val m = row.getMap(6)
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      val idx = Array.range(0, m.numElements()).sortWith((a, b) =>
+        keys.getUTF8String(a).compareTo(keys.getUTF8String(b)) < 0)
+      idx.foreach { i =>
+        val body = new ByteArrayOutputStream(16)
+        val kb = keys.getUTF8String(i).getBytes
+        if (kb.length > 0) {
+          writeTag(body, 1, 2); writeVarint(body, kb.length.toLong)
+          body.write(kb)
+        }
+        val v = if (vals.isNullAt(i)) 0L else vals.getLong(i)
+        if (v != 0L) { writeTag(body, 2, 0); writeVarint(body, v) }
+        writeTag(out, 7, 2); writeVarint(out, body.size.toLong)
+        body.writeTo(out)
+      }
+    }
     out.toByteArray
   }
 

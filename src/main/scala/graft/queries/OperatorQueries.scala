@@ -161,6 +161,80 @@ object OperatorQueries {
       |  CASE WHEN event_id % 7 = 0 THEN '__corrupt' ELSE 'ok' END AS status
       |FROM events""".stripMargin
 
+  /** P1+N1 on the REAL wire format: repeated (packed sint64, field 6)
+    * and map<string,int64> (field 7) cross the proto path into
+    * ArrayType/MapType columns, then the normalizer's un-indexed
+    * list path fans `tags` out one row per element (empty list ⇒ one
+    * NULL row — the reference's unnest semantics,
+    * /root/reference/custom.go:15, README.md:113-130). The wire also
+    * carries UNPACKED repeated occurrences (a constant suffix on
+    * every 5th payload — the reader must CONCATENATE them after the
+    * packed run) and a duplicate map entry (every 6th —
+    * last-one-wins overwrites `region`). The oracle predicts the
+    * final per-element rows straight from the source columns, so a
+    * packed/unpacked/merge misparse breaks the hash match. */
+  def protoRepeated(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.pipeline.{ProtoCodec, ProtoEncodeExpr}
+    val ev = Tables.load(s, dir, "events")
+    val rec = struct(
+      col("event_id").as("id"),
+      struct(concat(lit("u"), col("user_id").cast("string")).as("id"),
+        col("event_type").as("kind")).as("site"),
+      col("value").as("score"),
+      (col("event_id") % 2 === 0).as("flag"),
+      (col("event_id") - 500).as("ts"),
+      when(col("event_id") % 4 === 0, array().cast("array<bigint>"))
+        .otherwise(array(col("event_id") % 7 - 3, col("event_id") % 5,
+          -(col("event_id") % 11))).as("tags"),
+      map(lit("region"), col("user_id") % 10,
+        lit("site"), col("event_id") % 3).as("attrs"))
+    val payload = ColumnBridge.column(
+      ProtoEncodeExpr(ColumnBridge.expression(rec)))
+    // Suffixes are hand-assembled wire bytes: "300E" = field 6/varint,
+    // zigzag(7) — an UNPACKED repeated element after the packed run;
+    // "3A…63" = a field-7 entry {key:"region", value:99} duplicating
+    // an earlier key. bindOnce: the encode rides three CASE branches.
+    val wire = graft.functions.ExprUtils.bindOnce(payload) { p =>
+      when(col("event_id") % 5 === 0, concat(p, unhex(lit("300E"))))
+        .when(col("event_id") % 6 === 0,
+          concat(p, unhex(lit("3A0A0A06726567696F6E1063"))))
+        .otherwise(p)
+    }
+    val msgs = ev.select(wire.as("value"),
+      current_timestamp().as("timestamp"))
+    val dec = ProtoCodec.decodeColumnar(msgs)
+      .where(col("_corrupt").isNull)
+      .select(col("id"), col("site.kind").as("site_kind"), col("tags"),
+        element_at(col("attrs"), "region").as("region"),
+        element_at(col("attrs"), "site").as("site_attr"))
+    Normalizer.normalize(dec, NormalizerSpec(
+      fields = Seq("id", "site_kind", "tags", "region", "site_attr"),
+      aliases = Seq("id", "site_kind", "tag", "region", "site_attr")))
+  }
+
+  // COALESCEs mirror proto3 defaults (the protoDecodeSql stance); the
+  // region CASE mirrors the when-chain: %5 wins over %6, so the
+  // duplicate-entry overwrite applies only where %6 and NOT %5.
+  val protoRepeatedSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN event_id % 4 = 0 THEN CAST([] AS BIGINT[])
+      |         ELSE [event_id % 7 - 3, event_id % 5,
+      |               -(event_id % 11)] END AS tags0
+      |  FROM events),
+      |tagged AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 5 = 0 THEN list_append(tags0, 7)
+      |         ELSE tags0 END AS tags,
+      |    CASE WHEN event_id % 6 = 0 AND event_id % 5 <> 0 THEN 99
+      |         ELSE COALESCE(user_id % 10, 0) END AS region
+      |  FROM base)
+      |SELECT event_id AS id, COALESCE(event_type, '') AS site_kind,
+      |  unnest(CASE WHEN len(tags) = 0 THEN [NULL] ELSE tags END) AS tag,
+      |  region, event_id % 3 AS site_attr
+      |FROM tagged""".stripMargin
+
   /** K1/K2/K4+Q1 — whole-pipeline smoke as a batch query: messages →
     * pipeline (munge, decode, rotate-per-batch, runner) → returns the
     * segment manifest. Not SQL-expressible → rows-only check. */
@@ -264,6 +338,7 @@ object OperatorQueries {
     "op_normalize" -> (normalize _),
     "op_munge_decode" -> (mungeDecode _),
     "op_proto_decode" -> (protoDecode _),
+    "op_proto_repeated" -> (protoRepeated _),
     "op_pipeline_sink" -> (pipelineSink _),
     "op_mock_source" -> (mockSource _),
     "op_asof_join" -> (asofJoin _),
@@ -274,6 +349,7 @@ object OperatorQueries {
     "op_normalize" -> normalizeSql,
     "op_munge_decode" -> mungeDecodeSql,
     "op_proto_decode" -> protoDecodeSql,
+    "op_proto_repeated" -> protoRepeatedSql,
     "op_asof_join" -> asofJoinSql,
     "op_event_window" -> eventWindowSql
   )

@@ -93,12 +93,14 @@ class ProtoCodecSuite extends SparkSpec {
       bytes(0x12, 0x07, 0x0A, 0x02, 0x61, 0x62, 0x12, 0x01, 0x78) ++
       bytes(0x20, 0x01) ++ bytes(0x08, 0x96, 0x01)
     assert(ProtoCodec.decode(reordered) == DecodeResult.Ok(golden))
-    // unknown fields: 15/varint, 6/length-delimited, 7/fixed32 — all
-    // skipped, including inside the nested site message (field 9)
+    // unknown fields: 15/varint, 8/length-delimited, 9/fixed32 — all
+    // skipped, including inside the nested site message (field 9);
+    // fields 6/7 are now KNOWN (tags/attrs — see the repeated/map
+    // tests), so the unknowns use numbers past the schema
     val unknowns = goldenBytes ++
       bytes(0x78, 0x01) ++                   // field 15, varint 1
-      bytes(0x32, 0x03, 0x01, 0x02, 0x03) ++ // field 6, 3-byte blob
-      bytes(0x3D, 0x01, 0x02, 0x03, 0x04)    // field 7, fixed32
+      bytes(0x42, 0x03, 0x01, 0x02, 0x03) ++ // field 8, 3-byte blob
+      bytes(0x4D, 0x01, 0x02, 0x03, 0x04)    // field 9, fixed32
     assert(ProtoCodec.decode(unknowns) == DecodeResult.Ok(golden))
     val siteWithUnknown = bytes(0x12, 0x0A,
       0x0A, 0x02, 0x61, 0x62, 0x4A, 0x01, 0x07, 0x12, 0x01, 0x78)
@@ -117,6 +119,62 @@ class ProtoCodecSuite extends SparkSpec {
     val overwrite = splitSite ++ bytes(0x12, 0x04, 0x0A, 0x02, 0x63, 0x64)
     assert(ProtoCodec.decode(overwrite) == DecodeResult.Ok(
       ProtoRecord(0L, WireSite("cd", "x"), 0.0, flag = false, ts = 0L)))
+  }
+
+  test("repeated + map golden bytes: packed run and sorted entry " +
+      "messages, hand-derived") {
+    val rec = ProtoRecord(1L, null, 0.0, flag = false, ts = 0L,
+      tags = Seq(3L, -2L, 0L), attrs = Map("b" -> 7L, "a" -> 5L))
+    // id=1 · field 6 packed [zz(3)=6, zz(-2)=3, zz(0)=0] · entries
+    // key-sorted: {key:"a", value:5}, {key:"b", value:7}
+    val expected =
+      bytes(0x08, 0x01) ++
+      bytes(0x32, 0x03, 0x06, 0x03, 0x00) ++
+      bytes(0x3A, 0x05, 0x0A, 0x01, 0x61, 0x10, 0x05) ++
+      bytes(0x3A, 0x05, 0x0A, 0x01, 0x62, 0x10, 0x07)
+    assert(ProtoCodec.encode(rec).toSeq == expected.toSeq)
+    assert(ProtoCodec.decode(expected) == DecodeResult.Ok(rec))
+  }
+
+  test("repeated field reader: unpacked elements, packed/unpacked " +
+      "interleaving, and empty packed runs all concatenate") {
+    val packed = bytes(0x08, 0x01, 0x32, 0x03, 0x06, 0x03, 0x00)
+    // the same three values as unpacked occurrences (field 6, wt 0)
+    val unpacked = bytes(0x08, 0x01,
+      0x30, 0x06, 0x30, 0x03, 0x30, 0x00)
+    assert(ProtoCodec.decode(unpacked) == ProtoCodec.decode(packed))
+    // interleaved: packed [3] · unpacked -2 · packed [0] → [3, -2, 0]
+    val mixed = bytes(0x08, 0x01,
+      0x32, 0x01, 0x06, 0x30, 0x03, 0x32, 0x01, 0x00)
+    assert(ProtoCodec.decode(mixed) == ProtoCodec.decode(packed))
+    // an empty packed run contributes nothing (still valid wire data)
+    val withEmpty = bytes(0x08, 0x01, 0x32, 0x00) ++
+      bytes(0x32, 0x03, 0x06, 0x03, 0x00)
+    assert(ProtoCodec.decode(withEmpty) == ProtoCodec.decode(packed))
+    // truncated varint INSIDE a packed run is malformed, not silent
+    assert(ProtoCodec.decode(bytes(0x32, 0x01, 0x86))
+      .isInstanceOf[DecodeResult.Failed])
+  }
+
+  test("map reader: duplicate keys last-one-wins; absent entry " +
+      "key/value default; entry unknown fields skipped") {
+    def rec(attrs: Map[String, Long]) =
+      DecodeResult.Ok(ProtoRecord(0L, null, 0.0, flag = false, ts = 0L,
+        attrs = attrs))
+    val aTo5 = bytes(0x3A, 0x05, 0x0A, 0x01, 0x61, 0x10, 0x05)
+    val aTo9 = bytes(0x3A, 0x05, 0x0A, 0x01, 0x61, 0x10, 0x09)
+    assert(ProtoCodec.decode(aTo5 ++ aTo9) == rec(Map("a" -> 9L)))
+    // value omitted → 0; key omitted → ""
+    assert(ProtoCodec.decode(bytes(0x3A, 0x03, 0x0A, 0x01, 0x61)) ==
+      rec(Map("a" -> 0L)))
+    assert(ProtoCodec.decode(bytes(0x3A, 0x02, 0x10, 0x05)) ==
+      rec(Map("" -> 5L)))
+    // unknown field 3 inside the entry is skipped
+    assert(ProtoCodec.decode(bytes(0x3A, 0x07, 0x0A, 0x01, 0x61,
+      0x18, 0x2A, 0x10, 0x05)) == rec(Map("a" -> 5L)))
+    // field 0 inside an entry is malformed like everywhere else
+    assert(ProtoCodec.decode(bytes(0x3A, 0x02, 0x00, 0x00))
+      .isInstanceOf[DecodeResult.Failed])
   }
 
   test("field number 0 is malformed — zeroed buffers never decode Ok") {
@@ -168,8 +226,13 @@ class ProtoCodecSuite extends SparkSpec {
         0.0, -0.0, Double.PositiveInfinity, Double.MinPositiveValue))
       flag <- Gen.oneOf(true, false)
       ts <- Gen.choose(Long.MinValue, Long.MaxValue)
+      tags <- Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))
+        .map(_.take(20))
+      attrs <- Gen.mapOf(Gen.zip(
+        Gen.stringOf(Gen.alphaNumChar).map(_.take(10)),
+        Gen.choose(Long.MinValue, Long.MaxValue))).map(_.take(8))
     } yield ProtoRecord(id, if (hasSite) WireSite(sid, kind) else null,
-      score, flag, ts)
+      score, flag, ts, tags, attrs)
     (0 until 200).foreach { i =>
       val r = recGen.apply(Gen.Parameters.default, Seed(11L + i)).get
       assert(ProtoCodec.decode(ProtoCodec.encode(r)) == DecodeResult.Ok(r),
@@ -205,16 +268,29 @@ class ProtoCodecSuite extends SparkSpec {
     import org.apache.spark.sql.types.BinaryType
     val expr = ProtoParseExpr(BoundReference(0, BinaryType, nullable = true))
     val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on bad code
-    val out = proj(InternalRow(goldenBytes)).getStruct(0, 6)
+    val out = proj(InternalRow(goldenBytes)).getStruct(0, 8)
     assert(out.getLong(0) == 150L)
     assert(out.getStruct(1, 2).getUTF8String(0).toString == "ab")
     assert(out.getStruct(1, 2).getUTF8String(1).toString == "x")
     assert(out.getDouble(2) == 1.5)
     assert(out.getBoolean(3))
     assert(out.getLong(4) == -2L)
-    assert(out.isNullAt(5))
-    val bad = proj(InternalRow(bytes(0x96))).getStruct(0, 6)
-    assert(bad.isNullAt(0) && !bad.isNullAt(5))
+    assert(out.getArray(5).numElements() == 0) // absent repeated → empty
+    assert(out.getMap(6).numElements() == 0)   // absent map → empty
+    assert(out.isNullAt(7))
+    // tags + attrs through the generated projection
+    val rich = proj(InternalRow(ProtoCodec.encode(ProtoRecord(1L, null,
+      0.0, flag = false, ts = 0L, tags = Seq(3L, -2L, 0L),
+      attrs = Map("b" -> 7L, "a" -> 5L))))).getStruct(0, 8)
+    assert(rich.getArray(5).toLongArray.toSeq == Seq(3L, -2L, 0L))
+    val m = rich.getMap(6)
+    assert(m.numElements() == 2) // key-sorted deterministic order
+    assert(m.keyArray.getUTF8String(0).toString == "a" &&
+      m.valueArray.getLong(0) == 5L)
+    assert(m.keyArray.getUTF8String(1).toString == "b" &&
+      m.valueArray.getLong(1) == 7L)
+    val bad = proj(InternalRow(bytes(0x96))).getStruct(0, 8)
+    assert(bad.isNullAt(0) && !bad.isNullAt(7))
     assert(proj(InternalRow(null)).isNullAt(0))
   }
 
@@ -249,7 +325,10 @@ class ProtoCodecSuite extends SparkSpec {
     val good = (0 until 100).map { i =>
       ProtoCodec.encode(ProtoRecord(i.toLong,
         if (i % 9 == 0) null else WireSite(s"s$i", if (i % 2 == 0) "web" else "app"),
-        i * 0.25, i % 3 == 0, i.toLong - 50L))
+        i * 0.25, i % 3 == 0, i.toLong - 50L,
+        tags = if (i % 4 == 0) Nil else Seq(i.toLong - 50L, -i.toLong, 0L),
+        attrs = if (i % 5 == 0) Map.empty
+          else Map("a" -> i.toLong, "b" -> (i % 3).toLong)))
     }
     val bad = Seq(bytes(0x96), bytes(0x12, 0x05, 0x01), bytes(0x0B))
     val df = (good ++ bad).toDF("value")
@@ -257,9 +336,14 @@ class ProtoCodecSuite extends SparkSpec {
     val typed = Decoders.typed[ProtoRecord](ProtoCodec.decode).apply(df)
     val columnar = ProtoCodec.decodeColumnar(df)
     assert(columnar.columns.toSeq == typed.columns.toSeq)
-    val key = Seq("id", "site", "score", "flag", "ts")
-    val tGood = typed.where(col("_corrupt").isNull).select(key.map(col): _*)
-    val cGood = columnar.where(col("_corrupt").isNull).select(key.map(col): _*)
+    // maps can't ride set operations — compare SORTED entry arrays
+    // (the typed path's map order is Scala-insertion, the columnar
+    // one key-sorted; entry-set equality is the map contract)
+    val key = Seq(col("id"), col("site"), col("score"), col("flag"),
+      col("ts"), col("tags"),
+      array_sort(map_entries(col("attrs"))).as("attrs_e"))
+    val tGood = typed.where(col("_corrupt").isNull).select(key: _*)
+    val cGood = columnar.where(col("_corrupt").isNull).select(key: _*)
     assert(cGood.exceptAll(tGood).count() == 0)
     assert(tGood.exceptAll(cGood).count() == 0)
     assert(typed.where(col("_corrupt").isNotNull).count() == bad.size)
