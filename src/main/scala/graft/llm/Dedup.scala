@@ -350,8 +350,26 @@ object Dedup {
 
   /** Drop rows whose key value is shared by more than `maxPerKey`
     * rows — the shared hot-key lever (ngram's maxDf blacklist,
-    * simhash/embed-LSH bucket caps): the over-hot key list is tiny by
-    * construction, so a broadcast anti-join beats any per-key window.
+    * simhash/embed-LSH bucket caps). Hot keys number at most
+    * N/maxPerKey and are tiny on any Zipf-shaped corpus, but that
+    * bound is DATA-dependent, so the driver-side materialization is
+    * capped at `maxHotLiteral` keys (a hard memory bound,
+    * ~8 bytes/key):
+    *  - ≤ cap, one key: the keys become a literal hash-set filter
+    *    (`NOT isin` → InSet) fused into the scan — map-only, no join,
+    *    and cheaper than the anti-join it replaces;
+    *  - ≤ cap, compound key: a LocalRelation anti-join — the build
+    *    side is driver-local rows with statically-known tiny size, so
+    *    the planner broadcasts a provably bounded relation (not the
+    *    unbounded aggregate lineage);
+    *  - > cap (an adversarially flat df profile just above
+    *    maxPerKey): a shuffle anti-join with NO forced broadcast —
+    *    AQE sizes the build side at runtime. Quadratic-tail safety
+    *    never depended on the literal path; this keeps the cap
+    *    correct on the pathological corpus instead of OOMing.
+    * The bounded probe costs one aggregate job at plan-construction
+    * time; the former broadcast ran the same aggregate inside its
+    * exchange build, so total work is unchanged in the common case.
     */
   /** Inverted index from (id, sz, sh): explode_OUTER + a null filter
     * on the GENERATED column. Plain explode's implicit
@@ -367,13 +385,28 @@ object Dedup {
       .where(col("h").isNotNull)
 
   private[llm] def dropHotKeys(df: DataFrame, keys: Seq[String],
-      maxPerKey: Int): DataFrame =
+      maxPerKey: Int, maxHotLiteral: Int = 10000): DataFrame =
     if (maxPerKey == Int.MaxValue) df
     else {
       val hot = df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n")).where(col("n") > maxPerKey)
         .select(keys.map(col): _*)
-      df.join(broadcast(hot), keys, "left_anti")
+      // limit(cap + 1): a complete key set when within the cap, a
+      // cheap overflow signal when not (which keys arrive is then
+      // irrelevant — the fallback recomputes the full set lazily)
+      val probe = hot.limit(maxHotLiteral + 1).collect()
+      if (probe.isEmpty) df
+      else if (probe.length > maxHotLiteral)
+        df.join(hot, keys, "left_anti")
+      else if (keys.length == 1)
+        df.where(!col(keys.head).isin(probe.map(_.get(0)).toSeq: _*))
+      else {
+        val local = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(probe: _*),
+          org.apache.spark.sql.types.StructType(
+            hot.schema.map(_.copy(nullable = true))))
+        df.join(local, keys, "left_anti")
+      }
     }
 
   private def lshPairsFromSets(rawSets: DataFrame, k: Int, bands: Int,

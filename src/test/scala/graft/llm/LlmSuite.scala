@@ -17,6 +17,40 @@ class LlmSuite extends SparkSpec {
     assert(out.where(col("keep_id") >= 1000000).count() == 0)
   }
 
+  test("dropHotKeys: literal, local-relation, and shuffle-fallback " +
+      "forms drop exactly the over-cap keys") {
+    // key "a" appears 3×, "b" 2×, "c" 1× — cap 2 drops exactly the
+    // "a" rows; compound (k, g): ("a", 0) 3×, rest once
+    val df = Seq(("a", 0), ("a", 0), ("a", 0), ("b", 0), ("b", 1),
+      ("c", 1)).toDF("k", "g")
+    val expect = Set(("b", 0), ("b", 1), ("c", 1))
+    def got(out: org.apache.spark.sql.DataFrame) =
+      out.as[(String, Int)].collect().toSet
+    // single key → literal NOT-isin filter: map-only, NO join planned
+    val lit1 = Dedup.dropHotKeys(df, Seq("k"), maxPerKey = 2)
+    assert(got(lit1) == expect)
+    assert(!lit1.queryExecution.executedPlan.toString.contains("Join"),
+      "single-key literal path still plans a join")
+    // compound key → LocalRelation anti-join (driver-bounded build)
+    val multi = Dedup.dropHotKeys(df, Seq("k", "g"), maxPerKey = 2)
+    assert(got(multi) == expect)
+    assert(multi.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation"),
+      "compound-key path lost its local-relation build side")
+    // over the literal cap → shuffle anti-join fallback (no forced
+    // broadcast), output identical
+    val fb = Dedup.dropHotKeys(df, Seq("k"), maxPerKey = 2,
+      maxHotLiteral = 0)
+    assert(got(fb) == expect)
+    val fbPlan = fb.queryExecution.optimizedPlan.toString
+    assert(fbPlan.contains("Join LeftAnti"), "fallback lost the anti join")
+    assert(!fbPlan.contains("ResolvedHint"),
+      "fallback must leave sizing to AQE, not force a broadcast")
+    // cap off → untouched frame
+    assert(got(Dedup.dropHotKeys(df, Seq("k"), Int.MaxValue)) ==
+      df.as[(String, Int)].collect().toSet)
+  }
+
   test("e2e fuzzy: planted near-copies pass the exact stage and are " +
       "dropped by the fuzzy stage") {
     // Stage attribution for llm_e2e_prepare_fuzzy: the mixed corpus
