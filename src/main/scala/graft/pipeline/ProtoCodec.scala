@@ -382,10 +382,14 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
     var score = 0.0
     var flag = false
     var ts = 0L
-    val tags = scala.collection.mutable.ArrayBuffer[Any]()
+    // lazily allocated: most messages carry no repeated/map fields and
+    // the decode path is hot (4 M rec/run in ThroughputBench) — absent
+    // fields emit the SHARED empty singletons below, zero allocation
+    var tags: scala.collection.mutable.ArrayBuffer[Any] = null
     // insertion-ordered with last-one-wins overwrite, then key-sorted
     // for a deterministic columnar map regardless of wire entry order
-    val attrs = scala.collection.mutable.LinkedHashMap[UTF8String, Long]()
+    var attrs: scala.collection.mutable.LinkedHashMap[UTF8String, Long] =
+      null
     while (c.hasRemaining) {
       val tag = c.readVarint()
       val field = (tag >>> 3).toInt
@@ -403,11 +407,13 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
       else if (field == 6 && wt == 2) { // packed run: append whole payload
         val l = c.readLen()
         val sub = new Cursor(bytes, c.pos, c.pos + l)
+        if (tags == null) tags = scala.collection.mutable.ArrayBuffer()
         while (sub.hasRemaining) tags += zigzagDecode(sub.readVarint())
         c.pos += l
-      } else if (field == 6 && wt == 0) // unpacked element: append one
+      } else if (field == 6 && wt == 0) { // unpacked element: append one
+        if (tags == null) tags = scala.collection.mutable.ArrayBuffer()
         tags += zigzagDecode(c.readVarint())
-      else if (field == 7 && wt == 2) { // map entry: last-one-wins
+      } else if (field == 7 && wt == 2) { // map entry: last-one-wins
         val l = c.readLen()
         val sub = new Cursor(bytes, c.pos, c.pos + l)
         var k = UTF8String.EMPTY_UTF8
@@ -423,19 +429,29 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
           } else if (f2 == 2 && w2 == 0) v = sub.readVarint()
           else sub.skip(w2)
         }
+        if (attrs == null)
+          attrs = scala.collection.mutable.LinkedHashMap()
         attrs(k) = v
         c.pos += l
       } else c.skip(wt)
     }
-    val sorted = attrs.toSeq.sortWith((a, b) => a._1.compareTo(b._1) < 0)
-    val attrMap = new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        sorted.map(_._1.asInstanceOf[Any]).toArray),
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        sorted.map(_._2.asInstanceOf[Any]).toArray))
+    val tagsData =
+      if (tags == null) ProtoParseExpr.EmptyArray
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        tags.toArray)
+    val attrMap =
+      if (attrs == null) ProtoParseExpr.EmptyMap
+      else {
+        val sorted = attrs.toSeq
+          .sortWith((a, b) => a._1.compareTo(b._1) < 0)
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            sorted.map(_._1.asInstanceOf[Any]).toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            sorted.map(_._2.asInstanceOf[Any]).toArray))
+      }
     new GenericInternalRow(Array[Any](id, site, score, flag, ts,
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(tags.toArray),
-      attrMap, null))
+      tagsData, attrMap, null))
   } catch {
     case m: Malformed => new GenericInternalRow(Array[Any](
       null, null, null, null, null, null, null,
@@ -455,6 +471,19 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ProtoParseExpr =
     copy(child = c)
   override def prettyName: String = "proto_parse"
+}
+
+object ProtoParseExpr {
+  /** Shared read-only empties for the absent-repeated/map common case
+    * (UnsafeProjection COPIES values out, so cross-row sharing is
+    * safe); keeps the hot decode path allocation-free for messages
+    * without fields 6/7. */
+  private[pipeline] val EmptyArray =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+  private[pipeline] val EmptyMap =
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      EmptyArray, EmptyArray)
 }
 
 /** Native protobuf ENCODE: struct<id, site<id,kind>, score, flag, ts>

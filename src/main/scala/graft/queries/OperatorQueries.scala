@@ -203,8 +203,13 @@ object OperatorQueries {
     }
     val msgs = ev.select(wire.as("value"),
       current_timestamp().as("timestamp"))
+    // NO `_corrupt` filter: every payload here is well-formed by
+    // construction, and a WHERE on a parse-derived column pushes below
+    // the projection and re-runs encode+parse inside a Filter node
+    // (the round-6 re-inline mechanism — measured 3× per-row work;
+    // plan-guarded). A corrupt row would surface as null fields and
+    // break the oracle hash, so nothing is silently lost.
     val dec = ProtoCodec.decodeColumnar(msgs)
-      .where(col("_corrupt").isNull)
       .select(col("id"), col("site.kind").as("site_kind"), col("tags"),
         element_at(col("attrs"), "region").as("region"),
         element_at(col("attrs"), "site").as("site_attr"))

@@ -160,15 +160,18 @@ class PlanQualitySuite extends SparkSpec {
     // them fixed. (Filter nodes on the cheap tokenizer regexp alone
     // are exempt where the whole operator is a single scan stage.)
     val heavy = Seq("hashed_shingles", "shingle_md5_hash64",
-      "hyperplane_sigs", "simhash64(", "minhash_signature")
-    graft.SparkEntry.queries.keys.filter(_.startsWith("llm_")).foreach { q =>
-      plan(q).linesIterator.filter(_.contains("Filter")).foreach { line =>
-        heavy.foreach { e =>
-          assert(!line.contains(e),
-            s"$q re-evaluates $e in a Filter:\n${line.take(300)}")
+      "hyperplane_sigs", "simhash64(", "minhash_signature",
+      "proto_parse", "proto_encode", "wire_parse")
+    graft.SparkEntry.queries.keys
+      .filter(q => q.startsWith("llm_") || q.startsWith("op_"))
+      .foreach { q =>
+        plan(q).linesIterator.filter(_.contains("Filter")).foreach { line =>
+          heavy.foreach { e =>
+            assert(!line.contains(e),
+              s"$q re-evaluates $e in a Filter:\n${line.take(300)}")
+          }
         }
       }
-    }
   }
 
   test("every registered query runs at sf0.001 (driver smoke parity)") {
