@@ -56,7 +56,9 @@ object FuzzyProbe {
         .where(col("id") =!= col("cluster_rep"))
         .select(col("id").as("doc_id"))
       val survivors = deduped.join(nonReps, Seq("doc_id"), "left_anti")
-      val clean = graft.llm.Decontaminate.clean(survivors, bench)
+      // raw-corpus flags, matching the registered query's flagFrom
+      val clean = graft.llm.Decontaminate.clean(survivors, bench,
+        flagFrom = Some(corpus))
       val mixed = graft.llm.Sampling.sampleMix(clean, "lang",
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1)
       val out = graft.llm.Packing.packSequences(mixed, ctxLen = 64,

@@ -48,12 +48,29 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
   }
 
-  /** The clean corpus: `docs` minus contaminated rows. */
+  /** The clean corpus: `docs` minus contaminated rows.
+    *
+    * `flagFrom` (optional) is the frame the contamination flags are
+    * computed OVER; it defaults to `docs` itself. Contamination is a
+    * per-document predicate on (`idCol`, `textCol`), and the anti-join
+    * ignores flags on ids absent from `docs` — so any frame whose rows
+    * are a SUPERSET of `docs`' (same text per id, `idCol` unique)
+    * yields row-identical output (suite-pinned). Composed pipelines
+    * should pass their RAW source here: when `docs` is the tail of an
+    * expensive lineage (dedup aggregates shuffle the full corpus
+    * text), flagging from the raw scan turns the flag subquery into
+    * scan + map-only winnow + broadcast semi-join and drops the
+    * lineage's second evaluation — at 100 TB that is one fewer
+    * full-corpus text shuffle, bought with map-only winnow work on
+    * rows the lineage would have filtered (duplicate-id inputs would
+    * inflate `n_shared` across rows, so keep ids unique). */
   def clean(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      flagFrom: Option[DataFrame] = None): DataFrame =
     docs.join(
-      contaminated(docs, benchmark, k, w, minShared, idCol, textCol)
+      contaminated(flagFrom.getOrElse(docs), benchmark, k, w, minShared,
+        idCol, textCol)
         .select(idCol),
       Seq(idCol), "left_anti")
 

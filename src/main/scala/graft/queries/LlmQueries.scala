@@ -1243,7 +1243,14 @@ object LlmQueries {
     val deduped = keptDeduped(docsWithExactDups(s, dir))
     val bench = docs(s, dir).where(col("doc_id") % 13 === 0)
       .select("doc_id", "text")
-    val clean = graft.llm.Decontaminate.clean(deduped, bench)
+    // flags from the RAW corpus (scan + map-only winnow), not the
+    // dedup tail — contamination is per-doc and the anti-join ignores
+    // ids the dedup dropped, so output is identical (suite-pinned)
+    // while the flag subquery stops re-running the whole dedup
+    // lineage's full-text fingerprint shuffle (plan-guarded: ONE
+    // fingerprint exchange in the composed plan).
+    val clean = graft.llm.Decontaminate.clean(deduped, bench,
+      flagFrom = Some(docsWithExactDups(s, dir)))
     val mixed = graft.llm.Sampling.sampleMix(clean, "lang",
       Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1)
     graft.llm.Packing.packSequences(mixed, ctxLen = 64, nShards = 8)
@@ -1329,7 +1336,10 @@ object LlmQueries {
     val survivors = fuzzySurvivors(s, dir)
     val bench = docs(s, dir).where(col("doc_id") % 13 === 0)
       .select("doc_id", "text")
-    val clean = graft.llm.Decontaminate.clean(survivors, bench)
+    // raw-corpus flags: same per-doc predicate, one fewer evaluation
+    // of the exact+fuzzy survivor lineage (see e2ePrepare's note)
+    val clean = graft.llm.Decontaminate.clean(survivors, bench,
+      flagFrom = Some(docsWithMixedDups(s, dir)))
     val mixed = graft.llm.Sampling.sampleMix(clean, "lang",
       Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1)
     graft.llm.Packing.packSequences(mixed, ctxLen = 64, nShards = 8)

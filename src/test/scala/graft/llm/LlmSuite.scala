@@ -573,6 +573,23 @@ class LlmSuite extends SparkSpec {
     assert(clean.count() == corpus.count() - flagged.size)
   }
 
+  test("clean with flagFrom superset is row-identical to self-flagging") {
+    // flagFrom contract (Decontaminate.clean): flags computed over any
+    // unique-id superset carrying the same per-id text give the same
+    // output — the property the composed e2e pipelines rely on to
+    // flag from the raw corpus instead of re-running the dedup tail
+    val corpus = LlmQueries.docsWithNearDups(spark, sf0001)
+    val bench = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 13 === 0).select("doc_id", "text")
+    // stand-in for an expensive lineage tail: an arbitrary subset
+    val docs = corpus.where(col("doc_id") % 3 === 0)
+    val self = Decontaminate.clean(docs, bench)
+    val sup = Decontaminate.clean(docs, bench,
+      flagFrom = Some(corpus))
+    assert(self.count() > 0)
+    assert(sup.exceptAll(self).isEmpty && self.exceptAll(sup).isEmpty)
+  }
+
   test("sample mix: deterministic, exact for rate 1.0, empty for rate 0") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

@@ -137,6 +137,20 @@ class PlanQualitySuite extends SparkSpec {
     assert(p.contains("Window"), "lost the packing prefix-sum window")
   }
 
+  test("e2e pipelines shuffle the corpus fingerprint exactly once") {
+    // Decontamination flags from the RAW corpus (scan + map-only
+    // winnow), not the dedup tail — otherwise the flag subquery
+    // re-runs the whole dedup lineage, including its full-text
+    // fingerprint shuffle, a second time (measured on the fuzzy
+    // capstone's plan before the flagFrom fix: two identical
+    // hashpartitioning(fingerprint) exchanges over the corpus text).
+    Seq("llm_e2e_prepare", "llm_e2e_prepare_fuzzy").foreach { q =>
+      val n = "hashpartitioning\\(fingerprint".r
+        .findAllIn(plan(q)).length
+      assert(n == 1, s"$q: $n fingerprint exchanges (want 1)")
+    }
+  }
+
   test("packing plans one shard-partitioned window, no join") {
     // The design: ONE shuffle by shard + a per-shard window + map-only
     // span arithmetic. A join or a second aggregate appearing here
