@@ -89,9 +89,9 @@ object ThroughputBench {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val mode = args.drop(1).headOption.getOrElse("all")
     require(Set("all", "json", "binary", "binary-columnar", "proto",
-      "proto-columnar")(mode),
+      "proto-columnar", "proto-columnar-slim")(mode),
       s"unknown mode '$mode' (json | binary | binary-columnar | proto " +
-        "| proto-columnar | all)")
+        "| proto-columnar | proto-columnar-slim | all)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -142,6 +142,17 @@ object ThroughputBench {
     if (mode == "all" || mode == "proto-columnar")
       results("proto-columnar") = runMode(spark, root, "proto-columnar",
         protoWire, ProtoCodec.decodeColumnar, n)
+    // like-for-like vs binary-columnar: the full wire walk still runs
+    // (ProtoParseExpr computes the whole struct; CSE collapses the
+    // getFields) but the raw sink carries the SAME logical record —
+    // isolates decode cost from the array/map sink-width cost the
+    // round-7 repeated/map columns added
+    if (mode == "all" || mode == "proto-columnar-slim")
+      results("proto-columnar-slim") = runMode(spark, root,
+        "proto-columnar-slim", protoWire,
+        df => ProtoCodec.decodeColumnar(df)
+          .select("id", "site", "score", "flag", "timestamp", "_corrupt"),
+        n)
 
     if (results.size > 1) {
       val base = results.getOrElse("json", results.values.head)
