@@ -51,4 +51,30 @@ object Sampling {
     df.withColumn("bucket", hashBucket(col(idCol)))
       .where(col("bucket") < threshold)
   }
+
+  /** Per-key document cap — the anti-domain-dominance pass: keep at
+    * most `maxRows` rows per `keyCol` value (domain, source, crawl
+    * host, ...), chosen by `order` (e.g. longest first, or crawl
+    * order). `order` must be a TOTAL order per key (tie-break on a
+    * unique id) or the kept set is nondeterministic.
+    *
+    * Scale shape: written as the declarative rank-filter so Catalyst's
+    * InferWindowGroupLimit plans a PARTIAL WindowGroupLimit below the
+    * exchange — every map task forwards at most `maxRows` rows per
+    * key, so a hot domain (Zipf-shaped at 100 TB: one host can be a
+    * measurable fraction of a crawl) ships ≤ maxRows × nMapPartitions
+    * rows to its reducer instead of its whole payload. The final sort
+    * per key runs over that bounded set. Plan-guarded in
+    * PlanQualitySuite — a hand-rolled mapPartitions top-N would hide
+    * this from the optimizer and lose whole-stage codegen. */
+  def capPerKey(df: DataFrame, keyCol: String, maxRows: Int,
+      order: Seq[Column]): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    require(order.nonEmpty, "order must be non-empty (total per key)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxRows)
+      .drop("_rn")
+  }
 }

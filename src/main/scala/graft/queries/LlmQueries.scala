@@ -996,6 +996,27 @@ object LlmQueries {
        |  WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin
   }
 
+  // --- llm_source_cap -----------------------------------------------------
+  /** Per-source document cap — the anti-domain-dominance pass: keep
+    * the 10 LONGEST docs per source (n_chars desc, doc_id tiebreak —
+    * a total order, so the kept set is exact and cross-engine
+    * checkable). Plan-guarded to keep Catalyst's partial
+    * WindowGroupLimit below the exchange: a hot domain ships at most
+    * cap × nMapPartitions rows to its reducer, never its whole
+    * payload ([[graft.llm.Sampling.capPerKey]]). */
+  def sourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.capPerKey(
+      docs(s, dir).select("doc_id", "source", "n_chars"),
+      "source", maxRows = 10,
+      Seq(col("n_chars").desc, col("doc_id").asc))
+
+  val sourceCapSql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) WHERE rn <= 10""".stripMargin
+
   // --- llm_pii ------------------------------------------------------------
   /** PII scrubbing over a corpus with deterministically planted PII:
     * every 11th doc gets an email (id-derived), an IPv4 (id-derived
@@ -1458,6 +1479,7 @@ object LlmQueries {
     "llm_winnow" -> (winnow _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_sample_mix" -> (sampleMix _),
+    "llm_source_cap" -> (sourceCap _),
     "llm_pii" -> (pii _),
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
@@ -1490,6 +1512,7 @@ object LlmQueries {
     "llm_winnow" -> winnowSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_sample_mix" -> sampleMixSql,
+    "llm_source_cap" -> sourceCapSql,
     "llm_pii" -> piiSql,
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,

@@ -590,6 +590,22 @@ class LlmSuite extends SparkSpec {
     assert(sup.exceptAll(self).isEmpty && self.exceptAll(sup).isEmpty)
   }
 
+  test("source cap keeps exactly the N longest docs per source") {
+    val bySrc = LlmQueries.sourceCap(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("source"))
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(bySrc.keySet == all.keySet, "a source vanished")
+    all.foreach { case (src, rows) =>
+      val expected = rows
+        .sortBy(r => (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+        .take(10).map(_.getAs[Long]("doc_id")).toSet
+      assert(bySrc(src).map(_.getAs[Long]("doc_id")).toSet == expected,
+        s"wrong kept set for $src")
+    }
+  }
+
   test("sample mix: deterministic, exact for rate 1.0, empty for rate 0") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

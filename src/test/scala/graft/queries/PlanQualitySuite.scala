@@ -137,6 +137,19 @@ class PlanQualitySuite extends SparkSpec {
     assert(p.contains("Window"), "lost the packing prefix-sum window")
   }
 
+  test("source cap plans a partial WindowGroupLimit below the exchange") {
+    // The per-key cap must stay the declarative rank-filter so
+    // InferWindowGroupLimit keeps the PARTIAL group limit on the map
+    // side — a hot domain then ships at most cap × nMapPartitions
+    // rows to its reducer instead of its whole payload (the Zipf
+    // domain-size hazard at 100 TB).
+    val p = plan("llm_source_cap")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      "no map-side (Partial) WindowGroupLimit")
+    assert("WindowGroupLimit.*Final".r.findFirstIn(p).isDefined,
+      "no reduce-side (Final) WindowGroupLimit")
+  }
+
   test("e2e pipelines shuffle the corpus fingerprint exactly once") {
     // Decontamination flags from the RAW corpus (scan + map-only
     // winnow), not the dedup tail — otherwise the flag subquery
