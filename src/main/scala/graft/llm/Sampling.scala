@@ -52,6 +52,81 @@ object Sampling {
       .where(col("bucket") < threshold)
   }
 
+  /** Token-budget subsampling — the "give me B tokens of each
+    * stratum" pass a pretraining mix is actually specified in: walk
+    * each stratum's documents in a deterministic pseudo-random order
+    * (md5 bucket of the id, id tiebreak) and keep the longest prefix
+    * whose cumulative `tokensCol` stays within the stratum's budget
+    * (the first doc that would cross the budget, and everything after
+    * it, is dropped). Deterministic and engine-reproducible like
+    * [[sampleMix]] — and unlike a rate, the budget holds EXACTLY even
+    * when the corpus grows.
+    *
+    * Scale shape: a naive per-stratum running sum gives parallelism =
+    * #strata (a handful of languages → 5 reducers at 100 TB). This is
+    * the two-level prefix sum instead, the [[Packing]] shard trick
+    * plus an offset chain: shards are RANGES of the bucket space
+    * (shard = bucket × nShards div 10000), so shard-major order IS
+    * the plain (bucket, id) order and `nShards` is pure parallelism —
+    * the kept set is shard-count-invariant (suite-pinned).
+    * Within-(stratum, shard) window prefix sums run strata × nShards
+    * wide; per-shard token totals (a strata × nShards-row frame) get
+    * a tiny exclusive prefix window; the base offsets broadcast-join
+    * back, and global position = shard base + within-shard prefix
+    * EXACTLY reproduces the single global window the oracle runs. */
+  def tokenBudget(df: DataFrame, strataCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L,
+      nShards: Int = 8, idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0L),
+      "budgets must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) =>
+        when(col(strataCol) === k, lit(b)).otherwise(acc)
+    }
+    // coalesce: hashBucket is null only for a null id, but Catalyst
+    // can't see that — a NULLABLE _shard riding the offset join makes
+    // it infer isnotnull(pmod(md5 chain...)) and push the whole
+    // bucket expression into a scan Filter (the round-6 join-key
+    // re-inline mechanism, SCALE.md); the non-nullable literal arm
+    // kills the inference
+    // the outer coalesce must wrap the DIV: integral division is
+    // always-nullable in Catalyst (divisor-zero rule), so wrapping
+    // only the bucket still leaves a nullable join key and the
+    // isnotnull inference fires (and its inferred Filter breaks the
+    // canonical equality that lets the offsets branch REUSE the
+    // spine's exchange instead of re-scanning the corpus)
+    val sharded = df
+      .withColumn("_bucket",
+        coalesce(hashBucket(col(idCol)), lit(0L)))
+      .withColumn("_shard",
+        coalesce(expr(s"_bucket * ${nShards}L div ${Buckets}L"),
+          lit(0L)))
+    val wIn = Window.partitionBy(col(strataCol), col("_shard"))
+      .orderBy(col("_bucket"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = sharded
+      .withColumn("_cum", sum(col(tokensCol)).over(wIn))
+    // shard totals = the LAST within-shard prefix (max of a running
+    // sum of non-negative counts) — derived from the SAME windowed
+    // frame, so both consumers share one canonical scan+exchange
+    // subtree (exchange reuse: the corpus is scanned and tokenized
+    // once, not once per branch); strata × nShards rows after the
+    // aggregate — driver-scale, stays distributed
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = withCum.groupBy(col(strataCol), col("_shard"))
+      .agg(max(col("_cum")).as("_shard_tokens"))
+      .withColumn("_base",
+        coalesce(sum(col("_shard_tokens")).over(wOff), lit(0L)))
+      .drop("_shard_tokens")
+    withCum.join(broadcast(base), Seq(strataCol, "_shard"))
+      .where(col("_base") + col("_cum") <= budget)
+      .drop("_bucket", "_shard", "_cum", "_base")
+  }
+
   /** Per-key document cap — the anti-domain-dominance pass: keep at
     * most `maxRows` rows per `keyCol` value (domain, source, crawl
     * host, ...), chosen by `order` (e.g. longest first, or crawl

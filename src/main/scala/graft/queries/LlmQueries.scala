@@ -1017,6 +1017,39 @@ object LlmQueries {
       |      ORDER BY n_chars DESC, doc_id) AS rn
       |  FROM documents) WHERE rn <= 10""".stripMargin
 
+  // --- llm_token_budget ---------------------------------------------------
+  /** Token-budget subsampling: keep a deterministic greedy prefix of
+    * each language's docs (md5-bucket pseudo-random order) until the
+    * language's token budget fills — the "B tokens per stratum" form
+    * a pretraining mix is actually specified in. Two-level prefix sum
+    * ([[graft.llm.Sampling.tokenBudget]]): per-(lang, bucket-range
+    * shard) windows run strata × 8 wide; the tiny shard-offset chain
+    * broadcasts back. The oracle rebuilds the SINGLE global
+    * (bucket, id)-ordered window the two levels provably equal —
+    * no shard term appears in it at all. */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.tokenBudget(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "lang", Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L),
+      defaultBudget = 1000L)
+
+  val tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |    ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} AS bucket
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY bucket, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens FROM w
+       |WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+       |  WHEN 'fr' THEN 2000 ELSE 1000 END""".stripMargin
+
   // --- llm_pii ------------------------------------------------------------
   /** PII scrubbing over a corpus with deterministically planted PII:
     * every 11th doc gets an email (id-derived), an IPv4 (id-derived
@@ -1480,6 +1513,7 @@ object LlmQueries {
     "llm_decontaminate" -> (decontaminate _),
     "llm_sample_mix" -> (sampleMix _),
     "llm_source_cap" -> (sourceCap _),
+    "llm_token_budget" -> (tokenBudget _),
     "llm_pii" -> (pii _),
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
@@ -1513,6 +1547,7 @@ object LlmQueries {
     "llm_decontaminate" -> decontaminateSql,
     "llm_sample_mix" -> sampleMixSql,
     "llm_source_cap" -> sourceCapSql,
+    "llm_token_budget" -> tokenBudgetSql,
     "llm_pii" -> piiSql,
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,

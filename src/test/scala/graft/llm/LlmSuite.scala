@@ -606,6 +606,51 @@ class LlmSuite extends SparkSpec {
     }
   }
 
+  test("token budget keeps the greedy deterministic prefix per stratum") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    // budgets that BIND at sf0.001 (per-lang totals are a few hundred
+    // tokens); the registered query's budgets are sized for sf≥0.01
+    val budgets = Map("en" -> 300L, "de" -> 200L)
+    val out = Sampling.tokenBudget(d, "lang", budgets,
+      defaultBudget = 150L)
+    // independent Scala rebuild of the greedy prefix over the
+    // deterministic (shard, bucket, id) order
+    val rows = d.withColumn("bucket", Sampling.hashBucket(col("doc_id")))
+      .collect()
+    val bmap = budgets.withDefaultValue(150L)
+    val expected = rows.groupBy(_.getAs[String]("lang")).flatMap {
+      case (lang, rs) =>
+        val sorted = rs.sortBy { r =>
+          (r.getAs[Long]("bucket"), r.getAs[Long]("doc_id"))
+        }
+        var cum = 0L
+        sorted.takeWhile { r =>
+          cum += r.getAs[Int]("n_tokens"); cum <= bmap(lang)
+        }.map(_.getAs[Long]("doc_id")).toList
+    }.toSet
+    val got = out.select("doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < rows.length, "budgets must bind")
+  }
+
+  test("token budget output is invariant to the shard count") {
+    // the two-level prefix sum (per-shard windows + offset chain) must
+    // EXACTLY equal the single global window it decomposes — nShards
+    // only changes parallelism, never the kept set
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val ids = Seq(1, 4, 32).map { n =>
+      Sampling.tokenBudget(d, "lang", Map("en" -> 300L),
+        defaultBudget = 150L, nShards = n)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(ids.distinct.size == 1,
+      s"kept sets differ across shard counts: ${ids.map(_.size)}")
+  }
+
   test("sample mix: deterministic, exact for rate 1.0, empty for rate 0") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))

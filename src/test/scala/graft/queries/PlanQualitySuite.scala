@@ -150,6 +150,30 @@ class PlanQualitySuite extends SparkSpec {
       "no reduce-side (Final) WindowGroupLimit")
   }
 
+  test("token budget: shard-wide windows, broadcast offsets, reused " +
+      "exchange") {
+    val p = plan("llm_token_budget")
+    // the per-doc prefix window must partition by (stratum, shard) —
+    // a window partitioned by the stratum alone is the parallelism =
+    // #strata trap the two-level prefix sum exists to avoid
+    assert(p.contains("windowspecdefinition(lang#") &&
+      p.contains("_shard"), "lost the (stratum, shard) window")
+    assert(p.contains("BroadcastHashJoin"), "offsets not broadcast")
+    assert(!p.contains("SortMergeJoin"), "offset join shuffles the corpus")
+    // the nullable-join-key re-inline trap (SCALE.md): an inferred
+    // isnotnull on the derived shard pushes the md5 bucket chain into
+    // a scan Filter AND breaks the canonical equality that lets the
+    // offsets branch reuse the spine's exchange
+    assert(!p.contains("isnotnull(pmod") && !p.contains("isnotnull(("),
+      "inferred isnotnull on the derived shard key")
+    // runtime pin: the offsets branch must READ the spine's shuffle,
+    // not re-scan + re-tokenize the corpus
+    val df = graft.SparkEntry.queries("llm_token_budget")(spark, sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ReusedExchange"), "offsets branch re-scans the corpus")
+  }
+
   test("e2e pipelines shuffle the corpus fingerprint exactly once") {
     // Decontamination flags from the RAW corpus (scan + map-only
     // winnow), not the dedup tail — otherwise the flag subquery
