@@ -635,6 +635,25 @@ class LlmSuite extends SparkSpec {
     assert(got.nonEmpty && got.size < rows.length, "budgets must bind")
   }
 
+  test("token budget boundary: exact-fit doc kept, zero budget empty") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .where(col("lang") === "en")
+    // first doc in the deterministic (bucket, id) order
+    val first = d
+      .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      .orderBy(col("b"), col("doc_id")).limit(1).collect().head
+    val firstTokens = first.getAs[Int]("n_tokens").toLong
+    // budget == the first doc's tokens: cum == budget is KEPT (<=),
+    // and the second doc (cum > budget) is not
+    val exact = Sampling.tokenBudget(d, "lang",
+      Map("en" -> firstTokens)).select("doc_id").as[Long].collect()
+    assert(exact.toSeq == Seq(first.getAs[Long]("doc_id")))
+    // zero budget keeps nothing
+    assert(Sampling.tokenBudget(d, "lang", Map("en" -> 0L)).isEmpty)
+  }
+
   test("token budget output is invariant to the shard count") {
     // the two-level prefix sum (per-shard windows + offset chain) must
     // EXACTLY equal the single global window it decomposes — nShards
