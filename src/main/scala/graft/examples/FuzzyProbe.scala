@@ -78,11 +78,18 @@ object FuzzyProbe {
     timed("sf0.1 fuzzy e2e (warm)")(
       fuzzyPrepare(LlmQueries.docsWithMixedDups(spark, sfDir), bench1))
 
-    val d = mixedX(10).localCheckpoint(true)
-    println(s"--- scale 10x: ${d.count()} docs")
     // benchmark set stays FIXED size (eval sets don't grow with the
-    // corpus — the Decontaminate scale stance)
-    timed("10x fuzzy e2e")(fuzzyPrepare(d, bench1))
+    // corpus — the Decontaminate scale stance); extra args = more
+    // scale points (e.g. `... sf0.1 10 30` probes 10x AND 30x)
+    val scales = args.drop(1).map(_.toInt) match {
+      case Array() => Seq(10)
+      case ks => ks.toSeq
+    }
+    scales.foreach { k =>
+      val d = mixedX(k).localCheckpoint(true)
+      println(s"--- scale ${k}x: ${d.count()} docs")
+      timed(s"${k}x fuzzy e2e")(fuzzyPrepare(d, bench1))
+    }
     spark.stop()
   }
 }
