@@ -14,6 +14,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session-scoped read memo: the same (session, path) returns the
+    * SAME DataFrame instance. DataFrames are immutable so sharing is
+    * free, and it buys two things at once: (a) the directory is
+    * listed/footer-read once per session instead of per construction,
+    * and (b) plan trees built over the shared leaf CANONICALIZE EQUAL
+    * across constructions — a fresh `spark.read.parquet` creates a
+    * fresh file index that never compares equal, which would defeat
+    * plan-keyed memoization (the dropHotKeys probe memo). Weakly keyed
+    * by session so a stopped session's entries are collectable. */
+  private val readCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
@@ -21,7 +33,16 @@ object Tables {
       // for any session the driver owns).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val perSession = readCache.synchronized {
+      var m = readCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        readCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
+      p => spark.read.parquet(p))
   }
 
   /** Register every fixture table as a temp view (for spark.sql use). */

@@ -384,6 +384,22 @@ object Dedup {
     sets.select(col("id"), col("sz"), explode_outer(col("sh")).as("h"))
       .where(col("h").isNotNull)
 
+  /** Probe memo for [[dropHotKeys]]: canonicalized hot-key aggregate
+    * plan → collected keys. The probe is an EAGER job at
+    * plan-construction time (the plan SHAPE depends on its result),
+    * so re-constructing the same capped query — Bench passes, Verify
+    * after a suite, repeated `queries(name)(...)` calls — would
+    * re-run the job each time; the memo keys on the CANONICALIZED
+    * logical plan (structural, exprId-normalized), so identical
+    * constructions pay the probe once per JVM. Assumes immutable
+    * inputs between identical constructions (true of any batch
+    * source; a changed path yields a different plan). Bounded: each
+    * entry holds ≤ maxHotLiteral+1 bare-key rows; the map is cleared
+    * past 64 entries. */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    Array[org.apache.spark.sql.Row]]()
+
   private[llm] def dropHotKeys(df: DataFrame, keys: Seq[String],
       maxPerKey: Int, maxHotLiteral: Int = 10000): DataFrame =
     if (maxPerKey == Int.MaxValue) df
@@ -394,13 +410,26 @@ object Dedup {
       // limit(cap + 1): a complete key set when within the cap, a
       // cheap overflow signal when not (which keys arrive is then
       // irrelevant — the fallback recomputes the full set lazily)
-      val probe = hot.limit(maxHotLiteral + 1).collect()
+      if (probeCache.size > 64) probeCache.clear()
+      val probe = probeCache.computeIfAbsent(
+        (hot.queryExecution.analyzed.canonicalized, maxHotLiteral),
+        _ => hot.limit(maxHotLiteral + 1).collect())
       if (probe.isEmpty) df
       else if (probe.length > maxHotLiteral)
         df.join(hot, keys, "left_anti")
-      else if (keys.length == 1)
-        df.where(!col(keys.head).isin(probe.map(_.get(0)).toSeq: _*))
-      else {
+      else if (keys.length == 1) {
+        // Null-key parity with the anti-join forms: an equality
+        // anti-join never matches a NULL key, so null-key rows are
+        // KEPT there even when null is itself a hot key — the literal
+        // filter must do the same. `!isin` alone is three-valued
+        // (null-key rows evaluate to NULL → dropped), and a null hot
+        // VALUE in the isin list would poison every non-matching
+        // compare to NULL, so nulls are excluded from the list and
+        // null-key rows pass explicitly.
+        val vs = probe.map(_.get(0)).filter(_ != null).toSeq
+        val k = col(keys.head)
+        df.where(k.isNull || !k.isin(vs: _*))
+      } else {
         val local = df.sparkSession.createDataFrame(
           java.util.Arrays.asList(probe: _*),
           org.apache.spark.sql.types.StructType(

@@ -122,9 +122,21 @@ object Sampling {
       .withColumn("_base",
         coalesce(sum(col("_shard_tokens")).over(wOff), lit(0L)))
       .drop("_shard_tokens")
-    withCum.join(broadcast(base), Seq(strataCol, "_shard"))
+      .withColumnRenamed(strataCol, "_strata_b")
+      .withColumnRenamed("_shard", "_shard_b")
+    // Null-safe stratum key (<=>): a NULL stratum is a real stratum —
+    // the window/groupBy above already treat it as one group, and the
+    // budget when-chain routes it to defaultBudget — but a plain
+    // equi-join would never match the null key and silently DROP those
+    // rows (vs sampleMix, which keeps null strata under defaultRate).
+    // <=> also keeps Catalyst from inferring isnotnull on the key, so
+    // the round-7 join-key re-inline/exchange-reuse hazards don't
+    // apply to this arm.
+    withCum.join(broadcast(base),
+        col(strataCol) <=> col("_strata_b") &&
+          col("_shard") === col("_shard_b"))
       .where(col("_base") + col("_cum") <= budget)
-      .drop("_bucket", "_shard", "_cum", "_base")
+      .drop("_bucket", "_shard", "_cum", "_base", "_strata_b", "_shard_b")
   }
 
   /** Per-key document cap — the anti-domain-dominance pass: keep at

@@ -153,6 +153,21 @@ object ProtoWire {
 object ProtoCodec {
   import ProtoWire._
 
+  /** Unsigned lexicographic UTF-8 byte comparison — the same total
+    * order as `UTF8String.compareTo`. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val ab = a.getBytes(UTF_8)
+    val bb = b.getBytes(UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val c = (ab(i) & 0xFF) - (bb(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
   def encodeSite(s: WireSite): Array[Byte] = {
     val out = new ByteArrayOutputStream(32)
     if (s.id != null && s.id.nonEmpty) {
@@ -189,11 +204,16 @@ object ProtoCodec {
       writeTag(out, 6, 2); writeVarint(out, body.size.toLong)
       body.writeTo(out)
     }
-    // Map → one entry message per key, keys in sorted order (a
+    // Map → one entry message per key, keys in UTF-8 BYTE order (a
     // canonical-writer choice — readers must accept any order, and
     // [[decode]] does); default-valued key/value are omitted inside
     // the entry per proto3 writer semantics (reader defaults them).
-    r.attrs.toSeq.sortBy(_._1).foreach { case (k, v) =>
+    // Byte order, not String order: java.lang.String compares UTF-16
+    // code units, which diverges from UTF8String.compareTo (the
+    // columnar [[ProtoEncodeExpr]] sort) when supplementary characters
+    // mix with U+E000..U+FFFF — byte order keeps typed and columnar
+    // wire bytes identical for every key set.
+    r.attrs.toSeq.sortWith((a, b) => utf8Lt(a._1, b._1)).foreach { case (k, v) =>
       val body = new ByteArrayOutputStream(16)
       if (k.nonEmpty) {
         val kb = k.getBytes(UTF_8)

@@ -51,6 +51,28 @@ class LlmSuite extends SparkSpec {
       df.as[(String, Int)].collect().toSet)
   }
 
+  test("dropHotKeys: null keys are kept by every form — literal path " +
+      "matches anti-join three-valued semantics") {
+    // an equality anti-join never matches a NULL key, so null-key rows
+    // survive the join forms even when null itself is over the cap;
+    // the literal NOT-isin form must agree (bare !isin would evaluate
+    // to NULL on them and silently drop)
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), None, None,
+      None).map(k => (k, 1)).toDF("k", "g")
+    val expect = Set((Some("b"), 1), (None, 1))
+    def got(out: org.apache.spark.sql.DataFrame) =
+      out.as[(Option[String], Int)].collect().toSet
+    val lit1 = Dedup.dropHotKeys(df, Seq("k"), maxPerKey = 2)
+    assert(got(lit1) == expect, "literal path diverges on null keys")
+    assert(!lit1.queryExecution.executedPlan.toString.contains("Join"),
+      "single-key literal path still plans a join")
+    val fb = Dedup.dropHotKeys(df, Seq("k"), maxPerKey = 2,
+      maxHotLiteral = 0)
+    assert(got(fb) == expect, "fallback diverges on null keys")
+    val multi = Dedup.dropHotKeys(df, Seq("k", "g"), maxPerKey = 2)
+    assert(got(multi) == expect, "compound path diverges on null keys")
+  }
+
   test("e2e fuzzy: planted near-copies pass the exact stage and are " +
       "dropped by the fuzzy stage") {
     // Stage attribution for llm_e2e_prepare_fuzzy: the mixed corpus
@@ -668,6 +690,31 @@ class LlmSuite extends SparkSpec {
     }
     assert(ids.distinct.size == 1,
       s"kept sets differ across shard counts: ${ids.map(_.size)}")
+  }
+
+  test("token budget: null strata consume the default budget") {
+    // a NULL stratum is one real stratum under defaultBudget (the
+    // sampleMix null-handling stance) — the offset join-back is
+    // null-safe, so null-stratum rows are budgeted, not dropped
+    val d = Seq((1L, Some("en"), 100L), (2L, None, 100L),
+      (3L, None, 100L), (4L, None, 100L), (5L, Some("en"), 100L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = Sampling.tokenBudget(d, "lang", Map("en" -> 200L),
+      defaultBudget = 200L)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // en: both rows fit (200 of 200); null: exactly 2 of 3 rows fit —
+    // the greedy (bucket, id) prefix decides which two
+    assert(kept.intersect(Set(1L, 5L)) == Set(1L, 5L),
+      s"en rows dropped: $kept")
+    val nullKept = kept -- Set(1L, 5L)
+    assert(nullKept.size == 2, s"null-stratum rows must consume the " +
+      s"default budget (kept $nullKept of 2,3,4)")
+    val expectNull = d.where(col("lang").isNull)
+      .withColumn("b", Sampling.hashBucket(col("doc_id")))
+      .orderBy("b", "doc_id").limit(2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nullKept == expectNull, "null-stratum prefix must follow " +
+      s"the deterministic (bucket, id) order: $nullKept vs $expectNull")
   }
 
   test("sample mix: deterministic, exact for rate 1.0, empty for rate 0") {

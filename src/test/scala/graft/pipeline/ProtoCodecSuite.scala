@@ -319,6 +319,39 @@ class ProtoCodecSuite extends SparkSpec {
     assert(proj(InternalRow(null)).isNullAt(0))
   }
 
+  test("typed and columnar encoders agree on map key order beyond the " +
+      "BMP (UTF-8 byte order, not UTF-16 code units)") {
+    // U+E000 (UTF-8 EE 80 80) vs U+1F600 (F0 9F 98 80, surrogate pair
+    // D83D DE00 in UTF-16): Java String order puts the emoji FIRST
+    // (D83D < E000), UTF-8 byte order puts it LAST (F0 > EE) — the
+    // canonical wire bytes must agree across both encoders
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val privateUse = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    val rec = ProtoRecord(1L, null, 0.0, flag = false, 0L,
+      attrs = Map(emoji -> 2L, privateUse -> 1L))
+    val typedBytes = ProtoCodec.encode(rec)
+    val row = new GenericInternalRow(Array[Any](1L, null, 0.0, false, 0L,
+      new GenericArrayData(Array.empty[Any]),
+      new ArrayBasedMapData(
+        new GenericArrayData(Array[Any](UTF8String.fromString(emoji),
+          UTF8String.fromString(privateUse))),
+        new GenericArrayData(Array[Any](2L, 1L)))))
+    val columnarBytes = ProtoEncodeExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        Array.empty[Byte])).compute(row)
+    assert(typedBytes.toSeq == columnarBytes.toSeq,
+      "typed and columnar canonical map order diverge")
+    // and the private-use key's entry must come first on the wire
+    ProtoCodec.decode(typedBytes) match {
+      case DecodeResult.Ok(r) => assert(r.attrs == rec.attrs)
+      case other => fail(s"round trip failed: $other")
+    }
+  }
+
   test("columnar encode → decode round trip equals the typed path on a " +
       "mixed batch") {
     implicit val benc = ExpressionEncoder[Array[Byte]]()

@@ -174,6 +174,56 @@ class PlanQualitySuite extends SparkSpec {
       .contains("ReusedExchange"), "offsets branch re-scans the corpus")
   }
 
+  test("capped-op re-construction runs zero jobs (probe memo)") {
+    // The dropHotKeys probe is an EAGER job at plan-construction time
+    // (the plan shape depends on its result — documented contract at
+    // the SparkEntry.queries boundary). The memo keys on the
+    // canonicalized probe plan, so CONSTRUCTING the same capped query
+    // again must run no job at all: Bench passes, Verify-after-suite,
+    // and plan-only tooling pay the probe once per JVM.
+    import java.util.concurrent.atomic.AtomicInteger
+    val jobs = new AtomicInteger(0)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && g.startsWith("probe-memo-marker")) seen.add(g)
+        else jobs.incrementAndGet()
+        ()
+      }
+    }
+    // marker actions bound the async listener bus: each flush runs
+    // under a UNIQUE job group; its first job starts after every
+    // previously-submitted job, so once that group's JobStart has been
+    // processed, every earlier job has been counted too
+    def flush(id: Int): Int = {
+      val g = s"probe-memo-marker-$id"
+      spark.sparkContext.setJobGroup(g, "listener flush")
+      try spark.range(1).count() finally
+        spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!seen.contains(g) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(seen.contains(g), "listener flush timed out")
+      jobs.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // first construction may itself be memoized (another suite in
+      // this JVM constructed the same query) — only the DELTA between
+      // identical constructions is pinned
+      graft.SparkEntry.queries("llm_containment")(spark, sf0001)
+      val afterFirst = flush(1)
+      graft.SparkEntry.queries("llm_containment")(spark, sf0001)
+      val afterSecond = flush(2)
+      assert(afterSecond == afterFirst,
+        s"re-construction ran ${afterSecond - afterFirst} job(s) — " +
+          "the probe memo missed (plan canonicalization changed?)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("e2e pipelines shuffle the corpus fingerprint exactly once") {
     // Decontamination flags from the RAW corpus (scan + map-only
     // winnow), not the dedup tail — otherwise the flag subquery
