@@ -74,6 +74,46 @@ object Decontaminate {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Span-based decontamination — cut, don't drop: excise the
+    * benchmark-contaminated PASSAGES from each document and keep its
+    * clean remainder, instead of [[clean]]'s whole-document drop.
+    * This is what production pipelines run to avoid over-dropping a
+    * long document for one quoted eval question.
+    *
+    * Two-stage composition of the existing machinery, cheap-to-
+    * precise:
+    *  1. FLAG with the winnow-fingerprint overlap ([[contaminated]] —
+    *     map-only winnow + broadcast semi-join): candidate docs are a
+    *     tiny fraction of the corpus. The winnowing guarantee makes
+    *     this pre-filter sound for the spans stage: any shared run of
+    *     ≥ `minTokens` ≥ 2·(k+w−1) tokens selects ≥ `minShared`=2
+    *     identical interior fingerprints, so no doc with a cuttable
+    *     span escapes the flag.
+    *  2. LOCATE on flagged docs only with positional k-gram spans
+    *     against the benchmark ([[Dedup.duplicateSpansAgainst]] —
+    *     the benchmark side is small by definition), then
+    *     [[Dedup.cutSpans]] removes the matched token ranges.
+    *
+    * Output = [[Dedup.cutSpans]]'s shape over the WHOLE corpus:
+    * (idCol, text_cut, n_removed) — unflagged docs pass through as
+    * their token reconstruction with n_removed 0; a benchmark doc
+    * present verbatim in the corpus is cut to empty. `spanK`/
+    * `minTokens` bound the cut granularity: runs shorter than
+    * `minTokens` canonical tokens are below the excision threshold
+    * (and below what the flag stage reliably sees). */
+  def cutContaminated(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4, w: Int = 4, minShared: Int = 2, spanK: Int = 8,
+      minTokens: Int = 16, maxDf: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val flagged = docs.join(
+      contaminated(docs, benchmark, k, w, minShared, idCol, textCol)
+        .select(idCol),
+      Seq(idCol), "left_semi")
+    val spans = Dedup.duplicateSpansAgainst(flagged, benchmark,
+      idCol, textCol, spanK, minTokens, maxDf)
+    Dedup.cutSpans(docs, spans, idCol, textCol)
+  }
+
   /** Streaming-friendly clean: the SAME contamination predicate as a
     * PER-ROW decision. The benchmark's distinct fingerprint set folds
     * into ONE single-row array (eval sets are MBs against a multi-TB

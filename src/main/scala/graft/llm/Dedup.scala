@@ -187,25 +187,72 @@ object Dedup {
     require(minTokens >= k,
       s"minTokens=$minTokens must be >= k=$k (a single matching " +
         "k-gram already witnesses k verbatim tokens)")
-    val hs = df.select(col(idCol).as("id"),
-      graft.functions.ShingleMd5Hash64Expr.shingle_md5_hash64(
-        TextAnalysis.tokens(col(textCol)), k, distinct = false).as("hs"))
-    // posexplode_OUTER, then drop the null rows AFTER the generate:
-    // plain posexplode adds an implicit `size(hs) > 0 AND hs IS NOT
-    // NULL` filter that pushdown re-inlines BELOW the projection's
-    // exchange — the whole shingle-hash pass re-evaluates per
-    // predicate term in a separate stage (measured 3× per row per
-    // side; the bindOnce lesson in pushdown clothing). The outer
-    // generate has no implicit filter; the null check on the
-    // GENERATED column is a per-row long test.
-    val pos = hs.select(col("id"), posexplode_outer(col("hs")))
-      .toDF("id", "p", "h")
-      .where(col("h").isNotNull)
-    val capped = dropHotKeys(pos, Seq("h"), maxDf)
+    val capped = dropHotKeys(positionalHashes(df, idCol, textCol, k),
+      Seq("h"), maxDf)
     val m = capped.as("a").join(capped.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diff"))
+    runsFromMatches(m, k, minTokens)
+  }
+
+  /** Cross-frame duplicate-passage spans: maximal verbatim runs of
+    * ≥ `minTokens` tokens that a `docs` document shares with ANY
+    * `ref` document — the [[duplicateSpans]] machinery with the
+    * self-join replaced by a docs×ref hash join. Output shape is
+    * IDENTICAL to [[duplicateSpans]] with the ref doc as the `id_a`
+    * side (a_start = offset in the ref doc) and the corpus doc as
+    * `id_b` (b_start = offset in it), so [[cutSpans]] consumes the
+    * result unchanged — the cut falls on the CORPUS doc, whatever the
+    * two frames' id spaces are (they may overlap: a doc matching
+    * itself across frames emits its full-length span, the
+    * benchmark-in-corpus case).
+    *
+    * Scale shape: ref (a benchmark/blocklist frame) is small by
+    * definition, so its positional index is the join's build side;
+    * the corpus side carries the `maxDf` hot-hash cap — boilerplate
+    * k-grams shared corpus-wide would otherwise fan out against every
+    * ref occurrence. */
+  def duplicateSpansAgainst(docs: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 8,
+      minTokens: Int = 16, maxDf: Int = 1000): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(minTokens >= k,
+      s"minTokens=$minTokens must be >= k=$k")
+    val posD = dropHotKeys(positionalHashes(docs, idCol, textCol, k),
+      Seq("h"), maxDf)
+    val posR = positionalHashes(ref, idCol, textCol, k)
+    val m = posR.as("a").join(posD.as("b"), col("a.h") === col("b.h"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.p").as("pa"), (col("a.p") - col("b.p")).as("diff"))
+    runsFromMatches(m, k, minTokens)
+  }
+
+  /** Positional k-gram md5-long hashes, exploded to (id, p, h) rows.
+    * posexplode_OUTER, then drop the null rows AFTER the generate:
+    * plain posexplode adds an implicit `size(hs) > 0 AND hs IS NOT
+    * NULL` filter that pushdown re-inlines BELOW the projection's
+    * exchange — the whole shingle-hash pass re-evaluates per
+    * predicate term in a separate stage (measured 3× per row per
+    * side; the bindOnce lesson in pushdown clothing). The outer
+    * generate has no implicit filter; the null check on the
+    * GENERATED column is a per-row long test. */
+  private def positionalHashes(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.ShingleMd5Hash64Expr.shingle_md5_hash64(
+        TextAnalysis.tokens(col(textCol)), k, distinct = false).as("hs"))
+      .select(col("id"), posexplode_outer(col("hs")))
+      .toDF("id", "p", "h")
+      .where(col("h").isNotNull)
+
+  /** Gaps-and-islands over positional matches (id_a, id_b, pa, diff):
+    * consecutive a-positions at a fixed alignment are ONE verbatim
+    * run; the window is PARTITIONED BY (pair, alignment) — bounded by
+    * document length, never corpus size. A run of m consecutive
+    * k-grams is m + k − 1 verbatim tokens. */
+  private def runsFromMatches(m: DataFrame, k: Int,
+      minTokens: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a", "id_b", "diff").orderBy("pa")
     m.withColumn("isl", col("pa") - row_number().over(w))
@@ -239,9 +286,14 @@ object Dedup {
     * array per doc and join back to the corpus (left join — spans
     * frames are tiny next to the corpus); the cut itself is a
     * map-only filter over the token array. Deterministic regardless
-    * of window tie order: islands depend only on the interval SET. */
+    * of window tie order: islands depend only on the interval SET.
+    *
+    * `keep` threads extra `docs` columns (language, source, ...)
+    * through to the output unchanged — composed pipelines need their
+    * metadata on the cut rows without a second corpus join. */
   def cutSpans(docs: DataFrame, spans: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      keep: Seq[String] = Nil): DataFrame = {
     val iv = spans.select(col("id_b").as("id"), col("b_start").as("s"),
       (col("b_start") + col("n_tokens")).as("e"))
     val w = org.apache.spark.sql.expressions.Window
@@ -260,8 +312,9 @@ object Dedup {
     val ivs = merged.groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
     docs.join(ivs, docs(idCol) === ivs("id"), "left")
-      .select(docs(idCol), col(textCol), col("ivs"))
-      .select(col(idCol),
+      .select(docs(idCol) +: keep.map(docs(_)) :+ col(textCol) :+
+        col("ivs"): _*)
+      .select(col(idCol) +: keep.map(col) :+
         graft.functions.ExprUtils.bindOnce(
           TextAnalysis.tokens(col(textCol))) { t =>
           // guard: Spark's sequence counts DOWN when start > stop, so
@@ -278,8 +331,9 @@ object Dedup {
             when(size(t) > 0,
               (size(t) - size(keptIdx)).cast("long")).otherwise(lit(0L))
               .as("n_removed"))
-        }.as("c"))
-      .select(col(idCol), col("c.text_cut"), col("c.n_removed"))
+        }.as("c"): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("c.text_cut") :+
+        col("c.n_removed"): _*)
   }
 
   /** Distinct hashed shingle sets with md5-LONG shingle hashes

@@ -72,6 +72,45 @@ object LlmQueries {
       |UNION ALL SELECT doc_id + 2000000, text || ' graft dup probe tail'
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Partial-overlap twins: for every `mod`-th doc D, a NEW doc =
+    * D's first 24 canonical tokens (a verbatim PASSAGE ≥ the span
+    * minTokens) + 40 unique filler tokens (`zq<id>f<i>` — collides
+    * with nothing). The twin shares a long passage with D but its
+    * Jaccard vs D is provably < 0.5 (common ≤ 22 prefix shingles,
+    * union gains ≥ 40 filler shingles: J ≤ c/(c+40) < 0.5), so
+    * minhash-threshold-0.5 dedup NEVER drops it — the doc-level
+    * family's blind spot that passage-level dedup (duplicateSpans →
+    * cutSpans) exists to close. Built at ARRAY level on both engines
+    * (token slice ++ filler, joined by single spaces) so the raw
+    * strings are byte-identical cross-engine. */
+  private def splicedTwins(d: DataFrame, mod: Int, offset: Long): DataFrame =
+    d.where(col("doc_id") % mod === 0)
+      .withColumn("text", concat_ws(" ", concat(
+        slice(TextAnalysis.tokens(col("text")), 1, 24),
+        transform(sequence(lit(1), lit(40)), i =>
+          concat(lit("zq"), col("doc_id").cast("string"), lit("f"),
+            i.cast("string"))))))
+      .withColumn("doc_id", col("doc_id") + offset)
+
+  private def splicedTwinsSql(mod: Int, offset: Long): String =
+    s"""UNION ALL SELECT doc_id + $offset,
+       |  array_to_string(list_concat(
+       |    regexp_extract_all(lower(text), '[a-z0-9]+')[1:24],
+       |    list_transform(range(1, 41), i -> 'zq' ||
+       |      CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR))), ' ')
+       |FROM documents WHERE doc_id % $mod = 0""".stripMargin
+
+  /** The spans-e2e corpus: mixed dups (exact +1000000, near +2000000)
+    * PLUS partial-overlap twins of every 9th doc (+3000000) — the
+    * family only the passage-level stage can touch. */
+  private[graft] def docsWithSpliceDups(s: SparkSession, dir: String): DataFrame =
+    docsWithMixedDups(s, dir)
+      .unionByName(splicedTwins(docs(s, dir).select("doc_id", "text"),
+        9, 3000000L))
+
+  private val corpusSpliceSql =
+    corpusMixedSql + "\n" + splicedTwinsSql(9, 3000000L)
+
   // --- llm_exact_dedup ------------------------------------------------
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(docsWithExactDups(s, dir))
@@ -162,25 +201,27 @@ object LlmQueries {
     Dedup.duplicateSpans(docsWithNearDups(s, dir), k = 8, minTokens = 16,
       maxDf = 1000)
 
-  /** DuckDB rebuild: positional 8-gram md5-long hashes (the winnow
-    * signed-64 reconstruction), hot-hash df cap, positional match
-    * join, gaps-and-islands by (pair, alignment), span arithmetic.
-    * Factored as CTEs ending in `spans` so the cut oracle can build
-    * on the identical span pipeline. */
-  private val dupSpansCtes: String =
-    s"""corpus AS ($corpusNearSql),
-       |tok AS (
+  /** Positional k-gram md5-long hash CTE chain over a (doc_id, text)
+    * source `src`, names prefixed `p`: tokens → positional k-gram
+    * strings → signed-64 md5-longs (the winnow reconstruction) →
+    * `${p}pos(doc_id, p, h)`. Shared by the self-join span oracle,
+    * the cross-frame span oracle, and through them every composed
+    * pipeline that splices spans — ONE copy of the hash derivation. */
+  private def posKgramCtes(src: String, p: String, k: Int = 8): String = {
+    // single-line shingle concat: multi-line `|| w[i+4]`-style
+    // continuation would be truncated by a later stripMargin pass
+    val cat = (0 until k)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""${p}tok AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-       |  FROM corpus),
-       |sh AS (
-       |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
-       |    list_transform(range(1, len(w) - 6),
-       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-       |        || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
-       |        || w[i+7])
+       |  FROM $src),
+       |${p}sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= $k THEN
+       |    list_transform(range(1, len(w) - ${k - 2}), i -> $cat)
        |    ELSE [] END AS s
-       |  FROM tok),
-       |h AS (
+       |  FROM ${p}tok),
+       |${p}h AS (
        |  SELECT doc_id, list_transform(s, x -> CAST(
        |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
        |        * 4294967296
@@ -188,36 +229,69 @@ object LlmQueries {
        |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
        |          >= 2147483648
        |        THEN 18446744073709551616 ELSE 0 END AS BIGINT)) AS hs
-       |  FROM sh),
-       |pos AS (
+       |  FROM ${p}sh),
+       |${p}pos AS (
        |  SELECT doc_id, unnest(range(0, len(hs))) AS p, unnest(hs) AS h
-       |  FROM h),
-       |hdf AS (SELECT h, count(*) AS n FROM pos GROUP BY h),
-       |capped AS (
-       |  SELECT pos.doc_id, pos.p, pos.h FROM pos
-       |  JOIN hdf ON pos.h = hdf.h WHERE hdf.n <= 1000),
-       |m AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa,
-       |    a.p - b.p AS diff
-       |  FROM capped a JOIN capped b
-       |    ON a.h = b.h AND a.doc_id < b.doc_id),
-       |isl AS (
+       |  FROM ${p}h)""".stripMargin
+  }
+
+  /** Gaps-and-islands run detection over a positional-match CTE
+    * `${p}m(id_a, id_b, pa, diff)` →
+    * `${p}spans(id_a, id_b, a_start, b_start, n_tokens)`. */
+  private def islandSpansCtes(p: String, k: Int, minTokens: Int): String =
+    s"""${p}isl AS (
        |  SELECT *, pa - row_number()
        |    OVER (PARTITION BY id_a, id_b, diff ORDER BY pa) AS g
-       |  FROM m),
-       |spans AS (
+       |  FROM ${p}m),
+       |${p}spans AS (
        |  SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS a_start,
        |    CAST(min(pa) - diff AS BIGINT) AS b_start,
-       |    CAST(max(pa) - min(pa) + 8 AS BIGINT) AS n_tokens
-       |  FROM isl GROUP BY id_a, id_b, diff, g
-       |  HAVING max(pa) - min(pa) + 8 >= 16)""".stripMargin
+       |    CAST(max(pa) - min(pa) + $k AS BIGINT) AS n_tokens
+       |  FROM ${p}isl GROUP BY id_a, id_b, diff, g
+       |  HAVING max(pa) - min(pa) + $k >= $minTokens)""".stripMargin
 
-  // plain concatenation, NOT an interpolated stripMargin: the CTE text
-  // contains lines starting with `||` (shingle concat), which a second
-  // stripMargin would truncate to `|`
+  /** DuckDB rebuild of [[Dedup.duplicateSpans]] over source CTE `src`,
+    * names prefixed `p`: positional hashes, hot-hash df cap,
+    * positional self-join, islands → `${p}spans`. ONE copy, spliced
+    * by the dup_spans/cut_spans oracles and the spans e2e capstone —
+    * a span-pipeline fix lands everywhere or nowhere. */
+  private def dupSpansCtes(src: String, p: String, k: Int = 8,
+      minTokens: Int = 16, maxDf: Int = 1000): String =
+    s"""${posKgramCtes(src, p, k)},
+       |${p}hdf AS (SELECT h, count(*) AS n FROM ${p}pos GROUP BY h),
+       |${p}capped AS (
+       |  SELECT ${p}pos.doc_id, ${p}pos.p, ${p}pos.h FROM ${p}pos
+       |  JOIN ${p}hdf ON ${p}pos.h = ${p}hdf.h WHERE ${p}hdf.n <= $maxDf),
+       |${p}m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa,
+       |    a.p - b.p AS diff
+       |  FROM ${p}capped a JOIN ${p}capped b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id),
+       |${islandSpansCtes(p, k, minTokens)}""".stripMargin
+
+  /** DuckDB rebuild of [[Dedup.duplicateSpansAgainst]]: positional
+    * hashes of `docsSrc` (df-capped) matched against `refSrc` (the
+    * ref doc is the id_a side, no id ordering — frames may share
+    * ids) → `${p}spans`. */
+  private def crossSpansCtes(docsSrc: String, refSrc: String, p: String,
+      k: Int = 8, minTokens: Int = 16, maxDf: Int = 1000): String =
+    s"""${posKgramCtes(docsSrc, p + "d_", k)},
+       |${posKgramCtes(refSrc, p + "r_", k)},
+       |${p}hdf AS (SELECT h, count(*) AS n FROM ${p}d_pos GROUP BY h),
+       |${p}capped AS (
+       |  SELECT ${p}d_pos.doc_id, ${p}d_pos.p, ${p}d_pos.h FROM ${p}d_pos
+       |  JOIN ${p}hdf ON ${p}d_pos.h = ${p}hdf.h
+       |  WHERE ${p}hdf.n <= $maxDf),
+       |${p}m AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa,
+       |    a.p - b.p AS diff
+       |  FROM ${p}r_pos a JOIN ${p}capped b ON a.h = b.h),
+       |${islandSpansCtes(p, k, minTokens)}""".stripMargin
+
   val dupSpansSql: String =
-    "WITH " + dupSpansCtes +
-      "\nSELECT id_a, id_b, a_start, b_start, n_tokens FROM spans"
+    s"""WITH corpus AS ($corpusNearSql),
+       |${dupSpansCtes("corpus", "")}
+       |SELECT id_a, id_b, a_start, b_start, n_tokens FROM spans""".stripMargin
 
   // --- llm_cut_spans ----------------------------------------------------
   /** The cut composed over the detected spans: planted copies lose
@@ -229,47 +303,60 @@ object LlmQueries {
       Dedup.duplicateSpans(corpus, k = 8, minTokens = 16, maxDf = 1000))
   }
 
-  /** DuckDB rebuild on top of the span CTEs: per-doc interval merge
-    * via the running-max window, interval list join-back, token-index
-    * filter, token-level reconstruction. */
-  val cutSpansSql: String =
-    "WITH " + dupSpansCtes + ",\n" +
-    """iv AS (
+  /** DuckDB rebuild of [[Dedup.cutSpans]] over docs CTE `docsSrc` and
+    * a spans CTE `spansSrc` (id_b, b_start, n_tokens), names prefixed
+    * `p`: per-doc interval merge via the running-max window, interval
+    * list join-back, token-index filter, token-level reconstruction →
+    * `${p}cut(doc_id, text_cut, n_removed)`. ONE copy, spliced by the
+    * cut_spans oracle, the spans e2e capstone, and the span
+    * decontamination oracle. */
+  private def cutSpansCtes(docsSrc: String, spansSrc: String,
+      p: String): String =
+    s"""${p}iv AS (
        |  SELECT id_b AS id, b_start AS s, b_start + n_tokens AS e
-       |  FROM spans),
-       |wm AS (
+       |  FROM $spansSrc),
+       |${p}wm AS (
        |  SELECT id, s, e, max(e) OVER (PARTITION BY id ORDER BY s
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-       |  FROM iv),
-       |g AS (
+       |  FROM ${p}iv),
+       |${p}g AS (
        |  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
-       |    THEN 1 ELSE 0 END AS ni FROM wm),
-       |g2 AS (
+       |    THEN 1 ELSE 0 END AS ni FROM ${p}wm),
+       |${p}g2 AS (
        |  SELECT *, sum(ni) OVER (PARTITION BY id ORDER BY s
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-       |  FROM g),
-       |mrg AS (
-       |  SELECT id, isl, min(s) AS s, max(e) AS e FROM g2 GROUP BY 1, 2),
-       |ivl AS (
+       |  FROM ${p}g),
+       |${p}mrg AS (
+       |  SELECT id, isl, min(s) AS s, max(e) AS e FROM ${p}g2
+       |  GROUP BY 1, 2),
+       |${p}ivl AS (
        |  SELECT id, list({'s': s, 'e': e} ORDER BY s) AS ivs
-       |  FROM mrg GROUP BY id),
-       |base AS (
+       |  FROM ${p}mrg GROUP BY id),
+       |${p}base AS (
        |  SELECT c.doc_id,
-       |    regexp_extract_all(lower(c.text), '[a-z0-9]+') AS w, ivl.ivs
-       |  FROM corpus c LEFT JOIN ivl ON c.doc_id = ivl.id),
-       |kept AS (
+       |    regexp_extract_all(lower(c.text), '[a-z0-9]+') AS w,
+       |    ${p}ivl.ivs
+       |  FROM $docsSrc c LEFT JOIN ${p}ivl ON c.doc_id = ${p}ivl.id),
+       |${p}kept AS (
        |  SELECT doc_id, w,
        |    CASE WHEN ivs IS NULL THEN range(0, len(w))
        |      ELSE list_filter(range(0, len(w)), i ->
        |        len(list_filter(ivs, v -> i >= v.s AND i < v.e)) = 0)
        |    END AS ki
-       |  FROM base)
-       |SELECT doc_id,
-       |  coalesce(
-       |    array_to_string(list_transform(ki, i -> w[i + 1]), ' '), '')
-       |    AS text_cut,
-       |  CAST(coalesce(len(w) - len(ki), 0) AS BIGINT) AS n_removed
-       |FROM kept""".stripMargin
+       |  FROM ${p}base),
+       |${p}cut AS (
+       |  SELECT doc_id,
+       |    coalesce(
+       |      array_to_string(list_transform(ki, i -> w[i + 1]), ' '), '')
+       |      AS text_cut,
+       |    CAST(coalesce(len(w) - len(ki), 0) AS BIGINT) AS n_removed
+       |  FROM ${p}kept)""".stripMargin
+
+  val cutSpansSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |${dupSpansCtes("corpus", "")},
+       |${cutSpansCtes("corpus", "spans", "")}
+       |SELECT doc_id, text_cut, n_removed FROM cut""".stripMargin
 
   // --- llm_minhash_lsh (xxhash64-based → rows-only check) ---------------
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -1368,14 +1455,16 @@ object LlmQueries {
     * rate (30-50 % on real crawls), far too big to ship to every
     * executor; AQE may still demote it to broadcast when the measured
     * size allows. */
-  private[graft] def fuzzySurvivors(s: SparkSession, dir: String): DataFrame = {
-    val deduped = keptDeduped(docsWithMixedDups(s, dir))
+  private[graft] def fuzzySurvivorsOf(deduped: DataFrame): DataFrame = {
     val pairs = Dedup.minhashLshPairsMd5(deduped, threshold = 0.5)
     val nonReps = Dedup.dedupClusters(pairs)
       .where(col("id") =!= col("cluster_rep"))
       .select(col("id").as("doc_id"))
     deduped.join(nonReps, Seq("doc_id"), "left_anti")
   }
+
+  private[graft] def fuzzySurvivors(s: SparkSession, dir: String): DataFrame =
+    fuzzySurvivorsOf(keptDeduped(docsWithMixedDups(s, dir)))
 
   /** The production-shaped capstone — [[e2ePrepare]] with the fuzzy
     * dedup stage a real pipeline runs between exact dedup and
@@ -1446,6 +1535,138 @@ object LlmQueries {
        |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
        |      WHEN 'fr' THEN 2500 ELSE 1000 END),
        |${packSpansSql("mixed", 64, 8)}""".stripMargin
+
+  // --- llm_e2e_prepare_spans ----------------------------------------------
+  /** The passage-level capstone — [[e2ePrepareFuzzy]] with the stage
+    * doc-level dedup cannot provide: quality → lang → exact dedup →
+    * minhash-md5 pairs → clusters → keep-lowest-rep →
+    * **duplicateSpans → cutSpans on the survivors** → decontaminate
+    * (on the CUT text) → mix → pack. The corpus plants all THREE
+    * duplicate families: exact copies (caught by the exact stage),
+    * tail-extended near-copies (caught by the fuzzy stage), and
+    * partial-overlap twins (Jaccard provably < 0.5 — UNTOUCHABLE by
+    * both doc-level stages) whose duplicated passage only the span
+    * stage removes, leaving the novel remainder in the manifest.
+    *
+    * Decontamination runs on the cut text WITHOUT a `flagFrom`
+    * shortcut: cutting can REMOVE a doc's contaminated passage (a
+    * twin of a benchmark doc keeps its clean half — suite-pinned), so
+    * raw-corpus flags would over-drop; the price is a second
+    * evaluation of the map-side cut projection (the shuffles beneath
+    * it canonicalize equal and are exchange-reused — plan-guarded).
+    *
+    * 100 TB shape: every stage is the registered operator's own plan
+    * (banded pairs, one-job-per-iteration CC, bare-id anti-joins,
+    * (pair, alignment)-bounded span windows, per-doc interval merge,
+    * broadcast benchmark) — composition adds no new shuffle class. */
+  def e2ePrepareSpans(s: SparkSession, dir: String): DataFrame = {
+    val survivors = fuzzySurvivorsOf(keptDeduped(docsWithSpliceDups(s, dir)))
+    val spans = Dedup.duplicateSpans(survivors)
+    val cut = Dedup.cutSpans(survivors, spans, keep = Seq("lang"))
+      .withColumnRenamed("text_cut", "text")
+    val bench = docs(s, dir).where(col("doc_id") % 13 === 0)
+      .select("doc_id", "text")
+    val clean = graft.llm.Decontaminate.clean(cut, bench)
+    val mixed = graft.llm.Sampling.sampleMix(clean, "lang",
+      Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1)
+    graft.llm.Packing.packSequences(mixed, ctxLen = 64, nShards = 8)
+  }
+
+  /** The composed spans oracle: [[e2ePrepareFuzzySql]]'s chain with
+    * the shared span-detection and cut fragments
+    * ([[dupSpansCtes]]/[[cutSpansCtes]] — the same text the
+    * standalone dup_spans/cut_spans oracles splice) between the
+    * fuzzy-survivor and decontamination CTEs; decontamination
+    * winnows the CUT text. */
+  val e2ePrepareSpansSql: String =
+    s"""WITH RECURSIVE corpus AS ($corpusSpliceSql),
+       |sig AS (
+       |  SELECT doc_id, text,
+       |    $qualitySigColsSql,
+       |    $langScoresSql
+       |  FROM corpus),
+       |m AS (SELECT *, $langMaxSql AS mx FROM sig),
+       |kept AS (
+       |  SELECT doc_id, text, fingerprint, CASE
+       |      $langCaseSql
+       |      ELSE 'und' END AS lang
+       |  FROM m
+       |  WHERE $qualityKeepSql),
+       |dedup AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+       |    arg_min(lang, doc_id) AS lang
+       |  FROM kept GROUP BY fingerprint),
+       |${minhashPairsCtes("dedup", 0.5)},
+       |${ccLabelsCtes("mh_pairs")},
+       |fuzzy AS (
+       |  SELECT d.doc_id, d.text, d.lang FROM dedup d
+       |  LEFT JOIN cc_labels l ON d.doc_id = l.id
+       |  WHERE l.id IS NULL OR l.cluster_rep = d.doc_id),
+       |${dupSpansCtes("fuzzy", "ps_")},
+       |${cutSpansCtes("fuzzy", "ps_spans", "ps_")},
+       |cutl AS (
+       |  SELECT c.doc_id, c.text_cut AS text, f.lang
+       |  FROM ps_cut c JOIN fuzzy f USING (doc_id)),
+       |bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+       |${winnowFpsCte("cutl", "c_")},
+       |${winnowFpsCte("bench", "b_")},
+       |c_fp AS (SELECT doc_id, unnest(fps) AS fp FROM c_win),
+       |b_fp AS (SELECT DISTINCT unnest(fps) AS fp FROM b_win),
+       |contaminated AS (
+       |  SELECT doc_id FROM c_fp JOIN b_fp USING (fp)
+       |  GROUP BY doc_id HAVING count(*) >= 2),
+       |clean AS (
+       |  SELECT l.doc_id, l.text, l.lang FROM cutl l
+       |  LEFT JOIN contaminated c ON l.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL),
+       |mixed AS (
+       |  SELECT doc_id, text FROM clean
+       |  WHERE ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} <
+       |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+       |      WHEN 'fr' THEN 2500 ELSE 1000 END),
+       |${packSpansSql("mixed", 64, 8)}""".stripMargin
+
+  // --- llm_decontaminate_cut ----------------------------------------------
+  /** Span-based decontamination over a corpus planting half-
+    * contaminated docs: every benchmark doc (%13) gets a partial-
+    * overlap twin (+4000000) carrying its first 24 tokens + unique
+    * filler. [[graft.llm.Decontaminate.cutContaminated]] excises the
+    * contaminated passage and keeps the clean half (suite-pinned),
+    * where [[decontaminate]]/clean would drop the whole doc; benchmark
+    * docs present verbatim in the corpus are cut to empty. */
+  private[graft] def docsWithContamTwins(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(splicedTwins(d, 13, 4000000L))
+  }
+
+  private val corpusContamSql =
+    "SELECT doc_id, text FROM documents\n" + splicedTwinsSql(13, 4000000L)
+
+  def decontaminateCut(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Decontaminate.cutContaminated(
+      docsWithContamTwins(s, dir),
+      docs(s, dir).where(col("doc_id") % 13 === 0).select("doc_id", "text"))
+
+  /** Oracle: winnow flag (the decontaminate fragments) → flagged docs
+    * → cross-frame span chain vs the benchmark → cut over the WHOLE
+    * corpus (unflagged docs pass through with n_removed 0). */
+  val decontaminateCutSql: String =
+    s"""WITH corpus AS ($corpusContamSql),
+       |bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+       |${winnowFpsCte("corpus", "c_")},
+       |${winnowFpsCte("bench", "b_")},
+       |c_fp AS (SELECT doc_id, unnest(fps) AS fp FROM c_win),
+       |b_fp AS (SELECT DISTINCT unnest(fps) AS fp FROM b_win),
+       |flagged AS (
+       |  SELECT doc_id FROM c_fp JOIN b_fp USING (fp)
+       |  GROUP BY doc_id HAVING count(*) >= 2),
+       |fdocs AS (
+       |  SELECT c.doc_id, c.text FROM corpus c JOIN flagged USING (doc_id)),
+       |${crossSpansCtes("fdocs", "bench", "x_")},
+       |${cutSpansCtes("corpus", "x_spans", "x_")}
+       |SELECT doc_id, text_cut, n_removed FROM x_cut""".stripMargin
 
   // --- llm_multimodal -----------------------------------------------------
   /** documents.text bytes stand in for media blobs; metadata extraction
@@ -1520,6 +1741,8 @@ object LlmQueries {
     "llm_typicality" -> (typicality _),
     "llm_e2e_prepare" -> (e2ePrepare _),
     "llm_e2e_prepare_fuzzy" -> (e2ePrepareFuzzy _),
+    "llm_e2e_prepare_spans" -> (e2ePrepareSpans _),
+    "llm_decontaminate_cut" -> (decontaminateCut _),
     "llm_repetition" -> (repetition _),
     "llm_multimodal" -> (multimodal _)
   )
@@ -1554,6 +1777,8 @@ object LlmQueries {
     "llm_typicality" -> typicalitySql,
     "llm_e2e_prepare" -> e2ePrepareSql,
     "llm_e2e_prepare_fuzzy" -> e2ePrepareFuzzySql,
+    "llm_e2e_prepare_spans" -> e2ePrepareSpansSql,
+    "llm_decontaminate_cut" -> decontaminateCutSql,
     "llm_repetition" -> repetitionSql,
     "llm_multimodal" -> multimodalSql
   )

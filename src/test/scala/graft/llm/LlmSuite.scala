@@ -105,6 +105,91 @@ class LlmSuite extends SparkSpec {
       "fuzzy dropped fewer docs than the planted near-copies alone")
   }
 
+  test("e2e spans: partial-overlap twins survive both doc-level stages " +
+      "and lose exactly their duplicated passage") {
+    def filler(id: Long): String =
+      (1 to 40).map(i => s"zq${id}f$i").mkString(" ")
+    val survivors = LlmQueries.fuzzySurvivorsOf(
+      LlmQueries.keptDeduped(LlmQueries.docsWithSpliceDups(spark, sf0001)))
+    val survIds = survivors.select("doc_id").as[Long].collect().toSet
+    val twinIds = survIds.filter(id => id >= 3000000 && id < 4000000)
+    // EVERY planted twin survives exact dedup (unique filler
+    // fingerprint) AND fuzzy dedup (Jaccard vs its base provably
+    // < 0.5: ≤22 common prefix shingles vs ≥40 filler shingles) —
+    // the doc-level family's structural blind spot
+    val nPlanted = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 9 === 0).count()
+    assert(twinIds.size == nPlanted,
+      s"${twinIds.size}/$nPlanted twins survived the doc-level stages")
+    // the span stage cuts the duplicated passage, nothing else: for
+    // every twin whose base has >= 24 tokens and itself survived,
+    // text_cut is EXACTLY the 40 filler tokens and n_removed == 24
+    val spans = Dedup.duplicateSpans(survivors)
+    val cut = Dedup.cutSpans(survivors, spans, keep = Seq("lang"))
+    val cutById = cut
+      .where(col("doc_id") >= 3000000 && col("doc_id") < 4000000)
+      .select("doc_id", "text_cut", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val baseTokens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val eligible = twinIds.filter { id =>
+      val base = id - 3000000
+      baseTokens.getOrElse(base, 0) >= 24 && survIds.contains(base)
+    }
+    assert(eligible.size >= 40, s"only ${eligible.size} eligible twins")
+    eligible.foreach { id =>
+      val (text, removed) = cutById(id)
+      assert(text == filler(id - 3000000),
+        s"twin $id kept/lost the wrong tokens: $text")
+      assert(removed == 24L, s"twin $id n_removed $removed != 24")
+    }
+  }
+
+  test("decontaminate cut: half-contaminated docs keep their clean " +
+      "half; verbatim benchmark docs are cut to empty") {
+    def filler(id: Long): String =
+      (1 to 40).map(i => s"zq${id}f$i").mkString(" ")
+    val out = LlmQueries.all("llm_decontaminate_cut")(spark, sf0001)
+      .select("doc_id", "text_cut", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val benchTokens = docs.where(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // every corpus doc passes through (cut-everything-through shape)
+    assert(out.size == docs.count() + benchTokens.size)
+    // half-contaminated twins: contaminated prefix excised, the clean
+    // filler half SURVIVES — where clean() would drop the whole doc
+    val pinnedTwins = benchTokens.filter(_._2 >= 24).keys.toSeq
+    assert(pinnedTwins.size >= 25)
+    pinnedTwins.foreach { base =>
+      val (text, removed) = out(base + 4000000)
+      assert(text == filler(base), s"twin of $base: wrong remainder")
+      assert(removed == 24L, s"twin of $base: n_removed $removed")
+    }
+    // ...and the whole-doc decontaminate WOULD have flagged them all
+    val flagged = graft.llm.Decontaminate.contaminated(
+        LlmQueries.docsWithContamTwins(spark, sf0001),
+        docs.where(col("doc_id") % 13 === 0).select("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    pinnedTwins.foreach(base => assert(flagged.contains(base + 4000000),
+      s"twin of $base escaped the winnow flag stage"))
+    // benchmark docs present verbatim in the corpus: fully excised
+    // (>= 16 tokens — below that no span clears minTokens and the doc
+    // passes through uncut)
+    benchTokens.foreach { case (id, n) =>
+      val (text, removed) = out(id)
+      if (n >= 16) {
+        assert(text == "", s"bench doc $id not fully cut: $text")
+        assert(removed == n.toLong, s"bench doc $id removed $removed/$n")
+      } else assert(removed == 0L, s"short bench doc $id was cut")
+    }
+  }
+
   test("ngram jaccard finds every planted near-dup pair") {
     val pairs = LlmQueries.ngramJaccard(spark, sf0001)
     val planted = pairs

@@ -238,6 +238,30 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
+  test("spans capstone: branch lineages reuse exchanges at runtime — " +
+      "only the pruning split executes twice") {
+    // Decontamination on the CUT text means the flag subquery carries
+    // the whole survivors+cut lineage a second time; every shuffle in
+    // the two copies canonicalizes equal and is exchange-reused EXCEPT
+    // where column pruning diverges (the flag branch prunes `lang`
+    // away, the spine keeps it), which splits the corpus fingerprint
+    // aggregate into exactly TWO canonically distinct variants. Pin
+    // that ceiling: a third executed fingerprint stage means someone
+    // broke canonical equality between the branches; zero reuse means
+    // AQE stage reuse regressed wholesale.
+    val df = graft.SparkEntry.queries("llm_e2e_prepare_spans")(spark, sf0001)
+    df.collect()
+    val census = graft.examples.SpansProbe.stageCensus(
+      df.queryExecution.executedPlan)
+    val fpExec = census.count(t =>
+      t._2 == "exec" && t._3.contains("fingerprint"))
+    assert(fpExec == 2,
+      s"$fpExec executed fingerprint stages (want 2 — the lang-pruning " +
+        s"split only): $census")
+    assert(census.count(_._2 == "REUSED") >= 4,
+      s"exchange reuse collapsed: $census")
+  }
+
   test("packing plans one shard-partitioned window, no join") {
     // The design: ONE shuffle by shard + a per-shard window + map-only
     // span arithmetic. A join or a second aggregate appearing here
