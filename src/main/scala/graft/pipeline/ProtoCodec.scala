@@ -29,15 +29,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *     repeated sint64 tags = 6;      // packed (proto3 default);
   *                                    // reader also accepts unpacked
   *     map<string, int64> attrs = 7;  // repeated entry messages
+  *     repeated Site stores = 8;      // repeated NESTED MESSAGE: one
+  *                                    // length-delimited occurrence
+  *                                    // per element, never packed
   *   }
   *   message Site { string id = 1; string kind = 2; }
   * ```
   * `site == null` models an absent message field (proto3 presence);
   * absent scalars decode to their defaults (0 / 0.0 / false / "");
-  * an absent repeated/map field decodes to empty. */
+  * an absent repeated/map field decodes to empty.
+  *
+  * Reader distinction that `stores` exists to carry (the reference
+  * normalizer's un-indexed `stores[0].gallery.deals.id` README shape,
+  * /root/reference/README.md:45,113-130): duplicate occurrences of the
+  * NON-repeated message field 2 MERGE (fragment concatenation), while
+  * each occurrence of the REPEATED message field 8 APPENDS a separate
+  * element — no cross-element merge, order preserved. */
 final case class ProtoRecord(id: Long, site: WireSite, score: Double,
     flag: Boolean, ts: Long, tags: Seq[Long] = Nil,
-    attrs: Map[String, Long] = Map.empty)
+    attrs: Map[String, Long] = Map.empty,
+    stores: Seq[WireSite] = Nil)
 
 /** Protocol-buffers wire-format primitives (public knowledge: the
   * format is varint keys `(field << 3) | wireType` with wire types
@@ -224,6 +235,17 @@ object ProtoCodec {
       writeTag(out, 7, 2); writeVarint(out, body.size.toLong)
       body.writeTo(out)
     }
+    // Repeated MESSAGE → one length-delimited occurrence per element,
+    // in order (message fields are never packed). Every element is
+    // written — even an all-default Site emits `tag, len 0` (element
+    // COUNT is data; proto3 default omission applies inside the
+    // element body, not to the element itself). A null element is
+    // written as the empty message.
+    r.stores.foreach { s =>
+      val body = if (s == null) Array.emptyByteArray else encodeSite(s)
+      writeTag(out, 8, 2); writeVarint(out, body.length.toLong)
+      out.write(body)
+    }
     out.toByteArray
   }
 
@@ -263,6 +285,7 @@ object ProtoCodec {
       var ts = 0L
       val tags = scala.collection.mutable.ArrayBuffer[Long]()
       val attrs = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val stores = scala.collection.mutable.ArrayBuffer[WireSite]()
       while (c.hasRemaining) {
         val tag = c.readVarint()
         val field = (tag >>> 3).toInt
@@ -313,10 +336,20 @@ object ProtoCodec {
           }
           attrs(k) = v
           c.pos += l
+        }
+        // Repeated message, reader side: each occurrence APPENDS one
+        // fresh element — the fragment-merge rule is for NON-repeated
+        // message fields only (a merged read here would collapse the
+        // element count).
+        else if (field == 8 && wt == 2) {
+          val l = c.readLen()
+          val sub = new Cursor(c.bytes, c.pos, c.pos + l)
+          stores += parseSite(sub, WireSite("", ""))
+          c.pos += l
         } else c.skip(wt)
       }
       DecodeResult.Ok(ProtoRecord(id, site, score, flag, ts,
-        tags.toSeq, attrs.toMap))
+        tags.toSeq, attrs.toMap, stores.toSeq))
     } catch {
       case m: Malformed =>
         DecodeResult.Failed(s"malformed protobuf: ${m.msg}")
@@ -338,6 +371,7 @@ object ProtoCodec {
       r.getField("ts").as("ts"),
       r.getField("tags").as("tags"),
       r.getField("attrs").as("attrs"),
+      r.getField("stores").as("stores"),
       col("timestamp"),
       coalesce(r.getField("_corrupt"),
         when(col("value").isNull, lit("null message value")))
@@ -366,6 +400,9 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
     StructField("tags", org.apache.spark.sql.types.ArrayType(LongType)),
     StructField("attrs",
       org.apache.spark.sql.types.MapType(StringType, LongType)),
+    StructField("stores", org.apache.spark.sql.types.ArrayType(
+      StructType(Seq(StructField("id", StringType),
+        StructField("kind", StringType))))),
     StructField("_corrupt", StringType)))
   override def nullable: Boolean = true
 
@@ -410,6 +447,7 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
     // for a deterministic columnar map regardless of wire entry order
     var attrs: scala.collection.mutable.LinkedHashMap[UTF8String, Long] =
       null
+    var stores: scala.collection.mutable.ArrayBuffer[Any] = null
     while (c.hasRemaining) {
       val tag = c.readVarint()
       val field = (tag >>> 3).toInt
@@ -453,6 +491,12 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
           attrs = scala.collection.mutable.LinkedHashMap()
         attrs(k) = v
         c.pos += l
+      } else if (field == 8 && wt == 2) { // repeated message: append,
+        val l = c.readLen()               // never merge across elements
+        if (stores == null)
+          stores = scala.collection.mutable.ArrayBuffer()
+        stores += parseSiteRow(bytes, c.pos, c.pos + l, null)
+        c.pos += l
       } else c.skip(wt)
     }
     val tagsData =
@@ -470,11 +514,15 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             sorted.map(_._2.asInstanceOf[Any]).toArray))
       }
+    val storesData =
+      if (stores == null) ProtoParseExpr.EmptyArray
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        stores.toArray)
     new GenericInternalRow(Array[Any](id, site, score, flag, ts,
-      tagsData, attrMap, null))
+      tagsData, attrMap, storesData, null))
   } catch {
     case m: Malformed => new GenericInternalRow(Array[Any](
-      null, null, null, null, null, null, null,
+      null, null, null, null, null, null, null, null,
       UTF8String.fromString(s"malformed protobuf: ${m.msg}")))
   }
 
@@ -519,13 +567,12 @@ case class ProtoEncodeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
-  def compute(row: InternalRow): Array[Byte] = {
-    val out = new ByteArrayOutputStream(64)
-    val id = if (row.isNullAt(0)) 0L else row.getLong(0)
-    if (id != 0L) { writeTag(out, 1, 0); writeVarint(out, id) }
-    if (!row.isNullAt(1)) {
-      val s = row.getStruct(1, 2)
-      val body = new ByteArrayOutputStream(32)
+  /** Site message body from a (id, kind) struct row — proto3 writer
+    * semantics (empty/null strings omitted). Null struct → empty
+    * body (the empty message). */
+  private def siteBody(s: InternalRow): ByteArrayOutputStream = {
+    val body = new ByteArrayOutputStream(32)
+    if (s != null) {
       if (!s.isNullAt(0)) {
         val b = s.getUTF8String(0).getBytes
         if (b.length > 0) {
@@ -540,6 +587,16 @@ case class ProtoEncodeExpr(child: Expression) extends UnaryExpression {
           body.write(b)
         }
       }
+    }
+    body
+  }
+
+  def compute(row: InternalRow): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64)
+    val id = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (id != 0L) { writeTag(out, 1, 0); writeVarint(out, id) }
+    if (!row.isNullAt(1)) {
+      val body = siteBody(row.getStruct(1, 2))
       writeTag(out, 2, 2); writeVarint(out, body.size.toLong)
       body.writeTo(out)
     }
@@ -587,6 +644,19 @@ case class ProtoEncodeExpr(child: Expression) extends UnaryExpression {
         if (v != 0L) { writeTag(body, 2, 0); writeVarint(body, v) }
         writeTag(out, 7, 2); writeVarint(out, body.size.toLong)
         body.writeTo(out)
+      }
+    }
+    if (row.numFields > 7 && !row.isNullAt(7)) { // repeated message
+      val arr = row.getArray(7)
+      var i = 0
+      while (i < arr.numElements()) {
+        // every element is an occurrence — a null/empty element still
+        // emits `tag, len 0` (element count is data)
+        val body = siteBody(
+          if (arr.isNullAt(i)) null else arr.getStruct(i, 2))
+        writeTag(out, 8, 2); writeVarint(out, body.size.toLong)
+        body.writeTo(out)
+        i += 1
       }
     }
     out.toByteArray

@@ -161,22 +161,33 @@ object OperatorQueries {
       |  CASE WHEN event_id % 7 = 0 THEN '__corrupt' ELSE 'ok' END AS status
       |FROM events""".stripMargin
 
-  /** P1+N1 on the REAL wire format: repeated (packed sint64, field 6)
-    * and map<string,int64> (field 7) cross the proto path into
-    * ArrayType/MapType columns, then the normalizer's un-indexed
-    * list path fans `tags` out one row per element (empty list ⇒ one
-    * NULL row — the reference's unnest semantics,
-    * /root/reference/custom.go:15, README.md:113-130). The wire also
-    * carries UNPACKED repeated occurrences (a constant suffix on
-    * every 5th payload — the reader must CONCATENATE them after the
-    * packed run) and a duplicate map entry (every 6th —
-    * last-one-wins overwrites `region`). The oracle predicts the
+  /** P1+N1 on the REAL wire format: repeated (packed sint64, field 6),
+    * map<string,int64> (field 7) and repeated NESTED MESSAGE (field 8)
+    * cross the proto path into ArrayType/MapType/array<struct>
+    * columns, then the normalizer fans out BOTH un-indexed list paths
+    * (`tags` and `stores.kind` — distinct lists chain explodes; empty
+    * list ⇒ one NULL row — the reference's unnest semantics and its
+    * README's own repeated-nested-message path shape,
+    * /root/reference/custom.go:15, README.md:45,113-130), plus the
+    * indexed `stores[0].id` element access. The wire also carries
+    * UNPACKED repeated occurrences (a suffix on every 5th payload —
+    * the reader must CONCATENATE them after the packed run), a
+    * duplicate map entry (every 6th — last-one-wins overwrites
+    * `region`), and an extra field-8 occurrence (every 8th — the
+    * reader must APPEND a separate element, never merge fragments
+    * across repeated-message occurrences). The oracle predicts the
     * final per-element rows straight from the source columns, so a
-    * packed/unpacked/merge misparse breaks the hash match. */
+    * packed/unpacked/merge/append misparse breaks the hash match. */
   def protoRepeated(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.pipeline.{ProtoCodec, ProtoEncodeExpr}
     val ev = Tables.load(s, dir, "events")
+    val store1 = struct(
+      concat(lit("a"), (col("event_id") % 100).cast("string")).as("id"),
+      col("event_type").as("kind"))
+    val store2 = struct(
+      concat(lit("b"), (col("user_id") % 10).cast("string")).as("id"),
+      lit("alt").as("kind"))
     val rec = struct(
       col("event_id").as("id"),
       struct(concat(lit("u"), col("user_id").cast("string")).as("id"),
@@ -188,17 +199,23 @@ object OperatorQueries {
         .otherwise(array(col("event_id") % 7 - 3, col("event_id") % 5,
           -(col("event_id") % 11))).as("tags"),
       map(lit("region"), col("user_id") % 10,
-        lit("site"), col("event_id") % 3).as("attrs"))
+        lit("site"), col("event_id") % 3).as("attrs"),
+      when(col("event_id") % 3 === 0, array(store1))
+        .otherwise(array(store1, store2)).as("stores"))
     val payload = ColumnBridge.column(
       ProtoEncodeExpr(ColumnBridge.expression(rec)))
     // Suffixes are hand-assembled wire bytes: "300E" = field 6/varint,
     // zigzag(7) — an UNPACKED repeated element after the packed run;
     // "3A…63" = a field-7 entry {key:"region", value:99} duplicating
-    // an earlier key. bindOnce: the encode rides three CASE branches.
+    // an earlier key; "42…77" = a field-8 occurrence {id:"x9",
+    // kind:"w"} — an APPENDED repeated-message element. bindOnce: the
+    // encode rides four CASE branches.
     val wire = graft.functions.ExprUtils.bindOnce(payload) { p =>
       when(col("event_id") % 5 === 0, concat(p, unhex(lit("300E"))))
         .when(col("event_id") % 6 === 0,
           concat(p, unhex(lit("3A0A0A06726567696F6E1063"))))
+        .when(col("event_id") % 8 === 0,
+          concat(p, unhex(lit("42070A027839120177"))))
         .otherwise(p)
     }
     val msgs = ev.select(wire.as("value"),
@@ -212,33 +229,60 @@ object OperatorQueries {
     val dec = ProtoCodec.decodeColumnar(msgs)
       .select(col("id"), col("site.kind").as("site_kind"), col("tags"),
         element_at(col("attrs"), "region").as("region"),
-        element_at(col("attrs"), "site").as("site_attr"))
+        element_at(col("attrs"), "site").as("site_attr"),
+        col("stores"))
     Normalizer.normalize(dec, NormalizerSpec(
-      fields = Seq("id", "site_kind", "tags", "region", "site_attr"),
-      aliases = Seq("id", "site_kind", "tag", "region", "site_attr")))
+      fields = Seq("id", "site_kind", "tags", "region", "site_attr",
+        "stores.kind", "stores[0].id"),
+      aliases = Seq("id", "site_kind", "tag", "region", "site_attr",
+        "store_kind", "store0_id")))
   }
 
   // COALESCEs mirror proto3 defaults (the protoDecodeSql stance); the
-  // region CASE mirrors the when-chain: %5 wins over %6, so the
-  // duplicate-entry overwrite applies only where %6 and NOT %5.
+  // region/store CASEs mirror the when-chain: %5 wins over %6 wins
+  // over %8, so the duplicate-entry overwrite applies only where %6
+  // and NOT %5, and the appended store element only where %8 and
+  // neither %5 nor %6. The two unnests sit in SEPARATE select layers:
+  // DuckDB zips same-layer unnests, while the normalizer CHAINS
+  // distinct un-indexed lists into a cross product.
   val protoRepeatedSql: String =
     """WITH base AS (
       |  SELECT event_id, user_id, event_type,
       |    CASE WHEN event_id % 4 = 0 THEN CAST([] AS BIGINT[])
       |         ELSE [event_id % 7 - 3, event_id % 5,
-      |               -(event_id % 11)] END AS tags0
+      |               -(event_id % 11)] END AS tags0,
+      |    CASE WHEN event_id % 3 = 0
+      |         THEN [{'id': 'a' || CAST(event_id % 100 AS VARCHAR),
+      |                'kind': COALESCE(event_type, '')}]
+      |         ELSE [{'id': 'a' || CAST(event_id % 100 AS VARCHAR),
+      |                'kind': COALESCE(event_type, '')},
+      |               {'id': COALESCE('b' ||
+      |                  CAST(user_id % 10 AS VARCHAR), ''),
+      |                'kind': 'alt'}] END AS stores0
       |  FROM events),
       |tagged AS (
       |  SELECT event_id, event_type,
       |    CASE WHEN event_id % 5 = 0 THEN list_append(tags0, 7)
       |         ELSE tags0 END AS tags,
       |    CASE WHEN event_id % 6 = 0 AND event_id % 5 <> 0 THEN 99
-      |         ELSE COALESCE(user_id % 10, 0) END AS region
-      |  FROM base)
+      |         ELSE COALESCE(user_id % 10, 0) END AS region,
+      |    CASE WHEN event_id % 8 = 0 AND event_id % 5 <> 0
+      |              AND event_id % 6 <> 0
+      |         THEN list_append(stores0, {'id': 'x9', 'kind': 'w'})
+      |         ELSE stores0 END AS stores
+      |  FROM base),
+      |l1 AS (
+      |  SELECT event_id, event_type, region, stores,
+      |    unnest(CASE WHEN len(tags) = 0 THEN [NULL] ELSE tags END) AS tag
+      |  FROM tagged),
+      |l2 AS (
+      |  SELECT event_id, event_type, region, tag, stores,
+      |    unnest(stores) AS store
+      |  FROM l1)
       |SELECT event_id AS id, COALESCE(event_type, '') AS site_kind,
-      |  unnest(CASE WHEN len(tags) = 0 THEN [NULL] ELSE tags END) AS tag,
-      |  region, event_id % 3 AS site_attr
-      |FROM tagged""".stripMargin
+      |  tag, region, event_id % 3 AS site_attr,
+      |  store['kind'] AS store_kind, stores[1]['id'] AS store0_id
+      |FROM l2""".stripMargin
 
   /** K1/K2/K4+Q1 — whole-pipeline smoke as a batch query: messages →
     * pipeline (munge, decode, rotate-per-batch, runner) → returns the

@@ -93,13 +93,13 @@ class ProtoCodecSuite extends SparkSpec {
       bytes(0x12, 0x07, 0x0A, 0x02, 0x61, 0x62, 0x12, 0x01, 0x78) ++
       bytes(0x20, 0x01) ++ bytes(0x08, 0x96, 0x01)
     assert(ProtoCodec.decode(reordered) == DecodeResult.Ok(golden))
-    // unknown fields: 15/varint, 8/length-delimited, 9/fixed32 — all
+    // unknown fields: 15/varint, 10/length-delimited, 9/fixed32 — all
     // skipped, including inside the nested site message (field 9);
-    // fields 6/7 are now KNOWN (tags/attrs — see the repeated/map
-    // tests), so the unknowns use numbers past the schema
+    // fields 6/7/8 are now KNOWN (tags/attrs/stores — see the
+    // repeated/map tests), so the unknowns use numbers past the schema
     val unknowns = goldenBytes ++
       bytes(0x78, 0x01) ++                   // field 15, varint 1
-      bytes(0x42, 0x03, 0x01, 0x02, 0x03) ++ // field 8, 3-byte blob
+      bytes(0x52, 0x03, 0x08, 0x01, 0x07) ++ // field 10, 3-byte blob
       bytes(0x4D, 0x01, 0x02, 0x03, 0x04)    // field 9, fixed32
     assert(ProtoCodec.decode(unknowns) == DecodeResult.Ok(golden))
     val siteWithUnknown = bytes(0x12, 0x0A,
@@ -231,13 +231,48 @@ class ProtoCodecSuite extends SparkSpec {
       attrs <- Gen.mapOf(Gen.zip(
         Gen.stringOf(Gen.alphaNumChar).map(_.take(10)),
         Gen.choose(Long.MinValue, Long.MaxValue))).map(_.take(8))
+      stores <- Gen.listOf(Gen.zip(
+        Gen.stringOf(Gen.alphaNumChar).map(_.take(20)),
+        Gen.stringOf(Gen.alphaNumChar).map(_.take(10)))
+        .map(p => WireSite(p._1, p._2))).map(_.take(6))
     } yield ProtoRecord(id, if (hasSite) WireSite(sid, kind) else null,
-      score, flag, ts, tags, attrs)
+      score, flag, ts, tags, attrs, stores)
     (0 until 200).foreach { i =>
       val r = recGen.apply(Gen.Parameters.default, Seed(11L + i)).get
       assert(ProtoCodec.decode(ProtoCodec.encode(r)) == DecodeResult.Ok(r),
         s"seed $i")
     }
+  }
+
+  test("repeated nested message: golden bytes, element order/count " +
+      "preserved, NO cross-element merge") {
+    // two stores: {id:"ab", kind:"x"} and the EMPTY message — golden:
+    // 08 01 · 42 07 (0A 02 'a' 'b', 12 01 'x') · 42 00
+    val rec = ProtoRecord(1L, null, 0.0, flag = false, ts = 0L,
+      stores = Seq(WireSite("ab", "x"), WireSite("", "")))
+    val expected = bytes(0x08, 0x01) ++
+      bytes(0x42, 0x07, 0x0A, 0x02, 0x61, 0x62, 0x12, 0x01, 0x78) ++
+      bytes(0x42, 0x00)
+    assert(ProtoCodec.encode(rec).toSeq == expected.toSeq)
+    assert(ProtoCodec.decode(expected) == DecodeResult.Ok(rec))
+    // THE distinction from field 2: the same two fragments that MERGE
+    // as a non-repeated site ({id:"ab"} then {kind:"x"} → one merged
+    // message) are TWO SEPARATE ELEMENTS as repeated occurrences
+    val twoFragments = bytes(0x42, 0x04, 0x0A, 0x02, 0x61, 0x62) ++
+      bytes(0x42, 0x03, 0x12, 0x01, 0x78)
+    assert(ProtoCodec.decode(twoFragments) == DecodeResult.Ok(
+      ProtoRecord(0L, null, 0.0, flag = false, ts = 0L,
+        stores = Seq(WireSite("ab", ""), WireSite("", "x")))),
+      "repeated message occurrences must append, not merge")
+    // interleaving with other fields preserves element order
+    val interleaved = bytes(0x42, 0x02, 0x0A, 0x00) ++ bytes(0x08, 0x05) ++
+      bytes(0x42, 0x03, 0x12, 0x01, 0x77)
+    assert(ProtoCodec.decode(interleaved) == DecodeResult.Ok(
+      ProtoRecord(5L, null, 0.0, flag = false, ts = 0L,
+        stores = Seq(WireSite("", ""), WireSite("", "w")))))
+    // truncated element body is malformed, not silently dropped
+    assert(ProtoCodec.decode(bytes(0x42, 0x03, 0x0A, 0x05, 0x61))
+      .isInstanceOf[DecodeResult.Failed])
   }
 
   test("NaN score round-trips bit-exactly (raw-bits fixed64 branch)") {
@@ -268,7 +303,7 @@ class ProtoCodecSuite extends SparkSpec {
     import org.apache.spark.sql.types.BinaryType
     val expr = ProtoParseExpr(BoundReference(0, BinaryType, nullable = true))
     val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on bad code
-    val out = proj(InternalRow(goldenBytes)).getStruct(0, 8)
+    val out = proj(InternalRow(goldenBytes)).getStruct(0, 9)
     assert(out.getLong(0) == 150L)
     assert(out.getStruct(1, 2).getUTF8String(0).toString == "ab")
     assert(out.getStruct(1, 2).getUTF8String(1).toString == "x")
@@ -277,11 +312,13 @@ class ProtoCodecSuite extends SparkSpec {
     assert(out.getLong(4) == -2L)
     assert(out.getArray(5).numElements() == 0) // absent repeated → empty
     assert(out.getMap(6).numElements() == 0)   // absent map → empty
-    assert(out.isNullAt(7))
-    // tags + attrs through the generated projection
+    assert(out.getArray(7).numElements() == 0) // absent rep. msg → empty
+    assert(out.isNullAt(8))
+    // tags + attrs + stores through the generated projection
     val rich = proj(InternalRow(ProtoCodec.encode(ProtoRecord(1L, null,
       0.0, flag = false, ts = 0L, tags = Seq(3L, -2L, 0L),
-      attrs = Map("b" -> 7L, "a" -> 5L))))).getStruct(0, 8)
+      attrs = Map("b" -> 7L, "a" -> 5L),
+      stores = Seq(WireSite("s1", "web"), WireSite("", "")))))).getStruct(0, 9)
     assert(rich.getArray(5).toLongArray.toSeq == Seq(3L, -2L, 0L))
     val m = rich.getMap(6)
     assert(m.numElements() == 2) // key-sorted deterministic order
@@ -289,8 +326,14 @@ class ProtoCodecSuite extends SparkSpec {
       m.valueArray.getLong(0) == 5L)
     assert(m.keyArray.getUTF8String(1).toString == "b" &&
       m.valueArray.getLong(1) == 7L)
-    val bad = proj(InternalRow(bytes(0x96))).getStruct(0, 8)
-    assert(bad.isNullAt(0) && !bad.isNullAt(7))
+    val st = rich.getArray(7)
+    assert(st.numElements() == 2) // element COUNT preserved, in order
+    assert(st.getStruct(0, 2).getUTF8String(0).toString == "s1" &&
+      st.getStruct(0, 2).getUTF8String(1).toString == "web")
+    assert(st.getStruct(1, 2).getUTF8String(0).toString == "" &&
+      st.getStruct(1, 2).getUTF8String(1).toString == "")
+    val bad = proj(InternalRow(bytes(0x96))).getStruct(0, 9)
+    assert(bad.isNullAt(0) && !bad.isNullAt(8))
     assert(proj(InternalRow(null)).isNullAt(0))
   }
 
@@ -361,7 +404,9 @@ class ProtoCodecSuite extends SparkSpec {
         i * 0.25, i % 3 == 0, i.toLong - 50L,
         tags = if (i % 4 == 0) Nil else Seq(i.toLong - 50L, -i.toLong, 0L),
         attrs = if (i % 5 == 0) Map.empty
-          else Map("a" -> i.toLong, "b" -> (i % 3).toLong)))
+          else Map("a" -> i.toLong, "b" -> (i % 3).toLong),
+        stores = if (i % 6 == 0) Nil
+          else Seq(WireSite(s"st$i", "w"), WireSite("", s"k${i % 4}"))))
     }
     val bad = Seq(bytes(0x96), bytes(0x12, 0x05, 0x01), bytes(0x0B))
     val df = (good ++ bad).toDF("value")
@@ -374,7 +419,8 @@ class ProtoCodecSuite extends SparkSpec {
     // one key-sorted; entry-set equality is the map contract)
     val key = Seq(col("id"), col("site"), col("score"), col("flag"),
       col("ts"), col("tags"),
-      array_sort(map_entries(col("attrs"))).as("attrs_e"))
+      array_sort(map_entries(col("attrs"))).as("attrs_e"),
+      col("stores"))
     val tGood = typed.where(col("_corrupt").isNull).select(key: _*)
     val cGood = columnar.where(col("_corrupt").isNull).select(key: _*)
     assert(cGood.exceptAll(tGood).count() == 0)
