@@ -42,6 +42,11 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
         }
+        // Queries with an internal persist barrier (the spans capstone)
+        // must not hand their cache to the next pass — min-of-2 would
+        // then time a cache read, not the pipeline. Every pass pays its
+        // own fill.
+        finally spark.sharedState.cacheManager.clearCache()
         name -> (System.nanoTime() - t0) / 1e9
     }
     // Host load average before/after: the benchmark host has bursty

@@ -1551,9 +1551,22 @@ object LlmQueries {
     * Decontamination runs on the cut text WITHOUT a `flagFrom`
     * shortcut: cutting can REMOVE a doc's contaminated passage (a
     * twin of a benchmark doc keeps its clean half — suite-pinned), so
-    * raw-corpus flags would over-drop; the price is a second
-    * evaluation of the map-side cut projection (the shuffles beneath
-    * it canonicalize equal and are exchange-reused — plan-guarded).
+    * raw-corpus flags would over-drop.
+    *
+    * The survivors frame is `persist(MEMORY_AND_DISK)`-ed: it is
+    * consumed by THREE lineages (span detection, the cut spine, and
+    * the decontamination flag subquery carrying the cut again), and
+    * exchange reuse alone cannot dedupe them — Catalyst prunes `lang`
+    * out of the flag branch's exact-dedup aggregate, splitting the
+    * fingerprint exchange into canonically-unequal variants that each
+    * re-run the scan + quality/lang/md5 map work (measured: barrier
+    * 9.0 s vs recompute 11.8 s warm at sf0.1, identical output;
+    * examples/SpansBarrierProbe). persist over localCheckpoint
+    * deliberately: lineage survives executor loss (localCheckpoint's
+    * documented failure mode under dynamic allocation), and the
+    * lazy cache fills during the first action. At cluster scale the
+    * same role is better served by writing survivors to a staging
+    * table; in-session persist is the single-job equivalent.
     *
     * 100 TB shape: every stage is the registered operator's own plan
     * (banded pairs, one-job-per-iteration CC, bare-id anti-joins,
@@ -1561,6 +1574,7 @@ object LlmQueries {
     * broadcast benchmark) — composition adds no new shuffle class. */
   def e2ePrepareSpans(s: SparkSession, dir: String): DataFrame = {
     val survivors = fuzzySurvivorsOf(keptDeduped(docsWithSpliceDups(s, dir)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = Dedup.duplicateSpans(survivors)
     val cut = Dedup.cutSpans(survivors, spans, keep = Seq("lang"))
       .withColumnRenamed("text_cut", "text")

@@ -238,28 +238,35 @@ class PlanQualitySuite extends SparkSpec {
     }
   }
 
-  test("spans capstone: branch lineages reuse exchanges at runtime — " +
-      "only the pruning split executes twice") {
+  test("spans capstone: survivors persist barrier absorbs the triple " +
+      "consumption — no fingerprint exchange in the final plan") {
     // Decontamination on the CUT text means the flag subquery carries
-    // the whole survivors+cut lineage a second time; every shuffle in
-    // the two copies canonicalizes equal and is exchange-reused EXCEPT
-    // where column pruning diverges (the flag branch prunes `lang`
-    // away, the spine keeps it), which splits the corpus fingerprint
-    // aggregate into exactly TWO canonically distinct variants. Pin
-    // that ceiling: a third executed fingerprint stage means someone
-    // broke canonical equality between the branches; zero reuse means
-    // AQE stage reuse regressed wholesale.
+    // the whole survivors+cut lineage a second time, and column
+    // pruning (the flag branch drops `lang`) splits the exact-dedup
+    // fingerprint aggregate into canonically-unequal exchange variants
+    // that exchange reuse cannot dedupe — measured 2 executions of the
+    // scan + signal + fingerprint work before the barrier (SCALE.md
+    // round 8). The persist(MEMORY_AND_DISK) barrier on survivors
+    // computes that lineage ONCE into the cache; the final plan must
+    // read it back through InMemoryTableScans (one per consumer) and
+    // contain NO fingerprint exchange of its own. A fingerprint stage
+    // reappearing here means the cache was bypassed (plan stopped
+    // canonicalizing equal to the persisted one).
     val df = graft.SparkEntry.queries("llm_e2e_prepare_spans")(spark, sf0001)
-    df.collect()
-    val census = graft.examples.SpansProbe.stageCensus(
-      df.queryExecution.executedPlan)
-    val fpExec = census.count(t =>
-      t._2 == "exec" && t._3.contains("fingerprint"))
-    assert(fpExec == 2,
-      s"$fpExec executed fingerprint stages (want 2 — the lang-pruning " +
-        s"split only): $census")
-    assert(census.count(_._2 == "REUSED") >= 4,
-      s"exchange reuse collapsed: $census")
+    try {
+      df.collect()
+      val census = graft.examples.SpansProbe.stageCensus(
+        df.queryExecution.executedPlan)
+      val fpExec = census.count(t =>
+        t._2 == "exec" && t._3.contains("fingerprint"))
+      assert(fpExec == 0,
+        s"$fpExec executed fingerprint stages (want 0 — the persist " +
+          s"barrier should absorb the survivor lineage): $census")
+      val scans = df.queryExecution.executedPlan.toString()
+      assert("InMemoryTableScan".r.findAllIn(scans).length >= 2,
+        "survivors cache not consumed by both branches:\n" +
+          scans.take(1200))
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("packing plans one shard-partitioned window, no join") {
