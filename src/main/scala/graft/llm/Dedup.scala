@@ -23,6 +23,64 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Line-level exact dedup (C4/CCNet-style boilerplate removal):
+    * every line whose normalized content already appeared earlier in
+    * the corpus — at a lower (doc, position) — is removed; each
+    * distinct line survives exactly once, at its globally-first
+    * occurrence, and documents are reassembled from their surviving
+    * lines in order. Document-level dedup cannot touch this: two docs
+    * sharing only a navigation header are nowhere near any whole-doc
+    * threshold, yet at corpus scale that header is millions of copies
+    * of boilerplate. Lines whose NORMALIZED form is empty (blank or
+    * whitespace-only) are exempt — they are formatting, and collapsing
+    * every blank line in the corpus onto one document would mangle all
+    * the others.
+    *
+    * Output: one row per input doc — (idCol, text_dedup, n_removed);
+    * a doc losing every line keeps an empty `text_dedup`.
+    *
+    * 100 TB shape: split + outer-posexplode is map-only; the
+    * first-occurrence frame is ONE partial-aggregated groupBy on the
+    * line fingerprint taking the min of a (doc, pos) struct — a
+    * groupBy, not a window, so a footer shared by millions of docs
+    * combines map-side instead of sorting onto one reducer; the keep
+    * test is a shuffle join back on the fingerprint, where that same
+    * hot line is a skewed PROBE key against a one-row build group —
+    * AQE's skew-join split is the designed handler (blank lines skip
+    * the join entirely: the exempt fingerprint is filtered out of the
+    * build side, so they fall out of the left join as keep=true).
+    * Reassembly is one groupBy on the doc id, bounded per group by
+    * document length. Nothing broadcasts the corpus and nothing is
+    * quadratic. The fingerprint is coalesced before riding the join:
+    * posexplode_outer makes the line column nullable, and a nullable
+    * expression in a join key makes Catalyst infer isnotnull(<expr>)
+    * and re-run the md5 chain inside the scan filter (SCALE.md
+    * round-6 re-inline lesson). */
+  def dedupLines(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    // md5 of the normalized empty string — the exempt fingerprint
+    val emptyFp = "d41d8cd98f00b204e9800998ecf8427e"
+    val lines = df
+      .select(col(idCol), posexplode_outer(split(
+        coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "pos", "line")
+      .withColumn("fp",
+        coalesce(TextAnalysis.fingerprint(col("line")), lit("")))
+    val firsts = lines.where(col("fp") =!= emptyFp)
+      .groupBy("fp")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+    lines.join(firsts, Seq("fp"), "left")
+      .withColumn("keep", col("first").isNull ||
+        struct(col(idCol), col("pos")) === col("first"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          x => x("line"))).as("text_dedup"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Distinct HASHED shingle set per doc: (id, sh: array<long>, sz).
     *
     * Shingle strings are never built: tokens hash once to longs, and a

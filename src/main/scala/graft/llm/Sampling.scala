@@ -52,6 +52,44 @@ object Sampling {
       .where(col("bucket") < threshold)
   }
 
+  /** Per-stratum UPSAMPLING — the other half of corpus re-weighting,
+    * which [[sampleMix]]'s keep/drop decision cannot express: mix
+    * specs routinely repeat high-quality sources (rate 2.5 = "2.5
+    * epochs of this stratum per training pass"). Each row emits
+    * `floor(rate)` whole copies plus one more iff its hash bucket
+    * falls under the fractional remainder, tagged with an `epoch`
+    * column (0-based copy index) so downstream packing/shuffling can
+    * keep copies apart. The SAME integer-threshold construction as
+    * [[sampleMix]] — rate resolves driver-side to 1/10000 units, the
+    * fractional decision is a pure integer compare on the md5 bucket —
+    * so for rates ≤ 1 this is EXACTLY sampleMix plus `epoch = 0`
+    * (suite-pinned), and the emitted set is reproducible across runs,
+    * engines, and corpus growth.
+    *
+    * Scale shape: map-only — a per-row `sequence` + generator, no
+    * shuffle, no skew surface (each input row fans out at most
+    * ceil(rate) times); rate-0 strata die in the generator (outer
+    * explode of an empty/null sequence → null epoch → filtered on the
+    * GENERATED column, the re-inline-safe explode form). */
+  def upsample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      idCol: String = "doc_id"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0),
+      "rates must be >= 0")
+    def units(r: Double): Long = math.round(r * Buckets)
+    val rm = rates.foldLeft(lit(units(defaultRate))) {
+      case (acc, (k, r)) =>
+        when(col(strataCol) === k, lit(units(r))).otherwise(acc)
+    }
+    val b = df.withColumn("bucket", hashBucket(col(idCol)))
+    val nCopies = (rm / Buckets).cast("long") +
+      when(col("bucket") < pmod(rm, lit(Buckets.toLong)), 1L).otherwise(0L)
+    b.select(b.columns.map(col) :+
+        explode_outer(when(nCopies > 0,
+          sequence(lit(0L), nCopies - 1))).as("epoch"): _*)
+      .where(col("epoch").isNotNull)
+  }
+
   /** Token-budget subsampling — the "give me B tokens of each
     * stratum" pass a pretraining mix is actually specified in: walk
     * each stratum's documents in a deterministic pseudo-random order

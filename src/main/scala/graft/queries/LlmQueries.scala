@@ -122,6 +122,60 @@ object LlmQueries {
        |  min(doc_id) AS keep_id, count(*) AS n_copies
        |FROM corpus GROUP BY 1""".stripMargin
 
+  // --- llm_line_dedup ---------------------------------------------------
+  /** Corpus with LINE structure planted for line-level dedup: every
+    * doc (incl. the exact-dup copies) becomes
+    * `header(source)\nbody\nfooter` — the header is shared by all
+    * docs of the same source (doc_id % 20), the footer by the whole
+    * corpus, and the bodies duplicate exactly where the exact-dup
+    * corpus plants copies. Expected survivors are fully derivable:
+    * doc 0 keeps all 3 lines; docs 1-19 lose the footer; every other
+    * original loses header+footer; the +1000000 copies lose all 3. */
+  private def docsWithBoilerplate(s: SparkSession, dir: String): DataFrame =
+    docsWithExactDups(s, dir).select(col("doc_id"),
+      concat(lit("begin shared preamble for source "),
+        pmod(col("doc_id"), lit(20L)).cast("string"), lit(" end\n"),
+        col("text"),
+        lit("\nglobal footer boilerplate shared by every document"))
+        .as("text"))
+
+  def lineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(docsWithBoilerplate(s, dir))
+
+  val lineDedupSql: String =
+    s"""WITH base AS ($corpusExactSql),
+       |corpus AS (
+       |  SELECT doc_id, 'begin shared preamble for source '
+       |    || CAST(doc_id % 20 AS VARCHAR) || ' end' || chr(10) || text
+       |    || chr(10) || 'global footer boilerplate shared by every document'
+       |    AS text
+       |  FROM base),
+       |ls AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS arr FROM corpus),
+       |lines AS (
+       |  SELECT doc_id, unnest(range(0, len(arr))) AS pos,
+       |    unnest(arr) AS line FROM ls),
+       |fps AS (
+       |  SELECT doc_id, pos, line,
+       |    md5(lower(trim(regexp_replace(line, '\\s+', ' ', 'g')))) AS fp
+       |  FROM lines),
+       |ranked AS (
+       |  SELECT doc_id, pos, line,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+       |  FROM fps WHERE fp <> md5('')),
+       |kept AS (
+       |  SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+       |  UNION ALL
+       |  SELECT doc_id, pos, line FROM fps WHERE fp = md5('')),
+       |keptagg AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+       |    count(*) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_tot FROM fps GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+       |  CAST(t.n_tot - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM tot t LEFT JOIN keptagg k ON t.doc_id = k.doc_id""".stripMargin
+
   // --- llm_ngram_jaccard ----------------------------------------------
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docsWithNearDups(s, dir),
@@ -1083,6 +1137,45 @@ object LlmQueries {
        |  WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin
   }
 
+  // --- llm_upsample -------------------------------------------------------
+  /** Per-stratum upsampling over the language-ID'd corpus: en docs
+    * run 2.5 epochs (2 whole copies + a 50% fractional third), de 1,
+    * fr 0.25, everything else 0.5 — the replication side of mixing
+    * that [[sampleMix]]'s keep/drop rates cannot express. */
+  def upsampleQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    graft.llm.Sampling.upsample(d, "lang",
+      Map("en" -> 2.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.5)
+      .select("doc_id", "lang", "bucket", "epoch")
+  }
+
+  val upsampleSql: String = {
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $langScoresSql
+       |  FROM documents),
+       |m AS (SELECT *, $langMaxSql AS mx FROM scored),
+       |lang AS (
+       |  SELECT doc_id, CASE
+       |      $langCaseSql
+       |      ELSE 'und' END AS lang
+       |  FROM m),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} AS bucket
+       |  FROM lang),
+       |n AS (
+       |  SELECT doc_id, lang, bucket,
+       |    rm // 10000 + CASE WHEN bucket < rm % 10000 THEN 1 ELSE 0 END
+       |      AS nc
+       |  FROM (SELECT *, CASE lang WHEN 'en' THEN 25000
+       |      WHEN 'de' THEN 10000 WHEN 'fr' THEN 2500
+       |      ELSE 5000 END AS rm FROM b))
+       |SELECT doc_id, lang, bucket, unnest(range(0, nc)) AS epoch
+       |FROM n WHERE nc > 0""".stripMargin
+  }
+
   // --- llm_source_cap -----------------------------------------------------
   /** Per-source document cap — the anti-domain-dominance pass: keep
     * the 10 LONGEST docs per source (n_chars desc, doc_id tiebreak —
@@ -1723,6 +1816,7 @@ object LlmQueries {
 
   val all: Map[String, Q] = Map(
     "llm_exact_dedup" -> (exactDedup _),
+    "llm_line_dedup" -> (lineDedup _),
     "llm_ngram_jaccard" -> (ngramJaccard _),
     "llm_containment" -> (containment _),
     "llm_dup_spans" -> (dupSpans _),
@@ -1747,6 +1841,7 @@ object LlmQueries {
     "llm_winnow" -> (winnow _),
     "llm_decontaminate" -> (decontaminate _),
     "llm_sample_mix" -> (sampleMix _),
+    "llm_upsample" -> (upsampleQ _),
     "llm_source_cap" -> (sourceCap _),
     "llm_token_budget" -> (tokenBudget _),
     "llm_pii" -> (pii _),
@@ -1763,6 +1858,7 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
+    "llm_line_dedup" -> lineDedupSql,
     "llm_minhash_md5" -> minhashMd5Sql,
     "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" -> ngramJaccardSql,
@@ -1783,6 +1879,7 @@ object LlmQueries {
     "llm_winnow" -> winnowSql,
     "llm_decontaminate" -> decontaminateSql,
     "llm_sample_mix" -> sampleMixSql,
+    "llm_upsample" -> upsampleSql,
     "llm_source_cap" -> sourceCapSql,
     "llm_token_budget" -> tokenBudgetSql,
     "llm_pii" -> piiSql,

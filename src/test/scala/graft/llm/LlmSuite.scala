@@ -17,6 +17,40 @@ class LlmSuite extends SparkSpec {
     assert(out.where(col("keep_id") >= 1000000).count() == 0)
   }
 
+  test("line dedup: boilerplate lines survive exactly once at their " +
+      "globally-first occurrence; blank lines are exempt") {
+    val out = LlmQueries.lineDedup(spark, sf0001)
+    assert(out.count() == 550) // 500 docs + 50 exact copies
+    val rm = out.select(col("doc_id"), col("n_removed"))
+      .as[(Long, Long)].collect().toMap
+    // doc 0 is the first occurrence of its header AND the footer
+    assert(rm(0L) == 0)
+    // docs 1-19 own their source's header, lose only the footer
+    (1L to 19L).foreach(d => assert(rm(d) == 1, s"doc $d"))
+    // later originals lose header+footer, keep their unique body
+    assert(rm(25L) == 2 && rm(499L) == 2)
+    // the +1000000 exact copies lose every line → empty text
+    assert((0L until 50L).forall(i => rm(1000000L + i * 10) == 3))
+    val copies = out.where(col("doc_id") >= 1000000L)
+    assert(copies.where(col("text_dedup") =!= "").count() == 0)
+    // reassembly preserves line order: doc 1's output is header+body
+    val d1 = out.where(col("doc_id") === 1L)
+      .select("text_dedup").as[String].head()
+    assert(d1.startsWith("begin shared preamble for source 1 end\n"))
+    assert(!d1.contains("global footer"))
+    // blank-line exemption: two docs sharing only blank lines keep them
+    val blanky = Seq((1L, "alpha\n\nbeta"), (2L, "gamma\n\ndelta"))
+      .toDF("doc_id", "text")
+    val b = Dedup.dedupLines(blanky).orderBy("doc_id")
+      .select("text_dedup").as[String].collect()
+    assert(b.sameElements(Array("alpha\n\nbeta", "gamma\n\ndelta")))
+    // plan shape: groupBy+join, never a window over the hot fingerprint
+    assert(!LlmQueries.lineDedup(spark, sf0001).queryExecution
+      .optimizedPlan.toString.contains("Window"),
+      "line dedup plans a window — the hot boilerplate key would " +
+        "sort onto one reducer")
+  }
+
   test("dropHotKeys: literal, local-relation, and shuffle-fallback " +
       "forms drop exactly the over-cap keys") {
     // key "a" appears 3×, "b" 2×, "c" 1× — cap 2 drops exactly the
@@ -827,6 +861,38 @@ class LlmSuite extends SparkSpec {
     val en = d.where(col("lang") === "en").count().toDouble
     val enKept = rows.count(_.getAs[String]("lang") == "en")
     assert(enKept / en > 0.3 && enKept / en < 0.7, s"$enKept/$en")
+  }
+
+  test("upsample: epoch layout per rate; rates <= 1 degenerate to " +
+      "sample mix; plan is map-only") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+    // rate 2.5: every doc ships epochs {0,1}; those whose bucket is
+    // under the 5000 fractional threshold also ship epoch 2
+    val up = Sampling.upsample(d, "lang", Map.empty, defaultRate = 2.5)
+    val byDoc = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"),
+        min("bucket").as("b"))
+      .collect()
+    assert(byDoc.length == d.count())
+    byDoc.foreach { r =>
+      val (n, mx, b) = (r.getAs[Long]("n"), r.getAs[Long]("mx"),
+        r.getAs[Long]("b"))
+      val want = if (b < 5000) 3L else 2L
+      assert(n == want && mx == want - 1, r.toString)
+    }
+    // rates <= 1: exactly the sampleMix kept set, every epoch 0
+    val subRates = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25)
+    val viaUp = Sampling.upsample(d, "lang", subRates, defaultRate = 0.1)
+    assert(viaUp.where(col("epoch") =!= 0L).count() == 0)
+    val viaMix = Sampling.sampleMix(d, "lang", subRates, defaultRate = 0.1)
+    assert(viaUp.select("doc_id").as[Long].collect().toSet ==
+      viaMix.select("doc_id").as[Long].collect().toSet)
+    // rate 0 strata vanish (map-only-ness is plan-guarded in
+    // PlanQualitySuite's map-only list)
+    assert(Sampling.upsample(d, "lang", Map.empty, defaultRate = 0.0)
+      .count() == 0)
   }
 
   test("pii redaction scrubs planted email/ip/phone; others untouched") {
