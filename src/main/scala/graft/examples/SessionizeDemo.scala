@@ -23,7 +23,9 @@ object SessionizeDemo {
     val root = java.nio.file.Files.createTempDirectory("graft-sessd").toString
 
     val ev = Tables.load(spark, sfDir, "events").select(
-      col("user_id"), timestamp_micros(expr("ts div 1000")).as("ets"),
+      // ts is TIMESTAMP_NTZ; Evt.ets is java.sql.Timestamp, so cast to
+      // session-tz TIMESTAMP (the session pins UTC) for the encoder
+      col("user_id"), col("ts").cast("timestamp").as("ets"),
       col("value"))
     ev.coalesce(1).write.parquet(s"$root/in/data")
     // flush marker to advance the watermark past every open session

@@ -337,9 +337,10 @@ object OperatorQueries {
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events").select(
       col("event_id"), col("user_id"),
-      // ts is epoch-nanos (LongType); integer-divide to micros —
-      // float division would lose precision above 2^53
-      timestamp_micros(expr("ts div 1000")).as("ets"))
+      // ts is TIMESTAMP_NTZ since the r8 fixture regeneration; keep it
+      // NTZ end-to-end so the parquet the driver compares is naive
+      // micros exactly like DuckDB's TIMESTAMP output
+      col("ts").as("ets"))
       // plant a key with no right-side rows so the oracle also checks
       // the NULL (no-match) path — every fixture user has prior orders
       .withColumn("user_id", when(col("event_id") % 97 === 0,
@@ -370,8 +371,7 @@ object OperatorQueries {
     * query runs, checked batch-side against DuckDB time_bucket. */
   def eventWindow(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events").select(
-      timestamp_micros(expr("ts div 1000")).as("ets"),
-      col("event_type"), col("value"))
+      col("ts").as("ets"), col("event_type"), col("value"))
     graft.streaming.EventTimeOps.tumblingCounts(
       ev, "ets", "event_type", "value", "1 hour")
   }

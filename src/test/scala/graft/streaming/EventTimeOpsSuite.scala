@@ -10,8 +10,12 @@ import graft.{SparkSpec, Tables}
 class EventTimeOpsSuite extends SparkSpec {
   import spark.implicits._
 
+  // Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+  // on TIMESTAMP_NTZ), so cast the NTZ fixture column; the session
+  // pins UTC so the mapping is fixed. The batch-side oracled query
+  // (op_event_window) has no watermark and stays NTZ end-to-end.
   private def eventsWithTs = Tables.load(spark, sf0001, "events")
-    .select(timestamp_micros(expr("ts div 1000")).as("ets"),
+    .select(col("ts").cast("timestamp").as("ets"),
       col("event_type"), col("value"), col("event_id"), col("user_id"))
 
   test("streaming windowed agg (watermark) equals the batch result") {
