@@ -366,6 +366,52 @@ object OperatorQueries {
       |FROM e ASOF LEFT JOIN r
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin
 
+  /** As-of join with a staleness tolerance — the r8-verdict item-6
+    * case: same pairing as [[asofJoin]], but a match older than
+    * `toleranceMillis` is nulled out (the row survives, left-join
+    * style). Tolerance ≈ the median event→order gap (~23.4 years on
+    * the fixture: events are 2024, orders 1995-2001), so the filter
+    * genuinely splits the matched population instead of being a
+    * no-op or a wipe-out. DuckDB has no ASOF tolerance clause, so the
+    * oracle applies the SAME epoch-millisecond cutoff to the plain
+    * ASOF result; both engines compute integer millis (truncated
+    * micros), so the boundary needs no rounding slack. */
+  val asofTolMillis = 740000000000L
+
+  def asofJoinTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts").as("ets"))
+      .withColumn("user_id", when(col("event_id") % 97 === 0,
+        col("user_id") + 1000000).otherwise(col("user_id")))
+    val ord = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    graft.operators.AsofJoin.joinAsof(ev, ord,
+      Seq("user_id" -> "o_custkey"), "ets", "o_orderdate",
+      toleranceMillis = Some(asofTolMillis))
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+  }
+
+  val asofJoinTolSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 97 = 0 THEN user_id + 1000000
+       |         ELSE user_id END AS user_id, ts
+       |  FROM events),
+       |r AS (
+       |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+       |  FROM orders GROUP BY 1, 2),
+       |m AS (
+       |  SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+       |  FROM e ASOF LEFT JOIN r
+       |    ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate)
+       |SELECT event_id, user_id,
+       |  CASE WHEN epoch_ms(ts) - epoch_ms(o_orderdate) <= $asofTolMillis
+       |       THEN o_orderkey END AS o_orderkey,
+       |  CASE WHEN epoch_ms(ts) - epoch_ms(o_orderdate) <= $asofTolMillis
+       |       THEN o_orderdate END AS o_orderdate
+       |FROM m""".stripMargin
+
   /** Event-time tumbling window aggregate (graft.streaming
     * .EventTimeOps) — the same code path the watermarked streaming
     * query runs, checked batch-side against DuckDB time_bucket. */
@@ -391,6 +437,7 @@ object OperatorQueries {
     "op_pipeline_sink" -> (pipelineSink _),
     "op_mock_source" -> (mockSource _),
     "op_asof_join" -> (asofJoin _),
+    "op_asof_join_tol" -> (asofJoinTol _),
     "op_event_window" -> (eventWindow _)
   )
 
@@ -400,6 +447,7 @@ object OperatorQueries {
     "op_proto_decode" -> protoDecodeSql,
     "op_proto_repeated" -> protoRepeatedSql,
     "op_asof_join" -> asofJoinSql,
+    "op_asof_join_tol" -> asofJoinTolSql,
     "op_event_window" -> eventWindowSql
   )
 }
