@@ -180,6 +180,50 @@ object Scale10Probe {
         timed("1x e2e prepare")(prepare(d1, bench))
         timed("10x e2e prepare")(prepare(d10, bench))
       }
+      if (which("linededup")) {
+        // line-level dedup (r8 op): the GLOBAL footer line appears in
+        // every doc of every replica — its fingerprint is the hottest
+        // join key in the suite (55 k probe rows against a ONE-row
+        // build at 10×). Wall must track corpus size; the aggregate
+        // runs over the output columns (a bare count() would let
+        // column pruning drop the concat_ws/collect_list rebuild —
+        // the probe-the-output lesson).
+        def withBoiler(d: org.apache.spark.sql.DataFrame) = d.select(
+          col("doc_id"),
+          concat(lit("begin shared preamble for source "),
+            pmod(col("doc_id"), lit(20L)).cast("string"), lit(" end\n"),
+            col("text"),
+            lit("\nglobal footer boilerplate shared by every document"))
+            .as("text"))
+        val d1 = withBoiler(docsX(1)).localCheckpoint(true)
+        val d10 = withBoiler(docsX(10)).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        def runIt(d: org.apache.spark.sql.DataFrame): Long =
+          Dedup.dedupLines(d)
+            .agg(sum(length(col("text_dedup"))), sum(col("n_removed")))
+            .collect()(0).getLong(1)
+        runIt(d1) // warmup
+        timed("1x dedupLines (lines removed)")(runIt(d1))
+        timed("10x dedupLines (lines removed)")(runIt(d10))
+        val plan = Dedup.dedupLines(d10).queryExecution.executedPlan
+        val s = plan.toString()
+        println("10x plan Window: " + s.contains("Window"))
+        println("10x plan BroadcastHashJoin: " +
+          s.contains("BroadcastHashJoin"))
+        println("10x plan SortMergeJoin: " + s.contains("SortMergeJoin"))
+        // At real scale the firsts build outgrows broadcast and the
+        // hot-footer key meets a SHUFFLED join — disable broadcast to
+        // measure that path's skew behavior under AQE at 10×.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          timed("10x dedupLines, broadcast disabled (lines removed)")(
+            runIt(d10))
+          val s2 = Dedup.dedupLines(d10).queryExecution.executedPlan
+            .toString()
+          println("no-bcast plan SortMergeJoin/ShuffledHashJoin: " +
+            (s2.contains("SortMergeJoin") || s2.contains("ShuffledHashJoin")))
+        } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus
