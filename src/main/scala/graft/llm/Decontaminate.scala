@@ -48,6 +48,40 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Benchmark-side contamination REPORT — the transpose of
+    * [[contaminated]]: for every benchmark document, how many
+    * training docs share at least `minShared` distinct winnow
+    * fingerprints WITH THAT benchmark doc (`n_docs`), and the total
+    * shared-fingerprint mass across them (`n_fp_shared`). This is the
+    * eval-integrity view a lab actually reports: "which benchmark
+    * items leaked into the corpus, and how badly" — per-item, so a
+    * contaminated eval subset can be excluded or the eval re-split.
+    *
+    * Same scale shape as [[contaminated]]: the benchmark (bench_id,
+    * fp) set broadcasts, the corpus contributes map-only exploded
+    * (doc_id, fp) longs, and the per-(bench, doc) overlap count is a
+    * partial-aggregated groupBy — a corpus fp shared with two
+    * benchmark docs counts toward both, which per-item attribution
+    * requires. Output: (bench_id, n_docs, n_fp_shared). */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchFps = benchmark
+      .select(col(idCol).as("bench_id"), explode_outer(
+        TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .where(col("fp").isNotNull)
+    val docFps = docs.select(col(idCol),
+      explode_outer(TextAnalysis.winnowFingerprints(col(textCol), k, w))
+        .as("fp"))
+      .where(col("fp").isNotNull)
+    docFps.join(broadcast(benchFps), Seq("fp"))
+      .groupBy(col("bench_id"), col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_shared").as("n_fp_shared"))
+  }
+
   /** The clean corpus: `docs` minus contaminated rows.
     *
     * `flagFrom` (optional) is the frame the contamination flags are

@@ -52,6 +52,29 @@ object Sampling {
       .where(col("bucket") < threshold)
   }
 
+  /** Quality-WEIGHTED sampling — the per-document generalization of
+    * [[sampleMix]]'s per-stratum constant: each row's keep
+    * probability is its own score (CCNet/RefinedWeb-style importance
+    * sampling, where a continuous quality signal softly downweights
+    * low-quality text instead of a hard verdict cut). Keep iff
+    * `hashBucket(id) < round(clamp(score, 0, 1) · 10000)` — the score
+    * resolves to an integer bucket threshold PER ROW, so the decision
+    * stays a pure integer compare and the whole op is map-only (no
+    * shuffle, scan speed at 100 TB), reproducible across runs,
+    * engines, partitionings, and corpus growth exactly like
+    * sampleMix. Cross-engine note: both engines round the SAME double
+    * product half-away-from-zero; a score already rounded to ≤4
+    * decimals makes the product near-integer, nowhere near the
+    * half-way rounding window. Output keeps all input columns plus
+    * the decision `bucket`. */
+  def sampleByScore(df: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val th = round(greatest(least(col(scoreCol), lit(1.0)), lit(0.0))
+      * Buckets).cast("int")
+    df.withColumn("bucket", hashBucket(col(idCol)))
+      .where(col("bucket") < th)
+  }
+
   /** Per-stratum UPSAMPLING — the other half of corpus re-weighting,
     * which [[sampleMix]]'s keep/drop decision cannot express: mix
     * specs routinely repeat high-quality sources (rate 2.5 = "2.5

@@ -1059,6 +1059,37 @@ object LlmQueries {
        |FROM c_fp JOIN b_fp USING (fp)
        |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin
 
+  // --- llm_contamination_report -------------------------------------------
+  /** Benchmark-side contamination report
+    * ([[graft.llm.Decontaminate.contaminationReport]]): per benchmark
+    * item, how many corpus docs share ≥2 winnow fingerprints with it
+    * and the total shared-fp mass — the eval-integrity view
+    * ([[decontaminate]] is the corpus-side transpose over the SAME
+    * near-dup corpus and benchmark, so the two views adjudicate each
+    * other). */
+  def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Decontaminate.contaminationReport(
+      docsWithNearDups(s, dir),
+      docs(s, dir).where(col("doc_id") % 13 === 0).select("doc_id", "text"),
+      minShared = 2)
+      .orderBy("bench_id")
+
+  val contaminationReportSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |bench AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+       |${winnowFpsCte("corpus", "c_")},
+       |${winnowFpsCte("bench", "b_")},
+       |c_fp AS (SELECT doc_id, unnest(fps) AS fp FROM c_win),
+       |b_fp AS (SELECT doc_id AS bench_id, unnest(fps) AS fp FROM b_win),
+       |pairs AS (
+       |  SELECT bench_id, doc_id, count(*) AS n_shared
+       |  FROM c_fp JOIN b_fp USING (fp)
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT bench_id, count(*) AS n_docs,
+       |  CAST(sum(n_shared) AS BIGINT) AS n_fp_shared
+       |FROM pairs GROUP BY bench_id""".stripMargin
+
   // --- llm_sample_mix -----------------------------------------------------
   /** Deterministic stratified corpus mixing by predicted language:
     * en keeps 50 %, de everything, fr 25 %, everything else 10 % —
@@ -1136,6 +1167,37 @@ object LlmQueries {
        |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
        |  WHEN 'fr' THEN 2500 ELSE 1000 END""".stripMargin
   }
+
+  // --- llm_sample_score ---------------------------------------------------
+  /** Quality-WEIGHTED sampling ([[graft.llm.Sampling.sampleByScore]]):
+    * each doc's keep probability is its own stopword ratio — the
+    * CCNet/RefinedWeb-style soft quality gate, where fluent English
+    * prose (high stopword density) survives at a high rate and
+    * symbol/gibberish text decays toward zero instead of a hard
+    * verdict cut. The score is already rounded to 4 decimals, so the
+    * per-row integer threshold `round(score·10000)` is identical in
+    * both engines (product lands near-integer, never near the
+    * rounding half-way). */
+  def sampleScore(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.sampleByScore(
+      graft.llm.TextAnalysis.qualitySignals(docs(s, dir))
+        .select("doc_id", "stopword_ratio"),
+      "stopword_ratio")
+
+  val sampleScoreSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |        t -> list_contains(['the','and','of','to','in','is','a'], t))) /
+       |      greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+       |      AS stopword_ratio
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, stopword_ratio,
+       |    ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} AS bucket
+       |  FROM sig)
+       |SELECT doc_id, stopword_ratio, bucket FROM b
+       |WHERE bucket < CAST(round(stopword_ratio * 10000) AS BIGINT)""".stripMargin
 
   // --- llm_upsample -------------------------------------------------------
   /** Per-stratum upsampling over the language-ID'd corpus: en docs
@@ -1840,7 +1902,9 @@ object LlmQueries {
     "llm_curation" -> (curation _),
     "llm_winnow" -> (winnow _),
     "llm_decontaminate" -> (decontaminate _),
+    "llm_contamination_report" -> (contaminationReport _),
     "llm_sample_mix" -> (sampleMix _),
+    "llm_sample_score" -> (sampleScore _),
     "llm_upsample" -> (upsampleQ _),
     "llm_source_cap" -> (sourceCap _),
     "llm_token_budget" -> (tokenBudget _),
@@ -1878,7 +1942,9 @@ object LlmQueries {
     "llm_curation" -> curationSql,
     "llm_winnow" -> winnowSql,
     "llm_decontaminate" -> decontaminateSql,
+    "llm_contamination_report" -> contaminationReportSql,
     "llm_sample_mix" -> sampleMixSql,
+    "llm_sample_score" -> sampleScoreSql,
     "llm_upsample" -> upsampleSql,
     "llm_source_cap" -> sourceCapSql,
     "llm_token_budget" -> tokenBudgetSql,

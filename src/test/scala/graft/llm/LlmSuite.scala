@@ -895,6 +895,62 @@ class LlmSuite extends SparkSpec {
       .count() == 0)
   }
 
+  test("sampleByScore: keep probability is the per-row score") {
+    val d = Seq((1L, 0.0), (2L, 1.0), (3L, 0.5), (4L, -0.2), (5L, 7.0))
+      .toDF("doc_id", "score")
+    val kept = Sampling.sampleByScore(d, "score").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(!kept.contains(1L)) // score 0 never keeps
+    assert(!kept.contains(4L)) // clamped to 0
+    assert(kept.contains(2L))  // score 1 always keeps
+    assert(kept.contains(5L))  // clamped to 1
+    // score 0.5: decision is exactly bucket < 5000
+    val b3 = d.withColumn("b", Sampling.hashBucket(col("doc_id")))
+      .where(col("doc_id") === 3).head().getAs[Long]("b")
+    assert(kept.contains(3L) == (b3 < 5000))
+    // registered query: every kept row satisfies its own threshold,
+    // reproducible run-to-run
+    val rows = LlmQueries.sampleScore(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val th = math.round(r.getAs[Double]("stopword_ratio") * 10000)
+      assert(r.getAs[Long]("bucket") < th, r.toString)
+    }
+    val again = LlmQueries.sampleScore(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSet == again.map(_.toString).toSet)
+  }
+
+  test("contamination report attributes per benchmark item and agrees " +
+      "with the corpus-side view") {
+    val report = LlmQueries.contaminationReport(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("bench_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_fp_shared"))).toMap
+    val benchIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 13 === 0).select("doc_id").as[Long]
+      .collect().toSet
+    // verbatim: every benchmark doc is in the corpus, so nearly all
+    // report at least their own copy (short/empty docs may winnow to
+    // <2 fingerprints)
+    assert(report.keySet.subsetOf(benchIds))
+    assert(report.size >= (benchIds.size * 0.9).toInt,
+      s"${report.size}/${benchIds.size}")
+    report.values.foreach { case (nDocs, nFp) =>
+      assert(nDocs >= 1 && nFp >= 2 * nDocs)
+    }
+    // %91 bench docs ALSO have a planted near-copy (tail-extended) in
+    // the near-dup corpus → at least two contaminating docs
+    report.collect { case (id, (nDocs, _)) if id % 91 == 0 =>
+      assert(nDocs >= 2, s"bench $id: $nDocs") }
+    // agreement with the corpus-side view: a doc sharing >=2 fps with
+    // ONE bench item shares >=2 with the pooled set, so the report's
+    // (bench, doc) pair count is bounded by corpus flags x bench size
+    val corpusFlagged = LlmQueries.decontaminate(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(report.values.map(_._1).sum <= corpusFlagged.size.toLong *
+      benchIds.size)
+    assert(corpusFlagged.nonEmpty)
+  }
+
   test("pii redaction scrubs planted email/ip/phone; others untouched") {
     val out = LlmQueries.pii(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -94,6 +94,12 @@ class PlanQualitySuite extends SparkSpec {
     val p = plan("llm_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "benchmark side not broadcast")
     assert(!p.contains("SortMergeJoin"), "corpus shuffles for the join")
+    // the benchmark-side report shares the shape: (bench_id, fp)
+    // broadcasts, corpus stays map-only into partial-aggregated
+    // groupBys
+    val r = plan("llm_contamination_report")
+    assert(r.contains("BroadcastHashJoin"), "report: benchmark not broadcast")
+    assert(!r.contains("SortMergeJoin"), "report: corpus shuffles for join")
   }
 
   test("map-only operators stay map-only: no joins or aggregates planned") {
@@ -101,9 +107,9 @@ class PlanQualitySuite extends SparkSpec {
     // aggregation appearing in their plans is a design regression.
     // (The only exchange allowed is the fixture-size repartition the
     // query helper adds for single-split parquet.)
-    Seq("llm_pii", "llm_sample_mix", "llm_upsample", "llm_chunk",
-      "llm_lang_id", "llm_token_count", "llm_fingerprint", "llm_winnow",
-      "op_proto_decode").foreach { q =>
+    Seq("llm_pii", "llm_sample_mix", "llm_sample_score", "llm_upsample",
+      "llm_chunk", "llm_lang_id", "llm_token_count", "llm_fingerprint",
+      "llm_winnow", "op_proto_decode").foreach { q =>
       val p = plan(q)
       Seq("Join", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
         "Window").foreach { node =>
