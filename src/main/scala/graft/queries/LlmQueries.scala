@@ -623,11 +623,16 @@ object LlmQueries {
     * applies the same hamming bound; `list_dot_product` verifies exact
     * cosine (bit-comparable left-to-right order — the llm_embed_dup
     * precedent). */
-  val embedDupLshMd5Sql: String = {
+  /** Spliceable CTE chain rebuilding the WHOLE md5-sign hyperplane-LSH
+    * dedup pipeline, ending in `e_pairs(id_a, id_b, sim)` — ONE copy
+    * shared by the standalone [[embedDupLshMd5Sql]] and the composed
+    * [[embedDupClustersSql]] (the minhashPairsCtes pattern: a fix
+    * lands in both or neither). */
+  private def embedPairsCtes: String = {
     val (nBits, nTables, seed) = (12, 4, 42L)
     val preSeed = seed + nTables * 7919L
     val preBound = Similarity.preVerifyBound(0.999)
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 1000000,
@@ -674,18 +679,46 @@ object LlmQueries {
        |  JOIN pre pa ON pa.vec_id = a.vec_id
        |  JOIN pre pb ON pb.vec_id = b.vec_id
        |  WHERE bit_count(xor(pa.sig2, pb.sig2)) <= $preBound
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b,
-       |  round(list_dot_product(va.vec, vb.vec) /
-       |    (greatest(sqrt(list_dot_product(va.vec, va.vec)), 1e-12) *
-       |     greatest(sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12)), 4) AS sim
-       |FROM cand
-       |JOIN corpus va ON va.vec_id = id_a
-       |JOIN corpus vb ON vb.vec_id = id_b
-       |WHERE round(list_dot_product(va.vec, vb.vec) /
-       |    (greatest(sqrt(list_dot_product(va.vec, va.vec)), 1e-12) *
-       |     greatest(sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12)), 4) >= 0.999""".stripMargin
+       |  GROUP BY 1, 2),
+       |e_pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(list_dot_product(va.vec, vb.vec) /
+       |      (greatest(sqrt(list_dot_product(va.vec, va.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12)), 4)
+       |      AS sim
+       |  FROM cand
+       |  JOIN corpus va ON va.vec_id = id_a
+       |  JOIN corpus vb ON vb.vec_id = id_b
+       |  WHERE round(list_dot_product(va.vec, vb.vec) /
+       |      (greatest(sqrt(list_dot_product(va.vec, va.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(vb.vec, vb.vec)), 1e-12)), 4)
+       |    >= 0.999)""".stripMargin
   }
+
+  // plain concatenation, NOT an outer stripMargin: the helper body
+  // contains lines beginning with the `||` concat operator, whose
+  // first `|` an outer stripMargin would eat
+  val embedDupLshMd5Sql: String =
+    "WITH " + embedPairsCtes + "\nSELECT id_a, id_b, sim FROM e_pairs"
+
+  // --- llm_embed_dup_clusters (cross-family composition: the md5
+  // hyperplane-LSH pairs feed the SAME connected-components operator
+  // the text near-dups use — dedup an embedding corpus transitively,
+  // e.g. image/audio near-copies chained A≈B≈C) --------------------------
+  def embedDupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+      Similarity.cosineDupPairsLsh(embsWithDups(s, dir), threshold = 0.999,
+        maxBucket = embedLshMaxBucket, md5Signs = true))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy("cluster_rep")
+
+  /** The composed oracle: the shared embed-pair CTEs spliced into the
+    * shared CC chain — both fragments single-sourced. */
+  val embedDupClustersSql: String =
+    "WITH RECURSIVE " + embedPairsCtes + ",\n" + ccLabelsCtes("e_pairs") +
+      "\nSELECT cluster_rep, count(*) AS cluster_size" +
+      "\nFROM cc_labels GROUP BY cluster_rep"
 
   // --- llm_ann_topk ------------------------------------------------------
   def annTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1895,6 +1928,7 @@ object LlmQueries {
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf_md5" -> (annIvfMd5 _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_embed_dup_clusters" -> (embedDupClusters _),
     "llm_lang_id" -> (langId _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),
@@ -1930,6 +1964,7 @@ object LlmQueries {
     "llm_dup_spans" -> dupSpansSql,
     "llm_cut_spans" -> cutSpansSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_embed_dup_clusters" -> embedDupClustersSql,
     "llm_embed_dup" -> embedDupSql,
     "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,
     "llm_ann_topk" -> annTopKSql,

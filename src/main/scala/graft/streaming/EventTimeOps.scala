@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   * Each works identically on a batch DataFrame (watermark is a no-op
   * there), which is what lets the DuckDB oracle check the same code
   * path the streaming query runs.
+  *
+  * TIMESTAMP_NTZ caveat: Spark's watermark requires a TIMESTAMP
+  * event-time column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ, as
+  * the fixtures' `ts: timestamp[us]` reads) — STREAMING callers must
+  * `col.cast("timestamp")` first (session-tz dependent; pin the
+  * session to UTC as every session builder here does). Batch callers
+  * can stay NTZ end-to-end — `window()`/aggregation accept it, and
+  * NTZ output parquet matches DuckDB's naive TIMESTAMP bit-for-bit,
+  * which is why the oracled batch queries do NOT cast.
   */
 object EventTimeOps {
 

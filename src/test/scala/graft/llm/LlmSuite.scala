@@ -408,6 +408,20 @@ class LlmSuite extends SparkSpec {
     assert(out.where(col("sim") === 1.0).count() == 100)
   }
 
+  test("embed dup clusters: planted scaled copies form exact 2-clusters") {
+    // cross-family composition: md5 hyperplane-LSH pairs through the
+    // text CC operator. At threshold 0.999 the only pairs are the
+    // planted (v, v+1000000) scaled copies, so every cluster is
+    // exactly {v, v+1000000} with the lower id as representative.
+    val out = LlmQueries.embedDupClusters(spark, sf0001).collect()
+    assert(out.length == 100) // 500/5 planted copies
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_rep") % 5 == 0, r.toString)
+      assert(r.getAs[Long]("cluster_rep") < 1000000, r.toString)
+      assert(r.getAs[Long]("cluster_size") == 2, r.toString)
+    }
+  }
+
   test("LSH-blocked embed dedup: guaranteed recall on exact-direction copies") {
     // ground truth: every pair at >= 0.999 over ALL pairs (constant
     // block) — SAME planted corpus the registered query processes
