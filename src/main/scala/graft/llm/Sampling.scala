@@ -52,6 +52,26 @@ object Sampling {
       .where(col("bucket") < threshold)
   }
 
+  /** Deterministic train/holdout split — the eval-set carve-out every
+    * training run needs: every row is LABELED (`split` =
+    * 'train'/'holdout'), nothing is dropped, and the assignment is
+    * the same stable md5 bucket as [[sampleMix]], so it is
+    * reproducible across runs/engines/partitionings and STICKY under
+    * corpus growth (a doc keeps its side as the corpus grows — the
+    * property that prevents silent eval-into-train leakage between
+    * pipeline versions; an RNG split reshuffles every run). Fraction
+    * resolves driver-side to 1/10000 units like every threshold here.
+    * Map-only. */
+  def holdoutSplit(df: DataFrame, holdoutFraction: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    require(holdoutFraction >= 0 && holdoutFraction <= 1,
+      s"holdoutFraction=$holdoutFraction out of [0, 1]")
+    val th = math.round(holdoutFraction * Buckets).toInt
+    df.withColumn("split",
+      when(hashBucket(col(idCol)) < th, lit("holdout"))
+        .otherwise(lit("train")))
+  }
+
   /** Quality-WEIGHTED sampling — the per-document generalization of
     * [[sampleMix]]'s per-stratum constant: each row's keep
     * probability is its own score (CCNet/RefinedWeb-style importance

@@ -1232,6 +1232,22 @@ object LlmQueries {
        |SELECT doc_id, stopword_ratio, bucket FROM b
        |WHERE bucket < CAST(round(stopword_ratio * 10000) AS BIGINT)""".stripMargin
 
+  // --- llm_holdout_split --------------------------------------------------
+  /** 5% deterministic holdout over the corpus
+    * ([[graft.llm.Sampling.holdoutSplit]]): every doc labeled
+    * train/holdout by the stable md5 bucket — sticky under corpus
+    * growth, so eval docs never silently migrate into training
+    * between pipeline versions. */
+  def holdoutSplit(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.holdoutSplit(
+      docs(s, dir).select("doc_id"), holdoutFraction = 0.05)
+
+  val holdoutSplitSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN ${md5BucketSql("CAST(doc_id AS VARCHAR)", 10000)} < 500
+       |    THEN 'holdout' ELSE 'train' END AS split
+       |FROM documents""".stripMargin
+
   // --- llm_upsample -------------------------------------------------------
   /** Per-stratum upsampling over the language-ID'd corpus: en docs
     * run 2.5 epochs (2 whole copies + a 50% fractional third), de 1,
@@ -1939,6 +1955,7 @@ object LlmQueries {
     "llm_contamination_report" -> (contaminationReport _),
     "llm_sample_mix" -> (sampleMix _),
     "llm_sample_score" -> (sampleScore _),
+    "llm_holdout_split" -> (holdoutSplit _),
     "llm_upsample" -> (upsampleQ _),
     "llm_source_cap" -> (sourceCap _),
     "llm_token_budget" -> (tokenBudget _),
@@ -1980,6 +1997,7 @@ object LlmQueries {
     "llm_contamination_report" -> contaminationReportSql,
     "llm_sample_mix" -> sampleMixSql,
     "llm_sample_score" -> sampleScoreSql,
+    "llm_holdout_split" -> holdoutSplitSql,
     "llm_upsample" -> upsampleSql,
     "llm_source_cap" -> sourceCapSql,
     "llm_token_budget" -> tokenBudgetSql,

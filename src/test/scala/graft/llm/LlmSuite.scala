@@ -965,6 +965,25 @@ class LlmSuite extends SparkSpec {
     assert(corpusFlagged.nonEmpty)
   }
 
+  test("holdout split labels every doc, ~5% holdout, sticky under growth") {
+    val rows = LlmQueries.holdoutSplit(spark, sf0001).collect()
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == n) // labeling, not filtering
+    val hold = rows.filter(_.getAs[String]("split") == "holdout")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.forall(r => Set("train", "holdout")
+      .contains(r.getAs[String]("split"))))
+    // md5 buckets are uniform-ish: 5% +- wide slack at 500 docs
+    assert(hold.size > n * 0.01 && hold.size < n * 0.12, s"${hold.size}/$n")
+    // sticky: the same docs stay holdout when the corpus grows
+    val grown = Sampling.holdoutSplit(
+      LlmQueries.docsWithNearDups(spark, sf0001).select(col("doc_id")),
+      0.05)
+      .where(col("split") === "holdout")
+      .select("doc_id").as[Long].collect().toSet
+    assert(hold.subsetOf(grown))
+  }
+
   test("pii redaction scrubs planted email/ip/phone; others untouched") {
     val out = LlmQueries.pii(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -107,9 +107,10 @@ class PlanQualitySuite extends SparkSpec {
     // aggregation appearing in their plans is a design regression.
     // (The only exchange allowed is the fixture-size repartition the
     // query helper adds for single-split parquet.)
-    Seq("llm_pii", "llm_sample_mix", "llm_sample_score", "llm_upsample",
-      "llm_chunk", "llm_lang_id", "llm_token_count", "llm_fingerprint",
-      "llm_winnow", "op_proto_decode").foreach { q =>
+    Seq("llm_pii", "llm_sample_mix", "llm_sample_score",
+      "llm_holdout_split", "llm_upsample", "llm_chunk", "llm_lang_id",
+      "llm_token_count", "llm_fingerprint", "llm_winnow",
+      "op_proto_decode").foreach { q =>
       val p = plan(q)
       Seq("Join", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
         "Window").foreach { node =>
