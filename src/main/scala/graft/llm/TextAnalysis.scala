@@ -299,6 +299,39 @@ object TextAnalysis {
         col("c.n_tokens"))
   }
 
+  /** Per-document NOVELTY scoring — the memorization/redundancy
+    * metric: the fraction of a doc's distinct n-gram shingles whose
+    * GLOBAL first owner (minimum doc id over the whole corpus) is the
+    * doc itself. An exact copy scores 0 (its original owns every
+    * shingle), a tail-extended near-copy scores ≈ the tail's share,
+    * fresh text scores ≈ 1 — the soft counterpart of the dedup
+    * operators, usable as a downweighting signal where dropping is
+    * too blunt. Output: (idCol, n_shingles, n_novel, novelty); docs
+    * with fewer than `n` tokens have no shingles and are absent.
+    *
+    * Scale shape (the [[typicality]] playbook, on shingles): md5-long
+    * hashed shingles (cross-engine, [[Dedup.shingleSetsMd5]]) explode
+    * to an inverted index; the owner table is a partial-aggregated
+    * groupBy(shingle) min; the join back is a skewed-probe vs
+    * one-row-per-key build (a stopword shingle in every doc is the
+    * hot key) — AQE's case, same as the line-dedup and typicality
+    * joins; the per-doc rollup partial-aggregates. No window, no
+    * all-pairs anywhere. */
+  def noveltyScores(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val inv = Dedup.shingleSetsMd5(df, idCol, textCol, n)
+      .select(col("id"), explode_outer(col("sh")).as("s"))
+      .where(col("s").isNotNull)
+    val owner = inv.groupBy("s").agg(min("id").as("owner"))
+    inv.join(owner, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 4).as("novelty"))
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token array column.
     * `toks` must be a plain column reference, not the `tokens(text)`
     * expression: an inlined expression would be re-evaluated at every

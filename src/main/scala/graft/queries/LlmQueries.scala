@@ -1123,6 +1123,48 @@ object LlmQueries {
        |  CAST(sum(n_shared) AS BIGINT) AS n_fp_shared
        |FROM pairs GROUP BY bench_id""".stripMargin
 
+  // --- llm_novelty --------------------------------------------------------
+  /** Novelty over the near-dup corpus
+    * ([[graft.llm.TextAnalysis.noveltyScores]]): the planted
+    * tail-extended copies score near 0 (their originals own all
+    * shared shingles, only the junction+tail shingles are new) while
+    * originals keep their whole shingle sets — the soft-signal
+    * counterpart of the dedup family, over the SAME corpus so the
+    * structure is attributable. */
+  def novelty(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.noveltyScores(docsWithNearDups(s, dir))
+
+  val noveltySql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |nv_tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM corpus),
+       |nv_sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS s
+       |  FROM nv_tok),
+       |nv_inv AS (
+       |  SELECT doc_id, unnest(list_transform(s, x -> CAST(
+       |      CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)::HUGEINT
+       |        * 4294967296
+       |      + CAST('0x' || substring(md5(x), 9, 8) AS BIGINT)
+       |      - CASE WHEN CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)
+       |          >= 2147483648
+       |        THEN 18446744073709551616 ELSE 0 END AS BIGINT))) AS h
+       |  FROM nv_sets WHERE len(s) > 0),
+       |nv_own AS (SELECT h, min(doc_id) AS owner FROM nv_inv GROUP BY h),
+       |nv_per AS (
+       |  SELECT i.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN o.owner = i.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM nv_inv i JOIN nv_own o USING (h)
+       |  GROUP BY i.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  round(n_novel / n_shingles, 4) AS novelty
+       |FROM nv_per""".stripMargin
+
   // --- llm_sample_mix -----------------------------------------------------
   /** Deterministic stratified corpus mixing by predicted language:
     * en keeps 50 %, de everything, fr 25 %, everything else 10 % —
@@ -1963,6 +2005,7 @@ object LlmQueries {
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
     "llm_typicality" -> (typicality _),
+    "llm_novelty" -> (novelty _),
     "llm_e2e_prepare" -> (e2ePrepare _),
     "llm_e2e_prepare_fuzzy" -> (e2ePrepareFuzzy _),
     "llm_e2e_prepare_spans" -> (e2ePrepareSpans _),
@@ -2005,6 +2048,7 @@ object LlmQueries {
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,
     "llm_typicality" -> typicalitySql,
+    "llm_novelty" -> noveltySql,
     "llm_e2e_prepare" -> e2ePrepareSql,
     "llm_e2e_prepare_fuzzy" -> e2ePrepareFuzzySql,
     "llm_e2e_prepare_spans" -> e2ePrepareSpansSql,

@@ -965,6 +965,31 @@ class LlmSuite extends SparkSpec {
     assert(corpusFlagged.nonEmpty)
   }
 
+  test("novelty: min-id doc owns all its shingles, copies score low, " +
+      "ownership conserves") {
+    val out = LlmQueries.novelty(spark, sf0001).collect()
+    val nov = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("novelty")).toMap
+    // the smallest scored id owns every one of its shingles by
+    // definition of min-id ownership
+    assert(nov(nov.keys.min) == 1.0)
+    val (copies, origs) = nov.partition(_._1 >= 1000000)
+    assert(copies.nonEmpty)
+    // a tail-extended near-copy's novel shingles are only the
+    // junction + 4-token tail — a sliver of its shingle set
+    assert(copies.values.forall(_ <= 0.2),
+      copies.maxBy(_._2).toString)
+    assert(copies.values.sum / copies.size <
+      origs.values.sum / origs.size)
+    // conservation: every distinct shingle has exactly ONE owner, so
+    // n_novel sums to the corpus-wide distinct shingle count
+    val totNovel = out.map(_.getAs[Long]("n_novel")).sum
+    val distinctShingles = graft.llm.Dedup.shingleSetsMd5(
+      LlmQueries.docsWithNearDups(spark, sf0001), "doc_id", "text", 3)
+      .select(explode(col("sh")).as("s")).distinct().count()
+    assert(totNovel == distinctShingles, s"$totNovel vs $distinctShingles")
+  }
+
   test("holdout split labels every doc, ~5% holdout, sticky under growth") {
     val rows = LlmQueries.holdoutSplit(spark, sf0001).collect()
     val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
