@@ -180,6 +180,29 @@ object Scale10Probe {
         timed("1x e2e prepare")(prepare(d1, bench))
         timed("10x e2e prepare")(prepare(d10, bench))
       }
+      if (which("novelty")) {
+        // novelty scoring (r9 op): the min-owner join probes with the
+        // corpus-hottest shingle keys (phrase-pool fixture text) —
+        // wall must track corpus size, conservation must hold at 10×.
+        import graft.llm.TextAnalysis
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        def runIt(d: org.apache.spark.sql.DataFrame): Long =
+          TextAnalysis.noveltyScores(d)
+            .agg(sum(col("n_novel")), sum(col("n_shingles")),
+              sum(col("novelty")))
+            .collect()(0).getLong(0)
+        runIt(d1) // warmup
+        timed("1x noveltyScores (sum n_novel)")(runIt(d1))
+        timed("10x noveltyScores (sum n_novel)")(runIt(d10))
+        // conservation at 10×: every distinct shingle owned once
+        val distinct10 = graft.llm.Dedup
+          .shingleSetsMd5(d10, "doc_id", "text", 3)
+          .select(explode(col("sh")).as("s")).distinct().count()
+        println(s"10x distinct shingles: $distinct10 " +
+          s"(== sum n_novel: ${runIt(d10) == distinct10})")
+      }
       if (which("linededup")) {
         // line-level dedup (r8 op): the GLOBAL footer line appears in
         // every doc of every replica — its fingerprint is the hottest
