@@ -56,29 +56,47 @@ object Dedup {
     * expression in a join key makes Catalyst infer isnotnull(<expr>)
     * and re-run the md5 chain inside the scan filter (SCALE.md
     * round-6 re-inline lesson). */
-  def dedupLines(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", sep: String = "\n"): DataFrame = {
-    // md5 of the normalized empty string — the exempt fingerprint
-    val emptyFp = "d41d8cd98f00b204e9800998ecf8427e"
-    val lines = df
-      .select(col(idCol), posexplode_outer(split(
+  /** md5 of the normalized empty string — the line-dedup exempt
+    * fingerprint (blank separator lines are structure, not
+    * boilerplate). */
+  private[graft] val EmptyLineFp = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** The per-line table both the batch and streaming line dedup build
+    * on: one row per (doc, position) with the normalized-line md5
+    * fingerprint. */
+  private[graft] def lineTable(df: DataFrame, idCol: String,
+      textCol: String, sep: String): DataFrame =
+    df.select(col(idCol), posexplode_outer(split(
         coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(sep))))
       .toDF(idCol, "pos", "line")
       .withColumn("fp",
         coalesce(TextAnalysis.fingerprint(col("line")), lit("")))
-    val firsts = lines.where(col("fp") =!= emptyFp)
-      .groupBy("fp")
-      .agg(min(struct(col(idCol), col("pos"))).as("first"))
-    lines.join(firsts, Seq("fp"), "left")
-      .withColumn("keep", col("first").isNull ||
-        struct(col(idCol), col("pos")) === col("first"))
-      .groupBy(col(idCol))
+
+  /** Reassemble per-doc text from a line table carrying a boolean
+    * `keep` column: kept lines re-join in position order, dropped
+    * lines are counted. Shared by batch and streaming line dedup so
+    * the output contract cannot drift. */
+  private[graft] def reassembleLines(lines: DataFrame, idCol: String,
+      sep: String): DataFrame =
+    lines.groupBy(col(idCol))
       .agg(
         concat_ws(sep, transform(
           array_sort(collect_list(when(col("keep"),
             struct(col("pos"), col("line"))))),
           x => x("line"))).as("text_dedup"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+
+  def dedupLines(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val lines = lineTable(df, idCol, textCol, sep)
+    val firsts = lines.where(col("fp") =!= EmptyLineFp)
+      .groupBy("fp")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+    reassembleLines(
+      lines.join(firsts, Seq("fp"), "left")
+        .withColumn("keep", col("first").isNull ||
+          struct(col(idCol), col("pos")) === col("first")),
+      idCol, sep)
   }
 
   /** Distinct HASHED shingle set per doc: (id, sh: array<long>, sz).

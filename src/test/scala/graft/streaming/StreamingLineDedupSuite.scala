@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.Dedup
+
+/** Streaming line dedup parity: under doc-id-ordered replay, first
+  * ARRIVAL == global first occurrence, so the streaming kept set must
+  * equal the batch operator row-for-row — including the shared
+  * header/footer boilerplate landing with exactly one owner and blank
+  * lines surviving everywhere. */
+class StreamingLineDedupSuite extends SparkSpec {
+  import spark.implicits._
+
+  // the llm_line_dedup corpus shape: per-source header, body, global
+  // footer; every doc carries the footer, docs of one source share
+  // the header
+  private def boiler = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select(col("doc_id"),
+      concat(lit("begin shared preamble for source "),
+        pmod(col("doc_id"), lit(20L)).cast("string"), lit(" end\n"),
+        col("text"),
+        lit("\nglobal footer boilerplate shared by every document"))
+        .as("text"))
+
+  test("two-batch replay equals the batch operator (doc-ordered split)") {
+    val root = Files.createTempDirectory("graft-sld").toString
+    val d = boiler
+    val cut = 250L // doc-ordered split: batch 1 = low ids, batch 2 = rest
+    val sld = StreamingLineDedup(s"$root/store")
+    val out1 = sld.processBatch(d.where(col("doc_id") < cut)).collect()
+    val out2 = sld.processBatch(d.where(col("doc_id") >= cut)).collect()
+    val streamed = (out1 ++ out2).map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("text_dedup"), r.getAs[Long]("n_removed"))).toSet
+    val batch = Dedup.dedupLines(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("text_dedup"), r.getAs[Long]("n_removed"))).toSet
+    assert(streamed == batch)
+    // the cross-batch state actually fired: batch 2 docs lost their
+    // footer (its fingerprint was claimed in batch 1)
+    assert(out2.forall(_.getAs[Long]("n_removed") >= 1))
+    assert(streamed.nonEmpty)
+  }
+
+  test("foreachBatch wiring dedups across micro-batches end to end") {
+    val root = Files.createTempDirectory("graft-sld-e2e").toString
+    val d = boiler.limit(60).cache()
+    // one parquet file per trigger → multiple micro-batches
+    d.repartition(4).write.parquet(s"$root/in")
+    val stream = spark.readStream.schema(d.schema).
+      option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+    val q = StreamingLineDedup(s"$root/store")
+      .attach(stream, s"$root/out", s"$root/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 60) // every doc survives (lines drop, docs don't)
+    // the global footer fingerprint was kept exactly once corpus-wide
+    val withFooter = out.where(col("text_dedup")
+      .contains("global footer boilerplate")).count()
+    assert(withFooter == 1L, s"footer kept $withFooter times")
+    // arbitrary micro-batch order keeps SOME single owner per line
+    // fingerprint: re-running batch dedup on the streamed output
+    // removes nothing
+    val rededup = Dedup.dedupLines(
+      out.withColumnRenamed("text_dedup", "text"))
+    assert(rededup.agg(sum("n_removed")).head().getLong(0) == 0L)
+  }
+}
