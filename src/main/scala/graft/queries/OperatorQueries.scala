@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -412,6 +412,48 @@ object OperatorQueries {
        |       THEN o_orderdate END AS o_orderdate
        |FROM m""".stripMargin
 
+  /** Range (interval-containment) join — per promotional window (a 1%
+    * sample of orders, [o_orderdate, o_orderdate + 6 days] inclusive),
+    * count the orders placed inside the window and their revenue
+    * (SURVEY.md §2.2 "range join"; graft.operators.RangeJoin). The
+    * bucketed shape: positions are day numbers, bucketWidth 7 — each
+    * 7-day window replicates to ≤ 2 weekly buckets and the join is an
+    * equi hash join on the bucket, never a nested loop (the global
+    * cartesian guard covers this query). DuckDB plans the same SQL as
+    * an IEJoin — different physical strategy, identical relation. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val points = orders.select(
+      col("o_orderdate"), col("o_totalprice"))
+    val windows = orders.where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("promo_key"),
+        col("o_orderdate").as("w_start"))
+    val dayOf: Column => Column = c => unix_date(to_date(c))
+    graft.operators.RangeJoin.joinPointsInIntervals(
+        points, windows,
+        pointPos = dayOf(col("o_orderdate")),
+        startPos = dayOf(col("w_start")),
+        endPos = dayOf(col("w_start")) + 6,
+        bucketWidth = 7)
+      .groupBy("promo_key", "w_start")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  /** Fixture timestamps are all midnight-aligned, so the day-number
+    * containment `[d, d+6]` is exactly the timestamp containment
+    * `[t, t + 6 days]` DuckDB evaluates. */
+  val rangeJoinSql: String =
+    """WITH p AS (
+      |  SELECT o_orderkey AS promo_key, o_orderdate AS w_start
+      |  FROM orders WHERE o_orderkey % 100 = 0)
+      |SELECT p.promo_key, p.w_start, count(*) AS n_orders,
+      |  round(sum(o.o_totalprice), 2) AS revenue
+      |FROM p JOIN orders o
+      |  ON o.o_orderdate >= p.w_start
+      | AND o.o_orderdate <= p.w_start + INTERVAL 6 DAY
+      |GROUP BY 1, 2""".stripMargin
+
   /** Event-time tumbling window aggregate (graft.streaming
     * .EventTimeOps) — the same code path the watermarked streaming
     * query runs, checked batch-side against DuckDB time_bucket. */
@@ -438,6 +480,7 @@ object OperatorQueries {
     "op_mock_source" -> (mockSource _),
     "op_asof_join" -> (asofJoin _),
     "op_asof_join_tol" -> (asofJoinTol _),
+    "op_range_join" -> (rangeJoin _),
     "op_event_window" -> (eventWindow _)
   )
 
@@ -448,6 +491,7 @@ object OperatorQueries {
     "op_proto_repeated" -> protoRepeatedSql,
     "op_asof_join" -> asofJoinSql,
     "op_asof_join_tol" -> asofJoinTolSql,
+    "op_range_join" -> rangeJoinSql,
     "op_event_window" -> eventWindowSql
   )
 }
