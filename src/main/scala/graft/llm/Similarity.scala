@@ -245,6 +245,25 @@ object Similarity {
     rows.map(_.getSeq[Double](0).toSeq).toSeq
   }
 
+  /** Per-row array of normalized centroid dots — map-only; centroid
+    * norms are accumulated left-to-right like `norm` so rankings
+    * agree with the expression form bit-for-bit. Shared by the IVF
+    * family ([[ivfTopKFrom]]) and [[semDedupFrom]]. */
+  private def cellScoresFn(centArrs: Seq[Seq[Double]]): Column => Column = {
+    val centNorms: Seq[Double] = centArrs.map { a =>
+      var s = 0.0; a.foreach(x => s += x * x)
+      math.max(math.sqrt(s), 1e-12)
+    }
+    vec => array(centArrs.indices.map { i =>
+      dot(vec, typedlit(centArrs(i))) / lit(centNorms(i))
+    }: _*)
+  }
+
+  /** argmax cell id over a score array: array_position finds the
+    * FIRST max → lowest cid on ties. */
+  private def argmaxCid(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
   /** IVF assignment → probe → top-k with EXPLICIT centroids: the
     * quantizer is pluggable — KMeans-fitted in [[ivfTopK]] (the
     * operator path), deterministic sample vectors
@@ -259,25 +278,13 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv"))
       // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
       .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
-    // Centroid norms are accumulated left-to-right like `norm` so
-    // rankings agree with the expression form bit-for-bit.
-    val centNorms: Seq[Double] = centArrs.map { a =>
-      var s = 0.0; a.foreach(x => s += x * x)
-      math.max(math.sqrt(s), 1e-12)
-    }
-
-    /** Per-row array of `nCentroids` normalized-dot scores — map-only. */
-    def cellScores(vecName: String): Column =
-      array(centArrs.indices.map { i =>
-        dot(col(vecName), typedlit(centArrs(i))) / lit(centNorms(i))
-      }: _*)
+    val cellScores = cellScoresFn(centArrs)
 
     // argmax cell: array_position finds the FIRST max → lowest cid on
     // ties, matching the old Window (cdot desc, cid asc) tie-break.
     // bindOnce: scores are referenced twice (max + position).
     val cAssigned = c.withColumn("cid",
-      graft.functions.ExprUtils.bindOnce(cellScores("cv")) { sc =>
-        (array_position(sc, array_max(sc)) - 1).cast("int") })
+      graft.functions.ExprUtils.bindOnce(cellScores(col("cv")))(argmaxCid))
 
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -286,7 +293,7 @@ object Similarity {
     // — score desc, cid asc — and explode the first nProbe. Still
     // map-only (explode fans out nProbe rows per query, no shuffle).
     val qProbed = q.withColumn("probe",
-        explode(graft.functions.ExprUtils.bindOnce(cellScores("qv")) { sc =>
+        explode(graft.functions.ExprUtils.bindOnce(cellScores(col("qv"))) { sc =>
           slice(sort_array(zip_with(sc,
             sequence(lit(0), lit(nCentroids - 1)),
             (score, i) => struct((-score).as("ns"), i.as("cid")))),
@@ -328,6 +335,56 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate removal scoped to coarse-quantizer cells. Every
+    * vector is argmax-assigned to its nearest centroid (the same
+    * map-only IVF assignment as [[ivfTopKFrom]]); exact cosine runs
+    * ONLY within a cell, and a row is dropped when a LOWER-ID row in
+    * the same cell matches at ≥ threshold — the deterministic
+    * keep-lowest variant of the paper's keep-one-per-duplicate-group
+    * rule, the same greedy direction as the rest of the dedup family.
+    *
+    * Scale shape: candidate volume is Σ|cell|² instead of n² — the
+    * paper's tradeoff. The centroid count must grow with the corpus
+    * (k ∝ n keeps E|cell| constant), exactly how the published
+    * pipeline sizes its clustering; the quantizer is pluggable like
+    * the IVF one — KMeans-fitted for the operator path,
+    * [[lowestIdCentroids]] for the cross-engine-oracled twin.
+    * Exact-direction copies (any positive scaling) score
+    * proportionally against every centroid, so they land in their
+    * original's cell by construction and are always seen.
+    *
+    * Output: one row per input vector — (id, cid, max_prior_sim,
+    * kept) where max_prior_sim is the best cosine against any
+    * lower-id cellmate (NULL for the cell's lowest id) and kept=0
+    * iff max_prior_sim ≥ threshold.
+    */
+  def semDedupFrom(corpus: DataFrame, centArrs: Seq[Seq[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cellScores = cellScoresFn(centArrs)
+    val v = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      // zero-norm clamp — 0/0 = NaN passes `>= threshold` silently
+      .withColumn("nrm", greatest(norm(col("vec")), lit(1e-12)))
+      .withColumn("cid",
+        graft.functions.ExprUtils.bindOnce(cellScores(col("vec")))(argmaxCid))
+    val a = v.select(col("cid"), col("id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = v.select(col("cid"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    val priors = a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .groupBy(col("id_b").as("id"))
+      .agg(max(col("sim")).as("max_prior_sim"))
+    v.select(col("id"), col("cid"))
+      .join(priors, Seq("id"), "left")
+      .withColumn("kept",
+        when(col("max_prior_sim") >= threshold, 0).otherwise(1))
   }
 
   /** Embedding near-duplicate pairs with LSH blocking — the 100 TB

@@ -720,6 +720,48 @@ object LlmQueries {
       "\nSELECT cluster_rep, count(*) AS cluster_size" +
       "\nFROM cc_labels GROUP BY cluster_rep"
 
+  // --- llm_semdedup (SemDeDup, Abbas et al. 2023: cluster-scoped
+  // semantic dedup — argmax cell assignment bounds the exact-cosine
+  // work to Σ|cell|²; sample-vector quantizer so the WHOLE pipeline
+  // is cross-engine oracled, the llm_ann_ivf_md5 playbook) ---------------
+  val semDedupThreshold = 0.999
+
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupFrom(embsWithDups(s, dir),
+      Similarity.lowestIdCentroids(embsWithDups(s, dir), nCentroids = 16),
+      threshold = semDedupThreshold)
+
+  /** DuckDB rebuild of the whole SemDeDup pipeline over the
+    * planted-dup corpus: the shared sample-centroid assignment chain,
+    * within-cell lower-id pairs with exact cosine (round 6 —
+    * monotone, so max commutes with it), per-row best prior, and the
+    * keep rule. The planted 1.5×-scaled copies score proportionally
+    * against every centroid, so they share their original's cell by
+    * construction — the suite pins all of them dropped at sim 1.0. */
+  val semDedupSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.5)
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |${sampleCentroidCtes("c", 16)},
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_dot_product(ca.vec, cb.vec) /
+       |      (greatest(sqrt(list_dot_product(ca.vec, ca.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(cb.vec, cb.vec)), 1e-12)), 6)
+       |      AS sim
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN c ca ON ca.vec_id = a.vec_id
+       |  JOIN c cb ON cb.vec_id = b.vec_id),
+       |priors AS (
+       |  SELECT id_b AS id, max(sim) AS max_prior_sim FROM pairs GROUP BY 1)
+       |SELECT a.vec_id AS id, a.cid, p.max_prior_sim,
+       |  CASE WHEN p.max_prior_sim >= $semDedupThreshold THEN 0 ELSE 1 END
+       |    AS kept
+       |FROM assign a LEFT JOIN priors p ON p.id = a.vec_id""".stripMargin
+
   // --- llm_ann_topk ------------------------------------------------------
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -851,23 +893,35 @@ object LlmQueries {
     * comparisons are safe cross-engine because both sides accumulate
     * dots left-to-right over identical doubles (the annLshMd5 `pr >
     * 0` precedent). */
-  val annIvfMd5Sql: String = {
-    val (nCent, nProbe, k) = (16, 4, 5)
-    s"""WITH c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-       |cents AS (
+  /** Spliceable CTE chain for the deterministic sample-vector
+    * quantizer: from a CTE `$src(vec_id, vec)` build
+    * `cents(cid, cv, cnn)` — the $nCent lowest-vec_id vectors in id
+    * order — plus `cell_sc(vec_id, cid, score)` (normalized dot
+    * against every centroid) and `assign(vec_id, cid)` (argmax cell,
+    * score DESC / cid ASC tie-break — Spark's array_position-first-max).
+    * ONE copy shared by the IVF twin ([[annIvfMd5Sql]]) and the
+    * SemDeDup oracle ([[semDedupSql]]) — a fix lands in both or
+    * neither. */
+  private def sampleCentroidCtes(src: String, nCent: Int): String =
+    s"""cents AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cv,
        |    greatest(sqrt(list_dot_product(vec, vec)), 1e-12) AS cnn
-       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT $nCent)),
+       |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $nCent)),
        |cell_sc AS (
        |  SELECT v.vec_id, ct.cid,
        |    list_dot_product(v.vec, ct.cv) / ct.cnn AS score
-       |  FROM c v CROSS JOIN cents ct),
+       |  FROM $src v CROSS JOIN cents ct),
        |assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
-       |    FROM cell_sc) WHERE rn = 1),
+       |    FROM cell_sc) WHERE rn = 1)""".stripMargin
+
+  val annIvfMd5Sql: String = {
+    val (nCent, nProbe, k) = (16, 4, 5)
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |${sampleCentroidCtes("c", nCent)},
        |qprobe AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (
@@ -1987,6 +2041,7 @@ object LlmQueries {
     "llm_ann_ivf_md5" -> (annIvfMd5 _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_embed_dup_clusters" -> (embedDupClusters _),
+    "llm_semdedup" -> (semDedup _),
     "llm_lang_id" -> (langId _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),
@@ -2025,6 +2080,7 @@ object LlmQueries {
     "llm_cut_spans" -> cutSpansSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_embed_dup_clusters" -> embedDupClustersSql,
+    "llm_semdedup" -> semDedupSql,
     "llm_embed_dup" -> embedDupSql,
     "llm_embed_dup_lsh_md5" -> embedDupLshMd5Sql,
     "llm_ann_topk" -> annTopKSql,

@@ -422,6 +422,26 @@ class LlmSuite extends SparkSpec {
     }
   }
 
+  test("semdedup: every planted copy lands in its original's cell and " +
+      "is dropped at sim 1.0; all originals kept") {
+    val out = LlmQueries.semDedup(spark, sf0001).collect()
+    assert(out.length == 600) // one row per input vector (500 + 100)
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    val copies = out.filter(_.getAs[Long]("id") >= 1000000)
+    assert(copies.length == 100)
+    copies.foreach { r =>
+      // scaling preserves the argmax cell → the copy sees its original
+      assert(r.getAs[Int]("cid") ==
+        byId(r.getAs[Long]("id") - 1000000).getAs[Int]("cid"), r.toString)
+      assert(r.getAs[Int]("kept") == 0, r.toString)
+      assert(r.getAs[Double]("max_prior_sim") == 1.0, r.toString)
+    }
+    // natural within-cell sims sit far below 0.999 → originals all kept
+    out.filter(_.getAs[Long]("id") < 1000000).foreach { r =>
+      assert(r.getAs[Int]("kept") == 1, r.toString)
+    }
+  }
+
   test("LSH-blocked embed dedup: guaranteed recall on exact-direction copies") {
     // ground truth: every pair at >= 0.999 over ALL pairs (constant
     // block) — SAME planted corpus the registered query processes
