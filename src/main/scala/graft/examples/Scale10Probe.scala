@@ -247,6 +247,64 @@ object Scale10Probe {
             (s2.contains("SortMergeJoin") || s2.contains("ShuffledHashJoin")))
         } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
+      if (which("semdedup")) {
+        // SemDeDup's scale rule is k ∝ n (cells stay bounded). Measure
+        // the lever: 10× vectors with the SAME k=16 grows every cell
+        // 10× (Σ|cell|² → ~100× pairs); 10× vectors with k=160 keeps
+        // E|cell| constant (~10× pairs). Aggregate over kept — a bare
+        // count() would let Catalyst eliminate the unique-key left
+        // join and prune the pair generation entirely.
+        timed("sf0.1 semDedup (registered)")(
+          graft.queries.LlmQueries.semDedup(spark, sfDir)
+            .where(col("kept") === 0).count())
+        val e = embsX(10).localCheckpoint(true)
+        println(s"--- scale 10x: ${e.count()} vectors")
+        def dropped(k: Int): Long =
+          Similarity.semDedupFrom(e,
+            Similarity.lowestIdCentroids(e, nCentroids = k),
+            threshold = 0.999)
+            .where(col("kept") === 0).count()
+        timed("10x semDedup k=16 (cells grow 10x)")(dropped(16))
+        timed("10x semDedup k=160 (k scaled with n)")(dropped(160))
+      }
+      if (which("rangejoin")) {
+        // Range join cost ∝ input + matched output. Scale the POINT
+        // side 10× against a fixed interval set: matches grow ~10×,
+        // wall must track. (Scaling both sides grows the matched
+        // relation itself quadratically — semantics, not the plan.)
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val windows = orders.where(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("promo_key"),
+            col("o_orderdate").as("w_start"))
+          .localCheckpoint(true)
+        def ptsX(k: Int) = (0 until k).map { i =>
+          // jitter dates ±3 days per replica so replicas don't stack
+          // on identical positions (hot-bucket realism, stays in range)
+          orders.select(
+            (col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+            date_add(to_date(col("o_orderdate")),
+              (pmod(xxhash64(col("o_orderkey"), lit(i)), lit(7)) - 3)
+                .cast("int")).as("o_orderdate"),
+            col("o_totalprice"))
+        }.reduce(_ unionAll _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val dayOf = (c: org.apache.spark.sql.Column) =>
+          unix_date(to_date(c))
+        def agg(points: org.apache.spark.sql.DataFrame): Long =
+          graft.operators.RangeJoin.joinPointsInIntervals(
+              points, windows, dayOf(col("o_orderdate")),
+              dayOf(col("w_start")), dayOf(col("w_start")) + 6,
+              bucketWidth = 7)
+            .groupBy("promo_key")
+            .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        val p1 = ptsX(1).localCheckpoint(true)
+        val p10 = ptsX(10).localCheckpoint(true)
+        println(s"--- points: ${p1.count()} / ${p10.count()}")
+        agg(p1) // warmup
+        timed("1x rangeJoin (matched rows)")(agg(p1))
+        timed("10x rangeJoin (matched rows)")(agg(p10))
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus

@@ -371,11 +371,18 @@ object Similarity {
       .withColumn("nrm", greatest(norm(col("vec")), lit(1e-12)))
       .withColumn("cid",
         graft.functions.ExprUtils.bindOnce(cellScores(col("vec")))(argmaxCid))
+      // The assigned frame feeds THREE branches (both pair sides + the
+      // keep join-back). Hash-repartition on cid right after the
+      // k-dot-products assignment so every branch reads the SAME
+      // canonical exchange (ReusedExchange) — without it the argmax
+      // chain runs once per branch (measured 3×+ at sf0.1), and the
+      // cid partitioning already satisfies the pair join below.
+      .repartition(col("cid"))
     val a = v.select(col("cid"), col("id").as("id_a"),
       col("vec").as("va"), col("nrm").as("na"))
     val b = v.select(col("cid"), col("id").as("id_b"),
       col("vec").as("vb"), col("nrm").as("nb"))
-    val priors = a.join(b, Seq("cid"))
+    val priors = a.hint("shuffle_hash").join(b, Seq("cid"))
       .where(col("id_a") < col("id_b"))
       .withColumn("sim",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
