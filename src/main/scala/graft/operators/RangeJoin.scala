@@ -72,4 +72,36 @@ object RangeJoin {
         col("__pos") >= col("__s") && col("__pos") <= col("__e"))
       .drop("__pos", "__bkt", "__s", "__e")
   }
+
+  /** Per-key time-band join: pair each left row with the right rows
+    * whose `rightTime` lies in `[leftTime + lowerMs, leftTime +
+    * upperMs]` (bounds in milliseconds, inclusive; negative = before
+    * the left event — e.g. lowerMs = -86400000, upperMs = 0 for "the
+    * 24 h leading up to"). This is the common production case
+    * (attribution, session stitching): the equi keys already bound
+    * candidates per key, so the plan is an ordinary keyed hash /
+    * sort-merge join with the band as a residual filter — one shuffle
+    * per side, skew on a hot key handled like any other keyed join
+    * (AQE split / salting). For the KEYLESS point-in-interval case
+    * use [[joinPointsInIntervals]]; for continuous ingestion
+    * `streaming.StreamJoin.intervalJoin` runs the SAME condition with
+    * watermarks bounding join state.
+    *
+    * Key columns must be named distinctly across the two sides (both
+    * sides of a self-join should rename) — the right key columns stay
+    * in the output for null-inspection under outer join types.
+    */
+  def joinBand(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], leftTime: String, rightTime: String,
+      lowerMs: Long, upperMs: Long, joinType: String = "inner")
+      : DataFrame = {
+    require(lowerMs <= upperMs, s"empty band: [$lowerMs, $upperMs]")
+    val cond = keys.map { case (lk, rk) => left(lk) === right(rk) }
+      .reduce(_ && _) &&
+      right(rightTime) >= left(leftTime) +
+        expr(s"INTERVAL $lowerMs MILLISECOND") &&
+      right(rightTime) <= left(leftTime) +
+        expr(s"INTERVAL $upperMs MILLISECOND")
+    left.join(right, cond, joinType)
+  }
 }

@@ -454,6 +454,36 @@ object OperatorQueries {
       | AND o.o_orderdate <= p.w_start + INTERVAL 6 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-key band join — for every purchase event, how many views the
+    * same user made in the 24 h leading up to it (attribution;
+    * SURVEY.md §2.2; graft.operators.RangeJoin.joinBand — the equi
+    * user key bounds candidates, band inclusive both ends). LEFT join
+    * so zero-view purchases survive with n_views = 0. The streaming
+    * twin (streaming.StreamJoin.intervalJoin) runs the identical
+    * condition over two live streams — StreamJoinSuite pins parity. */
+  def bandJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    graft.operators.RangeJoin.joinBand(purchases, views,
+        Seq("user_id" -> "v_user"), "p_ts", "v_ts",
+        lowerMs = -24L * 3600 * 1000, upperMs = 0L, joinType = "left")
+      .groupBy("p_id", "user_id", "p_ts")
+      .agg(count(col("v_ts")).as("n_views"))
+  }
+
+  val bandJoinSql: String =
+    """SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+      |  count(v.ts) AS n_views
+      |FROM events p LEFT JOIN events v
+      |  ON v.user_id = p.user_id AND v.event_type = 'view'
+      | AND v.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Event-time tumbling window aggregate (graft.streaming
     * .EventTimeOps) — the same code path the watermarked streaming
     * query runs, checked batch-side against DuckDB time_bucket. */
@@ -481,6 +511,7 @@ object OperatorQueries {
     "op_asof_join" -> (asofJoin _),
     "op_asof_join_tol" -> (asofJoinTol _),
     "op_range_join" -> (rangeJoin _),
+    "op_band_join" -> (bandJoin _),
     "op_event_window" -> (eventWindow _)
   )
 
@@ -492,6 +523,7 @@ object OperatorQueries {
     "op_asof_join" -> asofJoinSql,
     "op_asof_join_tol" -> asofJoinTolSql,
     "op_range_join" -> rangeJoinSql,
+    "op_band_join" -> bandJoinSql,
     "op_event_window" -> eventWindowSql
   )
 }
