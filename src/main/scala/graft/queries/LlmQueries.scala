@@ -1002,6 +1002,46 @@ object LlmQueries {
        |SELECT cluster_rep, count(*) AS cluster_size
        |FROM cc_labels GROUP BY cluster_rep""".stripMargin
 
+  // --- llm_corpus_stats (the corpus-report side of curation: per
+  // detected language — doc counts, token mass, and EXACT token-count
+  // percentiles. One scan, one shuffle (partial-aggregated groupBy).
+  // Exact `percentile` buffers per-group (value → count) pairs, so
+  // memory is bounded by DISTINCT token counts per language — doc
+  // length, not corpus size; for unbounded-cardinality metrics at
+  // 100 TB swap in percentile_approx (the q16 HLL precedent: sketch
+  // when exactness stops paying). Both engines interpolate the same
+  // rank p·(n−1), so values cross-check to 4 dp.) --------------------
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        round(percentile(col("n_tokens"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90_tokens"),
+        round(percentile(col("n_tokens"), lit(0.99)), 4).as("p99_tokens"))
+
+  val corpusStatsSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       |    $langScoresSql
+       |  FROM documents),
+       |m AS (SELECT *, $langMaxSql AS mx FROM scored),
+       |lang AS (
+       |  SELECT doc_id, n_tokens, CASE
+       |      $langCaseSql
+       |      ELSE 'und' END AS lang
+       |  FROM m)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(avg(n_tokens), 4) AS avg_tokens,
+       |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       |  round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       |  round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens
+       |FROM lang GROUP BY 1""".stripMargin
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2043,6 +2083,7 @@ object LlmQueries {
     "llm_embed_dup_clusters" -> (embedDupClusters _),
     "llm_semdedup" -> (semDedup _),
     "llm_lang_id" -> (langId _),
+    "llm_corpus_stats" -> (corpusStats _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
@@ -2087,6 +2128,7 @@ object LlmQueries {
     "llm_ann_lsh_md5" -> annLshMd5Sql,
     "llm_ann_ivf_md5" -> annIvfMd5Sql,
     "llm_lang_id" -> langIdSql,
+    "llm_corpus_stats" -> corpusStatsSql,
     "llm_quality" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,

@@ -1083,6 +1083,25 @@ class LlmSuite extends SparkSpec {
     assert(rebuilt == (1 to 10).map(i => s"t$i"))
   }
 
+  test("corpus stats: doc mass conserves across languages, percentiles " +
+      "ordered, aggregation partial") {
+    val nDocs = graft.Tables.load(spark, sf0001, "documents").count()
+    val q = LlmQueries.corpusStats(spark, sf0001)
+    val out = q.collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    out.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50_tokens"),
+        r.getAs[Double]("p90_tokens"), r.getAs[Double]("p99_tokens"))
+      assert(p50 <= p90 && p90 <= p99, r.toString)
+      assert(r.getAs[Long]("total_tokens") >= r.getAs[Long]("n_docs"),
+        r.toString)
+    }
+    // exact percentile must still combine map-side (partial + final)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      plan.take(500))
+  }
+
   test("lang id picks a language deterministically; quality verdicts total") {
     val lang = LlmQueries.langId(spark, sf0001)
     assert(lang.count() == 500)
