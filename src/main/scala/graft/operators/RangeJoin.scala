@@ -73,6 +73,44 @@ object RangeJoin {
       .drop("__pos", "__bkt", "__s", "__e")
   }
 
+  /** Interval-overlap join: pair every left interval with every right
+    * interval sharing at least one position (`[ls,le] ∩ [rs,re] ≠ ∅`,
+    * bounds inclusive). Same bucketed strategy as
+    * [[joinPointsInIntervals]], with one twist: BOTH sides replicate
+    * across their buckets, so a pair overlapping in several buckets
+    * would match once per shared bucket. The dedup is declarative,
+    * not a distinct: a pair is emitted ONLY in its canonical bucket —
+    * the bucket of `max(ls, rs)`, which for any overlapping pair lies
+    * inside both intervals and is therefore present in both replica
+    * sets, exactly once. No post-join shuffle, no duplicate rows.
+    * Empty (`end < start`) intervals on either side never match. */
+  def joinOverlappingIntervals(
+      left: DataFrame, right: DataFrame,
+      leftStart: Column, leftEnd: Column,
+      rightStart: Column, rightEnd: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val l = left
+      .withColumn("__ls", leftStart.cast("long"))
+      .withColumn("__le", leftEnd.cast("long"))
+      .where(col("__le") >= col("__ls"))
+      .withColumn("__lbkt", explode(sequence(
+        floorDiv(col("__ls"), bucketWidth),
+        floorDiv(col("__le"), bucketWidth))))
+    val r = right
+      .withColumn("__rs", rightStart.cast("long"))
+      .withColumn("__re", rightEnd.cast("long"))
+      .where(col("__re") >= col("__rs"))
+      .withColumn("__rbkt", explode(sequence(
+        floorDiv(col("__rs"), bucketWidth),
+        floorDiv(col("__re"), bucketWidth))))
+    l.join(r, l("__lbkt") === r("__rbkt") &&
+        col("__ls") <= col("__re") && col("__rs") <= col("__le") &&
+        l("__lbkt") ===
+          floorDiv(greatest(col("__ls"), col("__rs")), bucketWidth))
+      .drop("__ls", "__le", "__lbkt", "__rs", "__re", "__rbkt")
+  }
+
   /** Per-key time-band join: pair each left row with the right rows
     * whose `rightTime` lies in `[leftTime + lowerMs, leftTime +
     * upperMs]` (bounds in milliseconds, inclusive; negative = before

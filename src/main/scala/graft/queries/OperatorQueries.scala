@@ -454,6 +454,52 @@ object OperatorQueries {
       | AND o.o_orderdate <= p.w_start + INTERVAL 6 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** Interval-overlap join — per promotional window (the same 1%
+    * sample as [[rangeJoin]]), count the in-transit shipments whose
+    * transit interval overlaps the window (graft.operators.RangeJoin
+    * .joinOverlappingIntervals — both sides bucketed, pair emitted
+    * only in its canonical max-start bucket so multi-bucket overlaps
+    * never duplicate). The fixture lineitem has no receipt date, so
+    * the transit interval is derived deterministically:
+    * [l_shipdate, l_shipdate + (l_quantity % 30) days]. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val windows = Tables.load(s, dir, "orders")
+      .where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("promo_key"),
+        col("o_orderdate").as("w_start"))
+    val ships = Tables.load(s, dir, "lineitem")
+      .where(col("l_orderkey") % 10 === 0)
+      .select(col("l_shipdate"), col("l_quantity"))
+    val dayOf: Column => Column = c => unix_date(to_date(c))
+    graft.operators.RangeJoin.joinOverlappingIntervals(
+        windows, ships,
+        leftStart = dayOf(col("w_start")),
+        leftEnd = dayOf(col("w_start")) + 6,
+        rightStart = dayOf(col("l_shipdate")),
+        rightEnd = dayOf(col("l_shipdate")) +
+          col("l_quantity").cast("int") % 30,
+        bucketWidth = 7)
+      .groupBy("promo_key", "w_start")
+      .agg(count(lit(1)).as("n_ship"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+  }
+
+  val intervalOverlapSql: String =
+    """WITH w AS (
+      |  SELECT o_orderkey AS promo_key, o_orderdate AS w_start
+      |  FROM orders WHERE o_orderkey % 100 = 0),
+      |sh AS (
+      |  SELECT l_shipdate AS s_start,
+      |    l_shipdate + to_days(CAST(l_quantity AS INTEGER) % 30) AS s_end,
+      |    l_quantity
+      |  FROM lineitem WHERE l_orderkey % 10 = 0)
+      |SELECT w.promo_key, w.w_start, count(*) AS n_ship,
+      |  round(sum(sh.l_quantity), 2) AS qty
+      |FROM w JOIN sh
+      |  ON w.w_start <= sh.s_end
+      | AND sh.s_start <= w.w_start + INTERVAL 6 DAY
+      |GROUP BY 1, 2""".stripMargin
+
   /** Per-key band join — for every purchase event, how many views the
     * same user made in the 24 h leading up to it (attribution;
     * SURVEY.md §2.2; graft.operators.RangeJoin.joinBand — the equi
@@ -512,6 +558,7 @@ object OperatorQueries {
     "op_asof_join_tol" -> (asofJoinTol _),
     "op_range_join" -> (rangeJoin _),
     "op_band_join" -> (bandJoin _),
+    "op_interval_overlap" -> (intervalOverlap _),
     "op_event_window" -> (eventWindow _)
   )
 
@@ -524,6 +571,7 @@ object OperatorQueries {
     "op_asof_join_tol" -> asofJoinTolSql,
     "op_range_join" -> rangeJoinSql,
     "op_band_join" -> bandJoinSql,
+    "op_interval_overlap" -> intervalOverlapSql,
     "op_event_window" -> eventWindowSql
   )
 }

@@ -44,6 +44,25 @@ class RangeJoinSuite extends SparkSpec {
     assert(got == Seq((0L, 1L)))
   }
 
+  test("interval overlap matches the naive cross-join filter exactly — " +
+      "multi-bucket overlaps emit once (canonical bucket)") {
+    val li = ivs((-10L, -2L), (0L, 6L), (5L, 25L), (-20L, 50L), (8L, 9L))
+      .withColumnRenamed("iid", "lid")
+    val ri = ivs((-5L, 3L), (6L, 6L), (0L, 40L), (26L, 30L), (60L, 70L))
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.joinOverlappingIntervals(
+          li.withColumnRenamed("s", "a").withColumnRenamed("e", "b"),
+          ri, col("a"), col("b"), col("s"), col("e"), w)
+        .select("lid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val want = li.withColumnRenamed("s", "a").withColumnRenamed("e", "b")
+        .crossJoin(ri)
+        .where(col("a") <= col("e") && col("s") <= col("b"))
+        .select("lid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"bucketWidth=$w")
+      assert(got.distinct == got, s"bucketWidth=$w emits duplicates")
+    }
+  }
+
   test("plans an equi hash join on the bucket key, never a nested loop") {
     val p = pts(0L, 5L, 10L)
     val i = ivs((0L, 4L), (5L, 9L))
