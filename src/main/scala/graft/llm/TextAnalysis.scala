@@ -144,6 +144,51 @@ object TextAnalysis {
           .as("unigram_logprob"))
   }
 
+  /** Corpus-trained bigram LM score (the CCNet-style perplexity filter
+    * one order up from [[typicality]]'s unigram): per doc, the mean
+    * log-probability of its token bigrams under the corpus MLE model
+    * `p(b|a) = c(a,b) / c(a·)`, where the context count `c(a·)` sums
+    * the bigram counts by first token — so it excludes doc-final
+    * occurrences and `p(·|a)` normalizes exactly. Gibberish and
+    * boilerplate separate on this score the way the paper's wikipedia
+    * LM separates crawl text.
+    *
+    * Same skew-safe chain as typicality: per-(doc, bigram) counts
+    * partial-aggregate before the shuffle, the corpus counts derive
+    * from the PRE-COLLAPSED table (a hot bigram arrives as one row
+    * per containing doc), and the join-backs are AQE-splittable — no
+    * window-by-bigram anywhere. Join keys are the bigram strings for
+    * cross-engine exactness; at 100 TB swap in md5-long hashed keys
+    * (the minhash-md5 machinery) — counts then collide with
+    * probability ~n²/2⁶⁴, deterministically in both engines.
+    * Docs with < 2 tokens have no bigrams and return NULL score. */
+  def bigramLogprob(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bigr = df.select(col(idCol),
+      explode_outer(graft.functions.ExprUtils.bindOnce(
+        tokens(col(textCol))) { t =>
+        when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+      }).as("bg"))
+      .where(col("bg").isNotNull)
+    val docBg = bigr.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val c2 = docBg.groupBy("bg").agg(sum("cnt").as("c2"))
+    val c1 = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .groupBy("ctx").agg(sum("c2").as("c1"))
+    val perDoc = docBg.join(c2, "bg")
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .join(c1, "ctx")
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(col("cnt") * (log(col("c2").cast("double"))
+            - log(col("c1").cast("double")))) / sum(col("cnt")), 4)
+          .as("bigram_logprob"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** Canonical content fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key. trim runs AFTER the \s+
     * collapse: trim strips only spaces, so trimming first left a

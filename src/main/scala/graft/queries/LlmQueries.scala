@@ -1578,6 +1578,42 @@ object LlmQueries {
       |    AS unigram_logprob
       |FROM per_doc CROSS JOIN total""".stripMargin
 
+  // --- llm_bigram_lm ------------------------------------------------------
+  def bigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogprob(docs(s, dir))
+
+  /** Same ln-decomposition and 4-dp rounding rationale as the
+    * typicality oracle (ln within 1 ulp across engines, accumulation
+    * order ~1e-13). `range(1, len(w))` is empty for < 2 tokens, so
+    * bigram-less docs drop out of per_doc and the LEFT join restores
+    * them with NULL — exactly the operator's join-back. */
+  val bigramLmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i + 1])) AS bg
+      |  FROM tok),
+      |counts AS (
+      |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT bg, CAST(sum(cnt) AS BIGINT) AS c2 FROM counts GROUP BY 1),
+      |c1 AS (
+      |  SELECT split_part(bg, ' ', 1) AS ctx,
+      |    CAST(sum(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |    round(sum(cnt * (ln(CAST(c2 AS DOUBLE)) -
+      |      ln(CAST(c1 AS DOUBLE)))) / sum(cnt), 4) AS bigram_logprob
+      |  FROM counts
+      |  JOIN c2 USING (bg)
+      |  JOIN c1 ON c1.ctx = split_part(counts.bg, ' ', 1)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, p.n_bigrams, p.bigram_logprob
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
   // --- llm_pack -----------------------------------------------------------
   /** Sequence packing manifest: ctx 64, 8 shards over `documents`. */
   def pack(s: SparkSession, dir: String): DataFrame =
@@ -2084,6 +2120,7 @@ object LlmQueries {
     "llm_semdedup" -> (semDedup _),
     "llm_lang_id" -> (langId _),
     "llm_corpus_stats" -> (corpusStats _),
+    "llm_bigram_lm" -> (bigramLm _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
@@ -2129,6 +2166,7 @@ object LlmQueries {
     "llm_ann_ivf_md5" -> annIvfMd5Sql,
     "llm_lang_id" -> langIdSql,
     "llm_corpus_stats" -> corpusStatsSql,
+    "llm_bigram_lm" -> bigramLmSql,
     "llm_quality" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,

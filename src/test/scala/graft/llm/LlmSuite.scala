@@ -1083,6 +1083,25 @@ class LlmSuite extends SparkSpec {
     assert(rebuilt == (1 to 10).map(i => s"t$i"))
   }
 
+  test("bigram LM: corpus-typical text outscores rare-continuation text; " +
+      "sub-bigram docs score NULL") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i =>
+      (i.toLong, "the quick brown fox jumps the quick brown fox")) ++
+      Seq((90L, "the zxq brown wvu"), (91L, "word"))).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.bigramLogprob(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(2)) None
+         else Some(r.getAs[Double]("bigram_logprob")))).toMap
+    assert(out(91L).isEmpty) // one token, no bigrams
+    // doc 90 reuses corpus contexts (the→, brown→) with continuations
+    // seen once against 20 — its mean logprob must sit far below the
+    // boilerplate copies whose transitions dominate every context
+    assert(out(1L).get > out(90L).get,
+      s"common=${out(1L).get} gibberish=${out(90L).get}")
+    assert(out(90L).get < -1.0, out(90L).toString)
+  }
+
   test("corpus stats: doc mass conserves across languages, percentiles " +
       "ordered, aggregation partial") {
     val nDocs = graft.Tables.load(spark, sf0001, "documents").count()

@@ -132,6 +132,14 @@ class PlanQualitySuite extends SparkSpec {
       "typicality lost partial aggregation")
   }
 
+  test("bigram LM inherits the typicality contract: no window, counts " +
+      "partial-aggregated") {
+    val p = plan("llm_bigram_lm")
+    assert(!p.contains("Window"), "bigram LM regressed to a window")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "bigram LM lost partial aggregation")
+  }
+
   test("e2e prepare composes the stages' plan invariants") {
     // The composed pipeline must inherit each stage's plan contract:
     // the decontamination benchmark side broadcasts (never a
