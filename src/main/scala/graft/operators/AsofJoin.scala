@@ -30,13 +30,25 @@ object AsofJoin {
   /** @param keys            (leftKeyCol, rightKeyCol) equi-key pairs
     * @param leftTime        event-time column on `left`
     * @param rightTime       event-time column on `right`
-    * @param toleranceMillis match only if leftTime - rightTime ≤ this
+    * @param toleranceMillis match only if |leftTime - rightTime| ≤ this
+    * @param direction       "backward" (latest right ≤ left, the
+    *                        default), "forward" (earliest right ≥
+    *                        left), or "nearest" (whichever of the two
+    *                        is closer in integer milliseconds, ties →
+    *                        backward). All three ride the SAME single
+    *                        shuffle: forward is the backward window
+    *                        over the reversed sort, nearest evaluates
+    *                        both windows over one exchange (two
+    *                        in-partition sorts, no second shuffle).
     */
   def joinAsof(
       left: DataFrame, right: DataFrame,
       keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
-      toleranceMillis: Option[Long] = None): DataFrame = {
+      toleranceMillis: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction: $direction")
 
     val rightPayloadCols = right.columns
       .filterNot(keys.map(_._2).contains).toIndexedSeq
@@ -58,19 +70,43 @@ object AsofJoin {
           struct(rightPayloadCols.map(col): _*).as("__rpay"))): _*)
 
     // At equal time, side 0 (right) sorts first → inclusive match.
-    val w = Window.partitionBy(keyNames.map(col): _*)
+    // Backward: running last-right over the ascending sort. Forward:
+    // the SAME construction over the descending sort (last right seen
+    // while walking backward in time = earliest right ≥ this row).
+    val wB = Window.partitionBy(keyNames.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r)
-      .withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
-      .withColumn("__mt", last(
-        when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    val wF = Window.partitionBy(keyNames.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def withMatch(df: DataFrame, w: org.apache.spark.sql.expressions
+        .WindowSpec, m: String, mt: String): DataFrame =
+      df.withColumn(m, last(col("__rpay"), ignoreNulls = true).over(w))
+        .withColumn(mt, last(
+          when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val u = l.unionByName(r)
+    val matched = (direction match {
+      case "backward" => withMatch(u, wB, "__m", "__mt")
+      case "forward" => withMatch(u, wF, "__m", "__mt")
+      case "nearest" =>
+        // Both windows share the one keyed exchange; the pick is by
+        // integer-millisecond distance (truncated micros — identical
+        // truncation in the DuckDB oracle), ties to backward.
+        val both = withMatch(withMatch(u, wB, "__mb", "__mtb"),
+          wF, "__mf", "__mtf")
+        def ms(c: Column) = unix_millis(c.cast("timestamp"))
+        val pickB = col("__mtf").isNull || (col("__mtb").isNotNull &&
+          ms(col("__t")) - ms(col("__mtb")) <= ms(col("__mtf")) - ms(col("__t")))
+        both
+          .withColumn("__m", when(pickB, col("__mb")).otherwise(col("__mf")))
+          .withColumn("__mt", when(pickB, col("__mtb")).otherwise(col("__mtf")))
+          .drop("__mb", "__mtb", "__mf", "__mtf")
+    }).where(col("__side") === 1)
 
     val withTol = toleranceMillis.fold(matched) { tol =>
       matched.withColumn("__m",
-        when(unix_millis(col("__t").cast("timestamp")) -
-          unix_millis(col("__mt").cast("timestamp")) <= tol, col("__m")))
+        when(abs(unix_millis(col("__t").cast("timestamp")) -
+          unix_millis(col("__mt").cast("timestamp"))) <= tol, col("__m")))
     }
 
     withTol.select(

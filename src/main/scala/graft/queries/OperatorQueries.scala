@@ -454,6 +454,76 @@ object OperatorQueries {
       | AND o.o_orderdate <= p.w_start + INTERVAL 6 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** Forward as-of join — for each order, the customer's FIRST event
+    * at or after the order date (fixture eras make this the live
+    * direction: orders 1995-2001, events 2024; customers above the
+    * event user range exercise the no-match NULL path). Right side
+    * pre-deduplicated on (key, time) like [[asofJoin]]. */
+  def asofJoinFwd(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val ev = Tables.load(s, dir, "events")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("event_id"))
+    graft.operators.AsofJoin.joinAsof(ord, ev,
+      Seq("o_custkey" -> "user_id"), "o_orderdate", "ts",
+      direction = "forward")
+      .select("o_orderkey", "o_custkey", "event_id", "ts")
+  }
+
+  val asofJoinFwdSql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, max(event_id) AS event_id
+      |  FROM events GROUP BY 1, 2)
+      |SELECT o.o_orderkey, o.o_custkey, r.event_id, r.ts
+      |FROM orders o ASOF LEFT JOIN r
+      |  ON o.o_custkey = r.user_id AND o.o_orderdate <= r.ts""".stripMargin
+
+  /** Nearest as-of join — for each purchase, the same user's CLOSEST
+    * error event in either direction (integer-millisecond distance,
+    * ties → backward). DuckDB has no nearest mode, so the oracle
+    * reconstructs the pick from the two directed ASOF results with
+    * the identical epoch-ms comparison. */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val errors = ev.where(col("event_type") === "error")
+      .groupBy(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .agg(max("event_id").as("e_id"))
+    graft.operators.AsofJoin.joinAsof(purchases, errors,
+      Seq("user_id" -> "e_user"), "p_ts", "e_ts",
+      direction = "nearest")
+      .select("p_id", "user_id", "p_ts", "e_id", "e_ts")
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id AS e_user, ts AS e_ts, max(event_id) AS e_id
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |b AS (
+      |  SELECT p.p_id, r.e_id AS b_id, r.e_ts AS b_ts
+      |  FROM p ASOF LEFT JOIN r
+      |    ON p.user_id = r.e_user AND p.p_ts >= r.e_ts),
+      |f AS (
+      |  SELECT p.p_id, r.e_id AS f_id, r.e_ts AS f_ts
+      |  FROM p ASOF LEFT JOIN r
+      |    ON p.user_id = r.e_user AND p.p_ts <= r.e_ts)
+      |SELECT p.p_id, p.user_id, p.p_ts,
+      |  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+      |      epoch_ms(p.p_ts) - epoch_ms(b_ts) <=
+      |      epoch_ms(f_ts) - epoch_ms(p.p_ts))
+      |    THEN b_id ELSE f_id END AS e_id,
+      |  CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL AND
+      |      epoch_ms(p.p_ts) - epoch_ms(b_ts) <=
+      |      epoch_ms(f_ts) - epoch_ms(p.p_ts))
+      |    THEN b_ts ELSE f_ts END AS e_ts
+      |FROM p JOIN b USING (p_id) JOIN f USING (p_id)""".stripMargin
+
   /** Interval-overlap join — per promotional window (the same 1%
     * sample as [[rangeJoin]]), count the in-transit shipments whose
     * transit interval overlaps the window (graft.operators.RangeJoin
@@ -556,6 +626,8 @@ object OperatorQueries {
     "op_mock_source" -> (mockSource _),
     "op_asof_join" -> (asofJoin _),
     "op_asof_join_tol" -> (asofJoinTol _),
+    "op_asof_join_fwd" -> (asofJoinFwd _),
+    "op_asof_join_nearest" -> (asofJoinNearest _),
     "op_range_join" -> (rangeJoin _),
     "op_band_join" -> (bandJoin _),
     "op_interval_overlap" -> (intervalOverlap _),
@@ -569,6 +641,8 @@ object OperatorQueries {
     "op_proto_repeated" -> protoRepeatedSql,
     "op_asof_join" -> asofJoinSql,
     "op_asof_join_tol" -> asofJoinTolSql,
+    "op_asof_join_fwd" -> asofJoinFwdSql,
+    "op_asof_join_nearest" -> asofJoinNearestSql,
     "op_range_join" -> rangeJoinSql,
     "op_band_join" -> bandJoinSql,
     "op_interval_overlap" -> intervalOverlapSql,
