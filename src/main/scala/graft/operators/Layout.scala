@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: how rows are ORDERED across files decides
+  * what a 100 TB scan can skip. Parquet keeps min/max statistics per
+  * row group; a table laid out by one sort key prunes predicates on
+  * that key and nothing else. Z-ordering (Morton interleave) makes a
+  * single sort key cluster BOTH dimensions, so 2-D box predicates
+  * prune row groups on either or both columns — the standard lakehouse
+  * layout trick, built here from plain Spark primitives:
+  * range-partition + in-partition sort by the interleaved key.
+  *
+  * The interleave needs bounded non-negative ints; mapping real
+  * columns into `[0, 2^bits)` (rank, scale, clamp) is the caller's
+  * modeling decision, like partitioning everywhere else in this repo.
+  */
+object Layout {
+
+  /** Morton (Z-order) value: bit i of `x` lands at position 2i, bit i
+    * of `y` at 2i+1. Inputs must already lie in `[0, 2^bits)` — bits
+    * above are ignored by construction. Pure long arithmetic, so the
+    * DuckDB oracle reproduces it bit-for-bit. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _).cast("long")
+  }
+
+  /** Z-ordered layout: range-partition into `numFiles` output splits
+    * by the interleaved key and sort within each — every file/row
+    * group then covers a compact Z-curve segment, i.e. a small
+    * rectangle in (x, y) space, and parquet min/max stats prune 2-D
+    * boxes. One range exchange (with its sampling pass), one
+    * in-partition sort — the same cost as any global ORDER BY write. */
+  def zorderBy(df: DataFrame, x: Column, y: Column,
+      bits: Int = 16, numFiles: Int = 32): DataFrame = {
+    val withZ = df.withColumn("__z", zValue(x, y, bits))
+    withZ.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -454,6 +454,33 @@ object OperatorQueries {
       | AND o.o_orderdate <= p.w_start + INTERVAL 6 DAY
       |GROUP BY 1, 2""".stripMargin
 
+  /** Z-order (Morton) key — the data-layout operator's interleave,
+    * oracled bit-for-bit (graft.operators.Layout; LayoutSuite measures
+    * the actual row-group pruning win on 2-D box scans). x = customer
+    * key, y = decile-scaled total price clamped to 16 bits. */
+  def zorder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.select(col("o_orderkey"),
+      graft.operators.Layout.zValue(
+        col("o_custkey"),
+        least(floor(col("o_totalprice") / 10), lit(65535L)).cast("long"))
+        .as("z"))
+  }
+
+  val zorderSql: String = {
+    // joined with TRAILING pipes: a line STARTING with `|` would be
+    // eaten by the outer stripMargin (the embedPairsCtes lesson)
+    val terms = (0 until 16).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" |\n    ")
+    s"""WITH v AS (
+       |  SELECT o_orderkey, o_custkey AS x,
+       |    least(CAST(floor(o_totalprice / 10) AS BIGINT), 65535) AS y
+       |  FROM orders)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS z
+       |FROM v""".stripMargin
+  }
+
   /** Forward as-of join — for each order, the customer's FIRST event
     * at or after the order date (fixture eras make this the live
     * direction: orders 1995-2001, events 2024; customers above the
@@ -627,6 +654,7 @@ object OperatorQueries {
     "op_asof_join" -> (asofJoin _),
     "op_asof_join_tol" -> (asofJoinTol _),
     "op_asof_join_fwd" -> (asofJoinFwd _),
+    "op_zorder" -> (zorder _),
     "op_asof_join_nearest" -> (asofJoinNearest _),
     "op_range_join" -> (rangeJoin _),
     "op_band_join" -> (bandJoin _),
@@ -642,6 +670,7 @@ object OperatorQueries {
     "op_asof_join" -> asofJoinSql,
     "op_asof_join_tol" -> asofJoinTolSql,
     "op_asof_join_fwd" -> asofJoinFwdSql,
+    "op_zorder" -> zorderSql,
     "op_asof_join_nearest" -> asofJoinNearestSql,
     "op_range_join" -> rangeJoinSql,
     "op_band_join" -> bandJoinSql,
