@@ -362,6 +362,71 @@ object RelationalQueries {
       |    AS wmean_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // --- q20_recursive: recursive CTE (Spark 4's UnionLoop) — the
+  // gap-filled month spine, a reporting shape that genuinely needs
+  // recursion: months with zero orders must still appear. Bounds come
+  // from the data (CTE cross-joined into the recursive step), so the
+  // query holds at any SF. Spark supports UNION ALL recursion only
+  // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — the monotone month
+  // increment terminates without dedup. DuckDB has no add_months;
+  // the oracle advances with + INTERVAL 1 MONTH instead. ---------------
+  def q20Recursive(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS lo,
+        |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi
+        |  FROM orders),
+        |months(m) AS (
+        |  SELECT lo FROM bounds
+        |  UNION ALL
+        |  SELECT add_months(m, 1) FROM months, bounds WHERE m < hi)
+        |SELECT m AS month, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+        |GROUP BY m""".stripMargin)
+  }
+
+  val q20RecursiveSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE) AS lo,
+      |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi
+      |  FROM orders),
+      |months(m) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+      |  FROM months, bounds WHERE m < hi)
+      |SELECT m AS month, count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('MONTH', o_orderdate) AS DATE) = m
+      |GROUP BY m""".stripMargin
+
+  // --- q21_unpivot: melt wide metric columns to long form (the
+  // DataFrame unpivot API; DuckDB's SQL-standard UNPIVOT oracles the
+  // same relation) -----------------------------------------------------
+  def q21Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric", valueColumnName = "value")
+
+  val q21UnpivotSql: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |    l_discount, l_tax
+      |  FROM lineitem WHERE l_orderkey % 10 = 0)
+      |UNPIVOT src
+      |ON l_quantity, l_extendedprice, l_discount, l_tax
+      |INTO NAME metric VALUE value""".stripMargin
+
   // --------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -383,7 +448,9 @@ object RelationalQueries {
     "q16_approx_distinct" -> (q16ApproxDistinct _),
     "q17_salted_join" -> (q17SaltedJoin _),
     "q18_pivot" -> (q18Pivot _),
-    "q19_udaf" -> (q19Udaf _)
+    "q19_udaf" -> (q19Udaf _),
+    "q20_recursive" -> (q20Recursive _),
+    "q21_unpivot" -> (q21Unpivot _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,6 +471,8 @@ object RelationalQueries {
     "q15_grouping_sets" -> q15GroupingSetsSql,
     "q17_salted_join" -> q17SaltedJoinSql,
     "q18_pivot" -> q18PivotSql,
-    "q19_udaf" -> q19UdafSql
+    "q19_udaf" -> q19UdafSql,
+    "q20_recursive" -> q20RecursiveSql,
+    "q21_unpivot" -> q21UnpivotSql
   )
 }
