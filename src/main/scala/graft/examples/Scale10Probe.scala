@@ -305,6 +305,62 @@ object Scale10Probe {
         timed("1x rangeJoin (matched rows)")(agg(p1))
         timed("10x rangeJoin (matched rows)")(agg(p10))
       }
+      if (which("bigram")) {
+        // Bigram LM: two count shuffles + two join-backs, everything
+        // pre-collapsed — wall must track corpus size. Aggregate OVER
+        // the score so Catalyst can't eliminate the unique-key left
+        // join-back and prune the LM chain.
+        import graft.llm.TextAnalysis
+        def score(d: org.apache.spark.sql.DataFrame): Long =
+          TextAnalysis.bigramLogprob(d)
+            .agg(sum("bigram_logprob"), count(lit(1)))
+            .collect()(0).getLong(1)
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        score(d1) // warmup
+        timed("1x bigramLogprob")(score(d1))
+        timed("10x bigramLogprob")(score(d10))
+      }
+      if (which("overlap")) {
+        // Interval overlap: shipments ×10 against the fixed window
+        // set — matched rows ~10×, wall must track (the rangejoin
+        // argument, now with both sides bucket-replicated).
+        val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+        val windows = orders.where(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("promo_key"),
+            col("o_orderdate").as("w_start"))
+          .localCheckpoint(true)
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .where(col("l_orderkey") % 10 === 0)
+          .select(col("l_shipdate"), col("l_quantity"))
+        def shipX(k: Int) = (0 until k).map { i =>
+          li.select(
+            date_add(to_date(col("l_shipdate")),
+              (pmod(xxhash64(col("l_quantity"), lit(i)), lit(7)) - 3)
+                .cast("int")).as("l_shipdate"),
+            col("l_quantity"))
+        }.reduce(_ unionAll _)
+          .repartition(spark.sparkContext.defaultParallelism)
+        val dayOf = (c: org.apache.spark.sql.Column) =>
+          unix_date(to_date(c))
+        def agg(ships: org.apache.spark.sql.DataFrame): Long =
+          graft.operators.RangeJoin.joinOverlappingIntervals(
+              windows, ships,
+              dayOf(col("w_start")), dayOf(col("w_start")) + 6,
+              dayOf(col("l_shipdate")),
+              dayOf(col("l_shipdate")) + col("l_quantity").cast("int") % 30,
+              bucketWidth = 7)
+            .groupBy("promo_key")
+            .agg(count(lit(1)).as("n"), sum("l_quantity"))
+            .agg(sum("n")).collect()(0).getLong(0)
+        val s1 = shipX(1).localCheckpoint(true)
+        val s10 = shipX(10).localCheckpoint(true)
+        println(s"--- shipments: ${s1.count()} / ${s10.count()}")
+        agg(s1) // warmup
+        timed("1x intervalOverlap (matched rows)")(agg(s1))
+        timed("10x intervalOverlap (matched rows)")(agg(s10))
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus

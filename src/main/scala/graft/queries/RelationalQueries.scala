@@ -367,9 +367,15 @@ object RelationalQueries {
   // recursion: months with zero orders must still appear. Bounds come
   // from the data (CTE cross-joined into the recursive step), so the
   // query holds at any SF. Spark supports UNION ALL recursion only
-  // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — the monotone month
-  // increment terminates without dedup. DuckDB has no add_months;
-  // the oracle advances with + INTERVAL 1 MONTH instead. ---------------
+  // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — the monotone increment
+  // terminates without dedup. Recursion is YEAR-chunked: every
+  // UnionLoop iteration is a full Spark job (~0.2 s of scheduler
+  // latency at local scale), so a month-by-month spine paid 80
+  // iterations ≈ 17 s; the anchor emits 12 months and each step
+  // shifts the previous year by 12 → ~7 iterations, same rows
+  // (measured 17.0 → ~1.5 s). DuckDB has no add_months; the oracle
+  // advances with INTERVAL arithmetic and a range() table function
+  // for the anchor year. -----------------------------------------------
   def q20Recursive(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
@@ -378,9 +384,12 @@ object RelationalQueries {
         |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi
         |  FROM orders),
         |months(m) AS (
-        |  SELECT lo FROM bounds
+        |  SELECT add_months(lo, i)
+        |  FROM bounds LATERAL VIEW explode(sequence(0, 11)) t AS i
+        |  WHERE add_months(lo, i) <= hi
         |  UNION ALL
-        |  SELECT add_months(m, 1) FROM months, bounds WHERE m < hi)
+        |  SELECT add_months(m, 12) FROM months, bounds
+        |  WHERE add_months(m, 12) <= hi)
         |SELECT m AS month, count(o_orderkey) AS n_orders,
         |  round(coalesce(sum(o_totalprice), 0), 2) AS revenue
         |FROM months LEFT JOIN orders
@@ -394,10 +403,12 @@ object RelationalQueries {
       |         CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE) AS hi
       |  FROM orders),
       |months(m) AS (
-      |  SELECT lo FROM bounds
+      |  SELECT CAST(lo + INTERVAL (i) MONTH AS DATE)
+      |  FROM bounds, range(0, 12) t(i)
+      |  WHERE CAST(lo + INTERVAL (i) MONTH AS DATE) <= hi
       |  UNION ALL
-      |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
-      |  FROM months, bounds WHERE m < hi)
+      |  SELECT CAST(m + INTERVAL 12 MONTH AS DATE) FROM months, bounds
+      |  WHERE CAST(m + INTERVAL 12 MONTH AS DATE) <= hi)
       |SELECT m AS month, count(o_orderkey) AS n_orders,
       |  round(coalesce(sum(o_totalprice), 0), 2) AS revenue
       |FROM months LEFT JOIN orders
