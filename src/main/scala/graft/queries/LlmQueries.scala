@@ -1042,6 +1042,47 @@ object LlmQueries {
        |  round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens
        |FROM lang GROUP BY 1""".stripMargin
 
+  // --- llm_vocab (tokenizer-prep view: the top-K vocabulary by corpus
+  // frequency with cumulative coverage — what fraction of all token
+  // occurrences the first k vocab entries explain. Scale shape: the
+  // frequency table partial-aggregates, top-K is TakeOrdered (never a
+  // global sort), and the ONLY single-partition window runs over the
+  // K selected rows — bounded by K, not the vocabulary.) ----------------
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val tf = docs(s, dir).select(
+        explode_outer(graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val total = tf.agg(sum("freq").as("n_total"))
+    val top = tf.orderBy(col("freq").desc, col("tok").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_coverage",
+        round(sum(col("freq")).over(w) / col("n_total"), 4))
+      .select("rank", "tok", "freq", "cum_coverage")
+  }
+
+  val vocabSql: String =
+    """WITH tf AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |freqs AS (SELECT tok, count(*) AS freq FROM tf GROUP BY 1),
+      |total AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freqs),
+      |top AS (
+      |  SELECT tok, freq FROM freqs
+      |  ORDER BY freq DESC, tok ASC LIMIT 100)
+      |SELECT row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank,
+      |  tok, freq,
+      |  round(CAST(sum(freq) OVER (ORDER BY freq DESC, tok ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / n_total, 4) AS cum_coverage
+      |FROM top, total""".stripMargin
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2121,6 +2162,7 @@ object LlmQueries {
     "llm_lang_id" -> (langId _),
     "llm_corpus_stats" -> (corpusStats _),
     "llm_bigram_lm" -> (bigramLm _),
+    "llm_vocab" -> (vocab _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
@@ -2167,6 +2209,7 @@ object LlmQueries {
     "llm_lang_id" -> langIdSql,
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,
+    "llm_vocab" -> vocabSql,
     "llm_quality" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,

@@ -1121,6 +1121,22 @@ class LlmSuite extends SparkSpec {
       plan.take(500))
   }
 
+  test("vocab: ranks dense, coverage monotone to ≤ 1, top-K via " +
+      "TakeOrdered (no global sort)") {
+    val q = LlmQueries.vocab(spark, sf0001)
+    val out = q.orderBy("rank").collect()
+    // the synthetic fixture draws from a ~31-token pool — smaller than
+    // K=100, so the whole vocabulary surfaces and coverage ends at 1.0
+    assert(out.length <= 100 && out.length > 10)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    val cov = out.map(_.getAs[Double]("cum_coverage")).toSeq
+    assert(cov == cov.sorted && cov.last == 1.0)
+    val freqs = out.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sortBy(-_))
+    assert(q.queryExecution.executedPlan.toString()
+      .contains("TakeOrderedAndProject"), "top-K lost TakeOrdered")
+  }
+
   test("lang id picks a language deterministically; quality verdicts total") {
     val lang = LlmQueries.langId(spark, sf0001)
     assert(lang.count() == 500)
