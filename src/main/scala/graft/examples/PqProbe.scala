@@ -1,0 +1,31 @@
+package graft.examples
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.llm.Similarity
+import graft.queries.LlmQueries
+
+/** Measurement probe backing the llm_ann_pq suite floor and SCALE.md
+  * record: PQ-ADC recall@5 against brute-force ground truth for the
+  * registered query's exact parameters, at both fixture SFs. */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    for (sf <- Seq("sf0.001", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val brute = Similarity.bruteForceTopK(
+          e.where(F.col("vec_id") < 10), e, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val pq = LlmQueries.annPq(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (pq intersect brute).size.toDouble / brute.size
+      println(s"[pq] $sf recall@5 = $recall " +
+        s"(${(pq intersect brute).size}/${brute.size})")
+    }
+    spark.stop()
+  }
+}

@@ -313,6 +313,114 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Left-to-right squared L2 distance — the PQ building block; same
+    * accumulation order in the DuckDB oracle, so raw-double
+    * comparisons (argmin, ranking) agree cross-engine. */
+  def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** Product-quantization codebooks from the corpus itself: subspace
+    * j's `ks` sub-centroids are the j-th slices of the `ks` lowest-id
+    * corpus vectors ([[lowestIdCentroids]]' argument — sample points
+    * ARE a legitimate quantizer, and "ORDER BY id LIMIT ks" is
+    * reproducible in any engine where a per-subspace KMeans fit is
+    * not). Returns [m][ks][d/m]. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ks: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Seq[Double]]] = {
+    val cents = lowestIdCentroids(corpus, ks, idCol, vecCol)
+    val d = cents.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sub = d / m
+    (0 until m).map(j => cents.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** PQ-ADC ANN top-k (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): each corpus vector is
+    * encoded as `m` sub-centroid codes — at scale that is m bytes of
+    * index per vector instead of d floats, THE memory path for
+    * 100 TB embedding stores — and a query scans the compressed
+    * domain: per subspace it tabulates squared distances to every
+    * sub-centroid once (m·ks entries), then each corpus vector costs
+    * m table lookups (asymmetric distance computation) instead of d
+    * multiplies. The ADC top-`rerank` candidates are then re-ranked
+    * by EXACT cosine — the standard two-stage PQ search.
+    *
+    * Scale shape: encoding is MAP-ONLY (codebooks ride as literals in
+    * the task binary); the scan is a broadcast nested-loop over the
+    * tiny query side with the corpus never shuffled; only the
+    * `rerank` survivors per query pay the exact-vector join. All
+    * tie-breaks deterministic (argmin → lowest code; ADC rank →
+    * rounded dist asc, id asc; final → rounded sim desc, id asc), so
+    * the whole pipeline — codes, tables, ADC, re-rank — is rebuilt
+    * verbatim by the `llm_ann_pq` DuckDB oracle. */
+  def pqTopKFrom(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ks = codebooks.head.length
+    val sub = codebooks.head.head.length
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    // Per-vector code array: subspace j → argmin_c d2(slice_j, cb[j][c]),
+    // ties → lowest c (array_position finds the FIRST min). Each
+    // subspace's score array is referenced twice (min + position) →
+    // bindOnce; the slice feeds all ks distances → bindOnce.
+    def codesOf(vec: Column): Column = array((0 until m).map { j =>
+      graft.functions.ExprUtils.bindOnce(
+        slice(vec, j * sub + 1, sub)) { sl =>
+        graft.functions.ExprUtils.bindOnce(
+          array((0 until ks).map(c => sqdist(sl, typedlit(codebooks(j)(c)))): _*)) {
+          sc => (array_position(sc, array_min(sc)) - 1).cast("int") }
+      }
+    }: _*)
+    // Query-side flat distance table: entry j*ks+c = d2(qslice_j, cb[j][c]).
+    def dtOf(vec: Column): Column = array((for {
+      j <- 0 until m; c <- 0 until ks
+    } yield graft.functions.ExprUtils.bindOnce(
+      slice(vec, j * sub + 1, sub))(sl => sqdist(sl, typedlit(codebooks(j)(c))))
+    ): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
+      .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
+      .withColumn("codes", codesOf(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", greatest(norm(col("qv")), lit(1e-12)))
+      .withColumn("dt", dtOf(col("qv")))
+    // ADC scan: codes/dt are attributes below the join, so the m
+    // lookups never re-run the encode; left-to-right j order matches
+    // the oracle's list_reduce. Rank on the ROUNDED distance so both
+    // engines break rounding-induced ties identically (id asc).
+    val adc = (0 until m).map(j =>
+      element_at(col("dt"), lit(j * ks) + element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2", round(adc, 6))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val cand = scored.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank)
+      .select("query_id", "neighbor_id", "approx_d2")
+    // Exact re-rank over the rerank survivors only: vectors join back
+    // per candidate (bare-key lesson — the ADC scan never carried qv).
+    val rejoined = cand
+      .join(c.select(col("neighbor_id"), col("cv"), col("cn")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    rejoined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim", "approx_d2")
+  }
+
   /** Embedding near-duplicate pairs, blocked on `blockCol` (e.g. a
     * cluster/label key — blocking keeps the self-join key-local; at
     * scale the block key comes from LSH or a coarse quantizer). */

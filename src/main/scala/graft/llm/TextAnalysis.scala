@@ -377,6 +377,88 @@ object TextAnalysis {
         round(col("n_novel") / col("n_shingles"), 4).as("novelty"))
   }
 
+  /** Per-document top-`topN` terms by tf-idf — the classic
+    * keyword/topic signal (and the retrieval-side complement of
+    * [[typicality]]'s rarity scoring): score(term, doc) =
+    * tf(term, doc) · ln(N / df(term)). Output one row per kept term:
+    * (idCol, term, tf, df, tfidf, rank); docs with no word tokens
+    * emit nothing.
+    *
+    * Scale shape — the typicality playbook verbatim: per-(doc, term)
+    * counts partial-aggregate the raw occurrences (the doc id in the
+    * key spreads the Zipf head); document frequency derives from the
+    * PRE-COLLAPSED counts (one row per containing doc); the df
+    * join-back is keyed (AQE-splittable), never a window-by-term; the
+    * corpus doc count rides as a broadcast one-row aggregate. The
+    * only window partitions by DOC — bounded by a doc's distinct
+    * terms, not the corpus. Ranking uses the ROUNDED score (term-asc
+    * ties) so rank is reproducible cross-engine. */
+  def tfidfTopTerms(df: DataFrame, topN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode_outer(tokens(col(textCol))).as("term"))
+      .where(col("term").isNotNull)
+    val docTerm = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(
+      sum(when(size(tokens(col(textCol))) > 0, 1L).otherwise(0L))
+        .as("n_docs"))
+    val scored = docTerm.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
+  /** Corpus-drift report: per-language Jensen–Shannon divergence
+    * between the token distributions of two corpus slices (side 0 vs
+    * side 1 of `sideCol` — crawl snapshots, sources, time windows).
+    * JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with m = (p+q)/2, terms with
+    * zero mass contributing zero — bounded by ln 2, symmetric, and
+    * finite even on disjoint vocabularies, which is why it is the
+    * standard distribution-shift monitor for training-data pipelines.
+    * Output: (lang, n_tokens_a, n_tokens_b, n_terms, js_div).
+    *
+    * Scale shape: ONE pass over raw occurrences into a
+    * partial-aggregated groupBy(lang, term) with conditional sums per
+    * side (the Zipf head collapses map-side); per-language totals
+    * derive from the pre-collapsed table and join back on the tiny
+    * lang key (broadcast); the final rollup partial-aggregates. No
+    * window, no driver materialization, nothing corpus-sized in one
+    * task. */
+  def tokenDrift(df: DataFrame, sideCol: Column,
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val toks = df.select(col(langCol).as("lang"), sideCol.as("side"),
+      explode_outer(tokens(col(textCol))).as("term"))
+      .where(col("term").isNotNull)
+    val cnts = toks.groupBy("lang", "term")
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") =!= 0, 1L).otherwise(0L)).as("cb"))
+    val tots = cnts.groupBy("lang")
+      .agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val p = col("ca") / col("ta")
+    val q = col("cb") / col("tb")
+    // p/m = 2p/(p+q): no epsilon games — the CASE guards kill the
+    // zero-mass terms before the log ever sees a 0.
+    val contrib =
+      when(col("ca") > 0, lit(0.5) * p * log(lit(2.0) * p / (p + q)))
+        .otherwise(lit(0.0)) +
+      when(col("cb") > 0, lit(0.5) * q * log(lit(2.0) * q / (p + q)))
+        .otherwise(lit(0.0))
+    cnts.join(broadcast(tots), "lang")
+      .groupBy("lang")
+      .agg(max("ta").as("n_tokens_a"), max("tb").as("n_tokens_b"),
+        count(lit(1)).as("n_terms"),
+        round(sum(contrib), 4).as("js_div"))
+  }
+
   /** Word n-gram shingles from a MATERIALIZED token array column.
     * `toks` must be a plain column reference, not the `tokens(text)`
     * expression: an inlined expression would be re-evaluated at every

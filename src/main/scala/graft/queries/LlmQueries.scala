@@ -946,6 +946,85 @@ object LlmQueries {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // --- llm_ann_pq (product quantization, Jégou et al. 2011: m=8
+  // subspaces × ks=16 sample-sliced sub-centroids → per-vector codes →
+  // ADC compressed-domain scan → exact-cosine re-rank of the top 20.
+  // The sample codebook (lowest-id vector slices) makes the WHOLE
+  // pipeline — codes, distance tables, ADC ranking, re-rank —
+  // cross-engine reproducible, the annIvfMd5 precedent; a KMeans
+  // per-subspace fit would only polish centroids, and recall is
+  // governed by the rerank width.) ---------------------------------------
+  private val (pqM, pqKs, pqRerank, pqK) = (8, 16, 50, 5)
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.pqTopKFrom(e.where(col("vec_id") < 10), e, k = pqK,
+      Similarity.pqCodebooks(e, m = pqM, ks = pqKs), rerank = pqRerank)
+  }
+
+  /** DuckDB rebuild of the PQ-ADC pipeline: sample codebooks (the 16
+    * lowest-vec_id vectors, sliced per subspace), per-(vector,
+    * subspace) sub-distances via left-to-right list_reduce (the Spark
+    * `sqdist` fold), argmin codes (raw d2, code asc — Spark's
+    * array_position-first-min), query distance tables flattened in
+    * (j, code) order, the ADC sum in fixed j order, candidates ranked
+    * by ROUNDED approx_d2 (id-asc ties), exact cosine re-rank. */
+  val annPqSql: String = {
+    val sub = 64 / pqM
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |samp AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cn, vec AS cv
+       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT $pqKs)),
+       |cb AS (
+       |  SELECT j, cn, list_slice(cv, j * $sub + 1, (j + 1) * $sub) AS sc
+       |  FROM samp CROSS JOIN range(0, $pqM) r(j)),
+       |cslices AS (
+       |  SELECT vec_id, j, list_slice(vec, j * $sub + 1, (j + 1) * $sub) AS vs
+       |  FROM c CROSS JOIN range(0, $pqM) r(j)),
+       |cdist AS (
+       |  SELECT s.vec_id, s.j, b.cn,
+       |    list_reduce(list_transform(range(1, $sub + 1),
+       |      i -> (s.vs[i] - b.sc[i]) * (s.vs[i] - b.sc[i])),
+       |      (x, y) -> x + y) AS d2
+       |  FROM cslices s JOIN cb b USING (j)),
+       |codes AS (
+       |  SELECT vec_id, list(cn ORDER BY j) AS codes FROM (
+       |    SELECT vec_id, j, cn, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY d2 ASC, cn ASC) AS rn
+       |    FROM cdist) WHERE rn = 1 GROUP BY vec_id),
+       |qdt AS (
+       |  SELECT vec_id AS query_id, list(d2 ORDER BY j, cn) AS dt
+       |  FROM cdist WHERE vec_id < 10 GROUP BY vec_id),
+       |adc AS (
+       |  SELECT q.query_id, o.vec_id AS neighbor_id,
+       |    round(list_reduce(list_transform(range(0, $pqM),
+       |      j -> q.dt[j * $pqKs + o.codes[j + 1] + 1]),
+       |      (x, y) -> x + y), 6) AS approx_d2
+       |  FROM qdt q CROSS JOIN codes o WHERE o.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, approx_d2 FROM (
+       |    SELECT query_id, neighbor_id, approx_d2, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC)
+       |      AS arank
+       |    FROM adc) WHERE arank <= $pqRerank),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, approx_d2,
+       |    round(list_dot_product(qq.vec, nn.vec) /
+       |      (greatest(sqrt(list_dot_product(qq.vec, qq.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(nn.vec, nn.vec)), 1e-12)), 6)
+       |      AS sim
+       |  FROM cand
+       |  JOIN c qq ON qq.vec_id = query_id
+       |  JOIN c nn ON nn.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim, approx_d2, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+       |    AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, sim, approx_d2 FROM ranked
+       |WHERE rank <= $pqK""".stripMargin
+  }
+
   // --- llm_dedup_clusters (rows-only: transitive closure of near-dup
   // pairs → per-doc cluster representative + cluster sizes) --------------
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -1082,6 +1161,68 @@ object LlmQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    / n_total, 4) AS cum_coverage
       |FROM top, total""".stripMargin
+
+  // --- llm_tfidf (per-doc top-3 terms by tf-idf — the typicality
+  // playbook: partial-aggregated counts, keyed df join-back, one-row
+  // broadcast doc count, window bounded by the DOC's distinct terms.
+  // Rank on the ROUNDED score, term-asc ties → cross-engine rank.) -------
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(docs(s, dir), topN = 3)
+
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |dt AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+      |nd AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      |  FROM dt JOIN dfreq USING (term) CROSS JOIN nd),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, tfidf, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+      |WHERE rank <= 3""".stripMargin
+
+  // --- llm_drift (distribution-shift monitor: per-language JS
+  // divergence between the doc_id-parity halves of the corpus — the
+  // stand-in for two crawl snapshots. One partial-aggregated pass
+  // over occurrences; per-lang totals broadcast back; no window.) --------
+  def drift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenDrift(docs(s, dir), pmod(col("doc_id"), lit(2)))
+
+  val driftSql: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id % 2 AS side,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |cnts AS (
+      |  SELECT lang, term,
+      |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN side <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM toks GROUP BY 1, 2),
+      |tots AS (
+      |  SELECT lang, CAST(sum(ca) AS BIGINT) AS ta,
+      |    CAST(sum(cb) AS BIGINT) AS tb
+      |  FROM cnts GROUP BY 1),
+      |terms AS (
+      |  SELECT c.lang, ca, cb, ta, tb,
+      |    CAST(ca AS DOUBLE) / ta AS p, CAST(cb AS DOUBLE) / tb AS q
+      |  FROM cnts c JOIN tots t ON t.lang = c.lang)
+      |SELECT lang, max(ta) AS n_tokens_a, max(tb) AS n_tokens_b,
+      |  count(*) AS n_terms,
+      |  round(sum(
+      |    CASE WHEN ca > 0 THEN 0.5 * p * ln(2.0 * p / (p + q))
+      |      ELSE 0.0 END +
+      |    CASE WHEN cb > 0 THEN 0.5 * q * ln(2.0 * q / (p + q))
+      |      ELSE 0.0 END), 4) AS js_div
+      |FROM terms GROUP BY 1""".stripMargin
 
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -2156,6 +2297,7 @@ object LlmQueries {
     "llm_ann_lsh_md5" -> (annLshMd5 _),
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf_md5" -> (annIvfMd5 _),
+    "llm_ann_pq" -> (annPq _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_embed_dup_clusters" -> (embedDupClusters _),
     "llm_semdedup" -> (semDedup _),
@@ -2163,6 +2305,8 @@ object LlmQueries {
     "llm_corpus_stats" -> (corpusStats _),
     "llm_bigram_lm" -> (bigramLm _),
     "llm_vocab" -> (vocab _),
+    "llm_tfidf" -> (tfidf _),
+    "llm_drift" -> (drift _),
     "llm_quality" -> (quality _),
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
@@ -2206,10 +2350,13 @@ object LlmQueries {
     "llm_ann_topk" -> annTopKSql,
     "llm_ann_lsh_md5" -> annLshMd5Sql,
     "llm_ann_ivf_md5" -> annIvfMd5Sql,
+    "llm_ann_pq" -> annPqSql,
     "llm_lang_id" -> langIdSql,
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,
     "llm_vocab" -> vocabSql,
+    "llm_tfidf" -> tfidfSql,
+    "llm_drift" -> driftSql,
     "llm_quality" -> qualitySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,

@@ -612,6 +612,63 @@ class LlmSuite extends SparkSpec {
     assert(recall2 >= recall, s"radius-2 recall $recall2 < radius-1 $recall")
   }
 
+  test("PQ ANN: ADC re-rank recall vs brute force, ranks valid") {
+    // Same query set / k as the registered llm_ann_pq. Measured 0.88
+    // at m=8/ks=16/rerank=50 on sf0.001 (0.60 at sf0.1 — the
+    // fixture's true neighbors sit at cosine 0.27-0.47, hard for any
+    // coarse quantizer; rerank=20 measured 0.56/0.32 — the rerank
+    // width is the recall lever, exactly the PQ paper's ADC-then-
+    // re-rank tradeoff). Floor at 0.75 so a codebook or ADC
+    // regression fails loudly.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 10), e, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = LlmQueries.annPq(spark, sf0001).cache()
+    val rows = pq.collect()
+    assert(rows.length == 50) // 10 queries × k=5, every top-k filled
+    assert(rows.forall(r => r.getAs[Int]("rank") >= 1 &&
+      r.getAs[Int]("rank") <= 5))
+    // approx_d2 is a genuine squared distance: non-negative
+    assert(rows.forall(_.getAs[Double]("approx_d2") >= 0.0))
+    val hits = pq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (hits intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.75, s"PQ recall@5 too low: $recall")
+    pq.unpersist()
+  }
+
+  test("tfidf: per-doc top terms ranked, df consistent with term spread") {
+    val out = LlmQueries.tfidf(spark, sf0001).cache()
+    // every doc with tokens yields ranks 1..min(3, #terms), no gaps
+    val perDoc = out.groupBy("doc_id").agg(max("rank").as("mx"),
+      count(lit(1)).as("n")).collect()
+    assert(perDoc.nonEmpty)
+    assert(perDoc.forall(r => r.getAs[Int]("mx") == r.getAs[Long]("n")))
+    // a term kept for many docs must have df >= that many docs
+    val spread = out.groupBy("term").agg(
+      countDistinct("doc_id").as("n_docs"), max("df").as("df")).collect()
+    assert(spread.forall(r => r.getAs[Long]("df") >= r.getAs[Long]("n_docs")))
+    out.unpersist()
+  }
+
+  test("drift: JS divergence bounded by ln 2, zero on identical sides") {
+    val out = LlmQueries.drift(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val js = r.getAs[Double]("js_div")
+      js >= 0.0 && js <= math.log(2.0) + 1e-9
+    })
+    // identical token distributions on both sides → p = q for every
+    // term, every JS term is p·ln(1) = 0 exactly → js_div == 0.0
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val mirrored = d.select(col("lang"), col("text"), lit(0).as("side"))
+      .unionByName(d.select(col("lang"), col("text"), lit(1).as("side")))
+    val z = TextAnalysis.tokenDrift(mirrored, col("side")).collect()
+    assert(z.nonEmpty)
+    assert(z.forall(r => r.getAs[Double]("js_div") == 0.0))
+  }
+
   test("LSH ANN: zero-norm corpus vectors never rank (NaN clamp)") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>")

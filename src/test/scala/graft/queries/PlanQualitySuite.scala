@@ -49,8 +49,13 @@ class PlanQualitySuite extends SparkSpec {
     // llm_typicality's "nested loop" is the scalar-subquery shape: a
     // broadcast SINGLE-ROW aggregate (the corpus token total) crossed
     // into every row — constant-size build, scan-speed probe.
+    // llm_vocab and llm_tfidf reuse exactly that shape (corpus total /
+    // doc count as the one-row build); llm_ann_pq is the ANN case —
+    // the tiny query side broadcasts into the compressed-domain scan
+    // so the corpus never shuffles.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
-      "llm_embed_dup", "llm_typicality")
+      "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
+      "llm_ann_pq")
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
