@@ -361,6 +361,22 @@ object Scale10Probe {
         timed("1x intervalOverlap (matched rows)")(agg(s1))
         timed("10x intervalOverlap (matched rows)")(agg(s10))
       }
+      if (which("pq")) {
+        // PQ-ADC scan: per-pair cost is m table lookups, so wall must
+        // track corpus size ~linearly (queries fixed at 10); the
+        // codebook stays the registered query's (built from the 1×
+        // corpus — a quantizer is corpus-independent infrastructure).
+        val e1 = embsX(1).localCheckpoint(true)
+        val e10 = embsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${e1.count()} / ${e10.count()} vectors")
+        val cb = Similarity.pqCodebooks(e1, m = 8, ks = 16)
+        val q = e1.where(col("vec_id") < 10)
+        Similarity.pqTopKFrom(q, e1, k = 5, cb, rerank = 50).count()
+        timed("1x pqTopKFrom")(
+          Similarity.pqTopKFrom(q, e1, k = 5, cb, rerank = 50).count())
+        timed("10x pqTopKFrom")(
+          Similarity.pqTopKFrom(q, e10, k = 5, cb, rerank = 50).count())
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus

@@ -362,24 +362,17 @@ object Similarity {
     val ks = codebooks.head.length
     val sub = codebooks.head.head.length
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    // Per-vector code array: subspace j → argmin_c d2(slice_j, cb[j][c]),
-    // ties → lowest c (array_position finds the FIRST min). Each
-    // subspace's score array is referenced twice (min + position) →
-    // bindOnce; the slice feeds all ks distances → bindOnce.
-    def codesOf(vec: Column): Column = array((0 until m).map { j =>
-      graft.functions.ExprUtils.bindOnce(
-        slice(vec, j * sub + 1, sub)) { sl =>
-        graft.functions.ExprUtils.bindOnce(
-          array((0 until ks).map(c => sqdist(sl, typedlit(codebooks(j)(c)))): _*)) {
-          sc => (array_position(sc, array_min(sc)) - 1).cast("int") }
-      }
-    }: _*)
-    // Query-side flat distance table: entry j*ks+c = d2(qslice_j, cb[j][c]).
-    def dtOf(vec: Column): Column = array((for {
-      j <- 0 until m; c <- 0 until ks
-    } yield graft.functions.ExprUtils.bindOnce(
-      slice(vec, j * sub + 1, sub))(sl => sqdist(sl, typedlit(codebooks(j)(c))))
-    ): _*)
+    // Per-vector code array and query-side flat distance table as ONE
+    // native codegen'd pass each (PqExpr): the HOF form (bindOnce'd
+    // slice → m·ks sqdist folds → argmin via array_position) measured
+    // ~1 s per 2000 rows of interpreted lambda evaluation at sf0.1 —
+    // the HyperplaneSigsExpr lesson again. Bit-identical argmin/fold
+    // semantics (first-min ties, left-to-right accumulation) are
+    // pinned against the HOF reference in PqExprSuite.
+    def codesOf(vec: Column): Column =
+      graft.functions.PqExpr.pq_codes(vec, codebooks)
+    def dtOf(vec: Column): Column =
+      graft.functions.PqExpr.pq_dist_table(vec, codebooks)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
