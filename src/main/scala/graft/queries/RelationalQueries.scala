@@ -438,6 +438,27 @@ object RelationalQueries {
       |ON l_quantity, l_extendedprice, l_discount, l_tax
       |INTO NAME metric VALUE value""".stripMargin
 
+  // --- q22_lateral: correlated LATERAL subquery with ORDER BY+LIMIT
+  // (top-3 customers per nation by balance) — the SQL-standard
+  // top-N-per-group form. Catalyst DECORRELATES it into the skew-safe
+  // shape (plan-pinned in PlanQualitySuite): a PARTIAL
+  // WindowGroupLimit below the exchange (a hot nation ships ≤ 3 ×
+  // nMapPartitions rows, the llm_source_cap contract) joined to the
+  // broadcast dimension — never a per-row subquery re-execution.
+  // DuckDB runs the same LATERAL text verbatim. ------------------------
+  def q22Lateral(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(q22LateralSql)
+  }
+
+  val q22LateralSql: String =
+    """SELECT n_name, t.c_custkey, t.c_name, t.c_acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""".stripMargin
+
   // --------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -461,7 +482,8 @@ object RelationalQueries {
     "q18_pivot" -> (q18Pivot _),
     "q19_udaf" -> (q19Udaf _),
     "q20_recursive" -> (q20Recursive _),
-    "q21_unpivot" -> (q21Unpivot _)
+    "q21_unpivot" -> (q21Unpivot _),
+    "q22_lateral" -> (q22Lateral _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -484,6 +506,7 @@ object RelationalQueries {
     "q18_pivot" -> q18PivotSql,
     "q19_udaf" -> q19UdafSql,
     "q20_recursive" -> q20RecursiveSql,
-    "q21_unpivot" -> q21UnpivotSql
+    "q21_unpivot" -> q21UnpivotSql,
+    "q22_lateral" -> q22LateralSql
   )
 }

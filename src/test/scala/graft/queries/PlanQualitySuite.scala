@@ -170,6 +170,19 @@ class PlanQualitySuite extends SparkSpec {
       "no reduce-side (Final) WindowGroupLimit")
   }
 
+  test("q22 lateral LIMIT decorrelates to a partial group limit + broadcast dim") {
+    // The correlated ORDER BY+LIMIT lateral must NOT execute per outer
+    // row: Catalyst decorrelates it into the llm_source_cap shape — a
+    // PARTIAL WindowGroupLimit below the customer exchange (a hot
+    // nation ships ≤ 3 × nMapPartitions rows) joined to the broadcast
+    // nation dimension.
+    val p = plan("q22_lateral")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      "no map-side (Partial) WindowGroupLimit")
+    assert(p.contains("BroadcastHashJoin"), "dimension not broadcast")
+    assert(!p.contains("SortMergeJoin"), "fact side shuffled for the join")
+  }
+
   test("token budget: shard-wide windows, broadcast offsets, reused " +
       "exchange") {
     val p = plan("llm_token_budget")
