@@ -25,6 +25,11 @@ object PqProbe {
       val recall = (pq intersect brute).size.toDouble / brute.size
       println(s"[pq] $sf recall@5 = $recall " +
         s"(${(pq intersect brute).size}/${brute.size})")
+      val ivfpq = LlmQueries.annIvfPq(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r2 = (ivfpq intersect brute).size.toDouble / brute.size
+      println(s"[pq] $sf ivfpq recall@5 = $r2 " +
+        s"(${(ivfpq intersect brute).size}/${brute.size})")
     }
     spark.stop()
   }

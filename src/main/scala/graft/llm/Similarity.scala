@@ -414,6 +414,80 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim", "approx_d2")
   }
 
+  /** IVF-PQ ANN top-k — the two index structures composed, the
+    * canonical large-scale layout (FAISS's IVFADC shape, minus
+    * residual encoding — codes quantize the raw vectors; documented
+    * variant choice, the probe/ADC/re-rank mechanics are identical):
+    * a coarse quantizer assigns every corpus vector to a cell AND a
+    * PQ code array in ONE map-only projection; a query probes its
+    * `nProbe` best cells and ADC-scans ONLY those cells' codes — at
+    * 100 TB that is nProbe/nCentroids of an already m-bytes-per-
+    * vector index, the product of both reductions. ADC top-`rerank`
+    * survivors re-rank by exact cosine.
+    *
+    * Both quantizers are pluggable; with [[lowestIdCentroids]] cells
+    * and [[pqCodebooks]] the whole pipeline is cross-engine
+    * reproducible (the `llm_ann_ivfpq` oracle splices the IVF
+    * assignment CTEs and the PQ codebook CTEs — the same helpers the
+    * standalone oracles use). */
+  def ivfPqTopKFrom(queries: DataFrame, corpus: DataFrame, k: Int,
+      centArrs: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val ks = codebooks.head.length
+    val nCentroids = centArrs.length
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cellScores = cellScoresFn(centArrs)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
+      .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
+      .withColumn("cid",
+        graft.functions.ExprUtils.bindOnce(cellScores(col("cv")))(argmaxCid))
+      .withColumn("codes", graft.functions.PqExpr.pq_codes(col("cv"), codebooks))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", greatest(norm(col("qv")), lit(1e-12)))
+      .withColumn("dt",
+        graft.functions.PqExpr.pq_dist_table(col("qv"), codebooks))
+    // Top-nProbe cells per query — the ivfTopKFrom probe, map-only.
+    val qProbed = q.withColumn("probe",
+        explode(graft.functions.ExprUtils.bindOnce(cellScores(col("qv"))) { sc =>
+          slice(sort_array(zip_with(sc,
+            sequence(lit(0), lit(nCentroids - 1)),
+            (score, i) => struct((-score).as("ns"), i.as("cid")))),
+            1, nProbe) }))
+      .withColumn("cid", col("probe.cid").cast("int"))
+      .drop("probe")
+    val adc = (0 until m).map(j =>
+      element_at(col("dt"), lit(j * ks) + element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = c.join(broadcast(qProbed.select("query_id", "cid", "dt")),
+        Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2", round(adc, 6))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("approx_d2").asc, col("neighbor_id").asc)
+    val cand = scored.withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank)
+      .select("query_id", "neighbor_id", "approx_d2")
+    val rejoined = cand
+      .join(c.select(col("neighbor_id"), col("cv"), col("cn")),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    rejoined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim", "approx_d2")
+  }
+
   /** Embedding near-duplicate pairs, blocked on `blockCol` (e.g. a
     * cluster/label key — blocking keeps the self-join key-local; at
     * scale the block key comes from LSH or a coarse quantizer). */

@@ -968,19 +968,26 @@ object LlmQueries {
     * array_position-first-min), query distance tables flattened in
     * (j, code) order, the ADC sum in fixed j order, candidates ranked
     * by ROUNDED approx_d2 (id-asc ties), exact cosine re-rank. */
-  val annPqSql: String = {
+  /** Spliceable PQ codebook CTE chain over a CTE `$src(vec_id, vec)`:
+    * `samp` (the $pqKs lowest-id vectors), `cb(j, cn, sc)` (subspace
+    * slices of the samples — the codebooks), `cdist(vec_id, j, cn,
+    * d2)` (left-to-right squared-distance folds — the `sqdist`/
+    * PqExpr contract), `codes(vec_id, codes)` (argmin per subspace,
+    * raw-d2 first-min ties), `qdt(query_id, dt)` (flattened (j, cn)-
+    * ordered distance tables for the query set). ONE copy shared by
+    * [[annPqSql]] and [[annIvfPqSql]] — a fix lands in both or
+    * neither. */
+  private def pqCodebookCtes(src: String): String = {
     val sub = 64 / pqM
-    s"""WITH c AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-       |samp AS (
+    s"""samp AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cn, vec AS cv
-       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT $pqKs)),
+       |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $pqKs)),
        |cb AS (
        |  SELECT j, cn, list_slice(cv, j * $sub + 1, (j + 1) * $sub) AS sc
        |  FROM samp CROSS JOIN range(0, $pqM) r(j)),
        |cslices AS (
        |  SELECT vec_id, j, list_slice(vec, j * $sub + 1, (j + 1) * $sub) AS vs
-       |  FROM c CROSS JOIN range(0, $pqM) r(j)),
+       |  FROM $src CROSS JOIN range(0, $pqM) r(j)),
        |cdist AS (
        |  SELECT s.vec_id, s.j, b.cn,
        |    list_reduce(list_transform(range(1, $sub + 1),
@@ -994,13 +1001,82 @@ object LlmQueries {
        |    FROM cdist) WHERE rn = 1 GROUP BY vec_id),
        |qdt AS (
        |  SELECT vec_id AS query_id, list(d2 ORDER BY j, cn) AS dt
-       |  FROM cdist WHERE vec_id < 10 GROUP BY vec_id),
+       |  FROM cdist WHERE vec_id < 10 GROUP BY vec_id)""".stripMargin
+  }
+
+  val annPqSql: String = {
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |${pqCodebookCtes("c")},
        |adc AS (
        |  SELECT q.query_id, o.vec_id AS neighbor_id,
        |    round(list_reduce(list_transform(range(0, $pqM),
        |      j -> q.dt[j * $pqKs + o.codes[j + 1] + 1]),
        |      (x, y) -> x + y), 6) AS approx_d2
        |  FROM qdt q CROSS JOIN codes o WHERE o.vec_id <> q.query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, approx_d2 FROM (
+       |    SELECT query_id, neighbor_id, approx_d2, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC)
+       |      AS arank
+       |    FROM adc) WHERE arank <= $pqRerank),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, approx_d2,
+       |    round(list_dot_product(qq.vec, nn.vec) /
+       |      (greatest(sqrt(list_dot_product(qq.vec, qq.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(nn.vec, nn.vec)), 1e-12)), 6)
+       |      AS sim
+       |  FROM cand
+       |  JOIN c qq ON qq.vec_id = query_id
+       |  JOIN c nn ON nn.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim, approx_d2, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+       |    AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, sim, approx_d2 FROM ranked
+       |WHERE rank <= $pqK""".stripMargin
+  }
+
+  // --- llm_ann_ivfpq (the two index structures COMPOSED — the
+  // canonical 100 TB ANN layout: coarse cells cut the scan to
+  // nProbe/nCentroids of the corpus, PQ codes cut each scanned entry
+  // to m bytes; ADC runs only inside probed cells, exact cosine
+  // re-ranks the survivors. Both quantizers sample-based → the whole
+  // pipeline is one DuckDB oracle splicing the IVF assignment CTEs
+  // and the PQ codebook CTEs. Raw-vector codes, not residuals —
+  // documented variant; probe/ADC/re-rank mechanics are IVFADC's.) ------
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfPqTopKFrom(e.where(col("vec_id") < 10), e, k = pqK,
+      Similarity.lowestIdCentroids(e, nCentroids = 16),
+      Similarity.pqCodebooks(e, m = pqM, ks = pqKs),
+      nProbe = 4, rerank = pqRerank)
+  }
+
+  /** DuckDB rebuild of IVF-PQ: `assign`/`cell_sc` from the IVF sample-
+    * centroid helper give cells; `codes`/`qdt` from the PQ helper give
+    * the compressed domain; the ADC scan joins ONLY probed cells. */
+  val annIvfPqSql: String = {
+    val (nCent, nProbe) = (16, 4)
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |${sampleCentroidCtes("c", nCent)},
+       |${pqCodebookCtes("c")},
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+       |    FROM cell_sc WHERE vec_id < 10) WHERE rn <= $nProbe),
+       |adc AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round(list_reduce(list_transform(range(0, $pqM),
+       |      j -> t.dt[j * $pqKs + o.codes[j + 1] + 1]),
+       |      (x, y) -> x + y), 6) AS approx_d2
+       |  FROM qprobe q
+       |  JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+       |  JOIN codes o ON o.vec_id = a.vec_id
+       |  JOIN qdt t ON t.query_id = q.query_id),
        |cand AS (
        |  SELECT query_id, neighbor_id, approx_d2 FROM (
        |    SELECT query_id, neighbor_id, approx_d2, row_number() OVER (
@@ -2298,6 +2374,7 @@ object LlmQueries {
     "llm_ann_ivf" -> (annIvf _),
     "llm_ann_ivf_md5" -> (annIvfMd5 _),
     "llm_ann_pq" -> (annPq _),
+    "llm_ann_ivfpq" -> (annIvfPq _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_embed_dup_clusters" -> (embedDupClusters _),
     "llm_semdedup" -> (semDedup _),
@@ -2351,6 +2428,7 @@ object LlmQueries {
     "llm_ann_lsh_md5" -> annLshMd5Sql,
     "llm_ann_ivf_md5" -> annIvfMd5Sql,
     "llm_ann_pq" -> annPqSql,
+    "llm_ann_ivfpq" -> annIvfPqSql,
     "llm_lang_id" -> langIdSql,
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,

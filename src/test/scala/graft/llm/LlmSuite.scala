@@ -638,6 +638,27 @@ class LlmSuite extends SparkSpec {
     pq.unpersist()
   }
 
+  test("IVF-PQ ANN: composed index, ranks valid, recall vs brute force") {
+    // Measured 0.90 at sf0.001 (0.76 at sf0.1) — BETTER than flat PQ
+    // (0.88/0.60): the cell probe pre-selects direction-similar
+    // vectors, so the rerank budget isn't spent on far-cell ADC false
+    // positives. Floor 0.8 at sf0.001.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 10), e, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val out = LlmQueries.annIvfPq(spark, sf0001).cache()
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Int]("rank") >= 1 &&
+      r.getAs[Int]("rank") <= 5))
+    val hits = out.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (hits intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF-PQ recall@5 too low: $recall")
+    out.unpersist()
+  }
+
   test("tfidf: per-doc top terms ranked, df consistent with term spread") {
     val out = LlmQueries.tfidf(spark, sf0001).cache()
     // every doc with tokens yields ranks 1..min(3, #terms), no gaps
