@@ -377,6 +377,24 @@ object Scale10Probe {
         timed("10x pqTopKFrom")(
           Similarity.pqTopKFrom(q, e10, k = 5, cb, rerank = 50).count())
       }
+      if (which("tfidf")) {
+        // tf-idf and drift ride the typicality chain — wall must be
+        // ~linear in corpus size (partial-aggregated counts, keyed
+        // join-backs, doc-bounded windows only).
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        import graft.llm.TextAnalysis
+        TextAnalysis.tfidfTopTerms(d1).count() // warmup
+        timed("1x tfidfTopTerms")(TextAnalysis.tfidfTopTerms(d1).count())
+        timed("10x tfidfTopTerms")(TextAnalysis.tfidfTopTerms(d10).count())
+        val side1 = pmod(col("doc_id"), lit(2))
+        val dl1 = d1.withColumn("lang", lit("x"))
+        val dl10 = d10.withColumn("lang", lit("x"))
+        TextAnalysis.tokenDrift(dl1, side1).count()
+        timed("1x tokenDrift")(TextAnalysis.tokenDrift(dl1, side1).count())
+        timed("10x tokenDrift")(TextAnalysis.tokenDrift(dl10, side1).count())
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus
