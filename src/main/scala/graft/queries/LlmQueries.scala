@@ -1300,6 +1300,16 @@ object LlmQueries {
       |      ELSE 0.0 END), 4) AS js_div
       |FROM terms GROUP BY 1""".stripMargin
 
+  // --- llm_bpe_train (rows-only: the learned BPE merge table — the
+  // artifact a tokenizer ships. Construction runs the training loop
+  // (one job per merge round, lazy-checkpoint lineage truncation —
+  // the dedupClusters construction-contract class); no cross-engine
+  // oracle is possible (data-dependent per-round argmax), so BpeSuite
+  // pins the merge table EXACTLY against an independent
+  // single-threaded reference implementation.) ---------------------------
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Bpe.trainBpe(docs(s, dir), nMerges = 12)
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2382,6 +2392,7 @@ object LlmQueries {
     "llm_corpus_stats" -> (corpusStats _),
     "llm_bigram_lm" -> (bigramLm _),
     "llm_vocab" -> (vocab _),
+    "llm_bpe_train" -> (bpeTrain _),
     "llm_tfidf" -> (tfidf _),
     "llm_drift" -> (drift _),
     "llm_quality" -> (quality _),
