@@ -491,6 +491,65 @@ object LlmQueries {
        |${minhashPairsCtes("corpus", 0.5)}
        |SELECT id_a, id_b, jaccard FROM mh_pairs""".stripMargin
 
+  // --- llm_pagerank (graph centrality over the minhash near-dup
+  // similarity graph: a high score marks a duplication hub — a
+  // boilerplate template, a mirror — the soft complement of the hard
+  // CC cluster labels. Fixed 10 damped iterations, leaky variant (no
+  // dangling redistribution) — both choices exist so a STATIC
+  // unrolled SQL text can be the oracle. All oracle constants are
+  // CAST('…' AS DOUBLE) string round-trips of the Scala doubles
+  // (DuckDB would otherwise parse 0.15000000000000002 as a DECIMAL
+  // and diverge at full precision). ------------------------------------
+  private val prDamping = 0.85
+  private val prIters = 10
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(s, dir)
+    val pairs = Dedup.minhashLshPairsMd5(corpus, threshold = 0.5)
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    val verts = corpus.select(col("doc_id").as("id"))
+    val pr = graft.operators.PageRank.pageRank(verts, edges,
+      iters = prIters, damping = prDamping)
+    // mean-1 normalization: score = rank · |V| (readable, and the
+    // 4-dp rounding then has uniform resolution across corpus sizes)
+    pr.crossJoin(broadcast(
+        verts.agg(count(lit(1)).cast("double").as("nv"))))
+      .select(col("id").as("doc_id"),
+        round(col("rank") * col("nv"), 4).as("score"))
+  }
+
+  val pagerankSql: String = {
+    val d = s"CAST('$prDamping' AS DOUBLE)"
+    val resid =
+      s"CAST('${graft.operators.PageRank.residLiteral(prDamping)}' AS DOUBLE)"
+    val steps = (1 to prIters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.v AS id, sum(p.rank / d.dg) AS m
+         |  FROM pr_edges e JOIN r${k - 1} p ON p.id = e.u
+         |  JOIN pr_deg d ON d.id = e.u
+         |  GROUP BY e.v),
+         |r$k AS (
+         |  SELECT vt.id, $resid / n.c + $d * coalesce(m, CAST(0.0 AS DOUBLE))
+         |    AS rank
+         |  FROM pr_verts vt CROSS JOIN pr_n n LEFT JOIN c$k USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS ($corpusNearSql),
+       |${minhashPairsCtes("corpus", 0.5)},
+       |pr_edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM mh_pairs
+       |  UNION ALL SELECT id_b AS u, id_a AS v FROM mh_pairs),
+       |pr_deg AS (SELECT u AS id, count(*) AS dg FROM pr_edges GROUP BY 1),
+       |pr_n AS (SELECT count(*) AS c FROM corpus),
+       |pr_verts AS (SELECT doc_id AS id FROM corpus),
+       |r0 AS (
+       |  SELECT id, CAST(1.0 AS DOUBLE) / n.c AS rank
+       |  FROM pr_verts CROSS JOIN pr_n n),
+       |$steps
+       |SELECT r.id AS doc_id, round(r.rank * n.c, 4) AS score
+       |FROM r$prIters r CROSS JOIN pr_n n""".stripMargin
+  }
+
   // --- llm_simhash ------------------------------------------------------
   // 8×8-bit banding + maxHamming=7: the banding guarantee (pigeonhole,
   // hamming ≤ bands-1) covers the radius the planted near-dups actually
@@ -2386,6 +2445,7 @@ object LlmQueries {
     "llm_ann_pq" -> (annPq _),
     "llm_ann_ivfpq" -> (annIvfPq _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_pagerank" -> (pagerank _),
     "llm_embed_dup_clusters" -> (embedDupClusters _),
     "llm_semdedup" -> (semDedup _),
     "llm_lang_id" -> (langId _),
@@ -2431,6 +2491,7 @@ object LlmQueries {
     "llm_dup_spans" -> dupSpansSql,
     "llm_cut_spans" -> cutSpansSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_pagerank" -> pagerankSql,
     "llm_embed_dup_clusters" -> embedDupClustersSql,
     "llm_semdedup" -> semDedupSql,
     "llm_embed_dup" -> embedDupSql,

@@ -644,8 +644,40 @@ object OperatorQueries {
       |  round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // --- op_sessionize: batch gap-based sessionization (30-minute
+  // inactivity gap per user) via the native session_window — the
+  // DuckDB oracle is the classic gaps-and-islands rebuild, proving
+  // the semantics: end = last event + gap, and the boundary is
+  // CLOSED — an event exactly `gap` after its predecessor still
+  // merges (suite-pinned; the oracle's break condition is therefore
+  // strict `>`, a latent hash mismatch on any fixture whose
+  // timestamps land exactly on the gap). ------------------------------
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.streaming.EventTimeOps.sessionStats(
+      ev, "ts", "user_id", "value", "30 minutes")
+  }
+
+  val sessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o)
+      |SELECT user_id, min(ts) AS session_start,
+      |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
+    "op_sessionize" -> (sessionize _),
     "op_munge_decode" -> (mungeDecode _),
     "op_proto_decode" -> (protoDecode _),
     "op_proto_repeated" -> (protoRepeated _),
@@ -664,6 +696,7 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
+    "op_sessionize" -> sessionizeSql,
     "op_munge_decode" -> mungeDecodeSql,
     "op_proto_decode" -> protoDecodeSql,
     "op_proto_repeated" -> protoRepeatedSql,

@@ -58,4 +58,29 @@ object EventTimeOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol),
         col("n_events"))
+
+  /** Batch sessionization with full per-session stats — the same
+    * native `session_window` (start = first event, end = last event +
+    * gap, half-open: an event landing exactly on the end starts a NEW
+    * session), no watermark. The DuckDB oracle rebuilds it as the
+    * classic gaps-and-islands (brk when diff ≥ gap, running sum,
+    * group) — which also documents the semantics equivalence.
+    * Equal-timestamp ties are harmless: session membership depends
+    * only on the sorted multiset of per-key timestamps, so every
+    * ordering of ties yields identical sessions.
+    *
+    * Scale: one shuffle keyed by `keyCol`; per-key session building
+    * is a sort within the partition. A pathologically hot key owns
+    * its whole timeline in one task — inherent to sessionization
+    * (same caveat as any per-entity ordered pass); cap or split such
+    * keys upstream (dropHotKeys) if an adversarial entity dominates. */
+  def sessionStats(df: DataFrame, timeCol: String, keyCol: String,
+      valueCol: String, gap: String): DataFrame =
+    df.groupBy(session_window(col(timeCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
 }

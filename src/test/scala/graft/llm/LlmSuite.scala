@@ -659,6 +659,29 @@ class LlmSuite extends SparkSpec {
     out.unpersist()
   }
 
+  test("pagerank: dup hubs outrank isolated docs, teleport floor exact") {
+    val out = LlmQueries.pagerank(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out.nonEmpty && out.values.forall(_ > 0.0))
+    // edge vertices (the minhash pair set) vs isolated docs: an
+    // isolated vertex never receives mass — its mean-1 score is
+    // EXACTLY resid = 0.15 (teleport only); a symmetric 2-clique sits
+    // at the stationary 1.0 from the uniform start (0.15/N + 0.85/N =
+    // 1/N each iteration), and bigger components push hubs above it.
+    val e = Dedup.minhashLshPairsMd5(
+      graft.queries.LlmQueries.docsWithNearDups(spark, sf0001),
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val connected = e.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(connected.nonEmpty)
+    val isolated = out.keySet -- connected
+    assert(isolated.forall(id => out(id) == 0.15), "teleport floor drifted")
+    assert(connected.forall(id => out(id) > 0.15),
+      "a connected vertex fell to the teleport floor")
+    assert(connected.exists(id => out(id) >= 0.99),
+      "no vertex near the 2-clique stationary score")
+  }
+
   test("tfidf: per-doc top terms ranked, df consistent with term spread") {
     val out = LlmQueries.tfidf(spark, sf0001).cache()
     // every doc with tokens yields ranks 1..min(3, #terms), no gaps

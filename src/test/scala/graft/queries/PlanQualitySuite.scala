@@ -53,9 +53,11 @@ class PlanQualitySuite extends SparkSpec {
     // doc count as the one-row build); llm_ann_pq is the ANN case —
     // the tiny query side broadcasts into the compressed-domain scan
     // so the corpus never shuffles.
+    // llm_pagerank's final mean-1 normalization crosses the one-row
+    // vertex-count aggregate into the rank vector — the same shape.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
-      "llm_ann_pq")
+      "llm_ann_pq", "llm_pagerank")
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")

@@ -76,4 +76,28 @@ class EventTimeOpsSuite extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum ==
       eventsWithTs.count())
   }
+
+  test("sessionStats: known gaps split exactly, boundary is CLOSED") {
+    import java.sql.Timestamp
+    def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val ev = Seq(
+      (1L, ts("10:00"), 1.0), // session A
+      (1L, ts("10:20"), 2.0), // +20min < 30 → A
+      (1L, ts("10:50"), 4.0), // +30min EXACTLY → still A (closed
+                              // boundary — pins the oracle's strict >)
+      (1L, ts("11:21"), 8.0), // +31min > 30 → new session B
+      (2L, ts("10:00"), 16.0) // other user → own session
+    ).toDF("user_id", "ts", "value")
+    val out = EventTimeOps.sessionStats(ev, "ts", "user_id", "value",
+      "30 minutes").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toSet
+    assert(out == Set(
+      (1L, ts("10:00"), ts("11:20"), 3L, 7.0), // end = 10:50 + 30
+      (1L, ts("11:21"), ts("11:51"), 1L, 8.0),
+      (2L, ts("10:00"), ts("10:30"), 1L, 16.0)))
+  }
 }
