@@ -32,6 +32,44 @@ object Sampling {
       pmod(h, lit(buckets.toLong))
     }
 
+  /** Exact weighted sampling WITHOUT replacement, one pass, per
+    * stratum — Efraimidis–Spirakis A-Res: every row draws a
+    * deterministic uniform u from its id (first 32 md5 bits → (h +
+    * 0.5) / 2³², never exactly 0 or 1) and the k rows with the
+    * LARGEST u^(1/w) are the sample — provably distributed as
+    * weight-proportional sampling without replacement. Ranking uses
+    * the monotone-equivalent key ln(u)/w (u < 1 makes ln u negative;
+    * dividing by a larger w moves it toward 0, so larger key ⇔
+    * larger u^(1/w)) — avoiding pow() cross-engine wobble — ROUNDED
+    * to 6 dp with id-asc ties so rank is engine-reproducible (the
+    * tfidf precedent). Weights clamp to ≥ 1e-4: zero-weight rows
+    * would divide by zero, and the clamp sends them to key ≈ −∞
+    * (never sampled unless the stratum is nearly empty — the correct
+    * limit).
+    *
+    * Scale shape: the key is map-only; the per-stratum top-k is the
+    * declarative rank-filter, so Catalyst plans a PARTIAL
+    * WindowGroupLimit below the exchange (the capPerKey skew
+    * contract — a hot stratum ships ≤ k × nMapPartitions rows).
+    * Deterministic across runs, partitionings, and corpus growth
+    * (a sampled id's key never changes; only displacement by new
+    * higher-key rows can evict it). */
+  def weightedReservoir(df: DataFrame, k: Int, strataCol: String,
+      weightCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val h = conv(substring(md5(
+      concat(lit("wr_"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val key = round(log(u) / greatest(col(weightCol), lit(1e-4)), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(col("res_key").desc, col(idCol).asc)
+    df.withColumn("res_key", key)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Keep a per-stratum fraction of rows: `rates` maps stratum value →
     * keep fraction [0, 1] (resolution 1/10000); strata not listed keep
     * `defaultRate`. Output keeps all input columns plus the decision

@@ -1695,6 +1695,42 @@ object LlmQueries {
        |SELECT doc_id, stopword_ratio, bucket FROM b
        |WHERE bucket < CAST(round(stopword_ratio * 10000) AS BIGINT)""".stripMargin
 
+  // --- llm_reservoir ------------------------------------------------------
+  /** Weighted reservoir sampling ([[graft.llm.Sampling.weightedReservoir]],
+    * Efraimidis–Spirakis A-Res): the 5 docs per language with the
+    * largest u^(1/w), w = the doc's stopword-ratio quality score —
+    * exact quality-proportional sampling WITHOUT replacement, where
+    * [[sampleScore]]'s Bernoulli gate cannot fix the output size. */
+  def reservoir(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.weightedReservoir(
+      graft.llm.TextAnalysis.qualitySignals(docs(s, dir))
+        .select("doc_id", "lang", "stopword_ratio"),
+      k = 5, strataCol = "lang", weightCol = "stopword_ratio")
+
+  val reservoirSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, lang,
+       |    round(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |        t -> list_contains(['the','and','of','to','in','is','a'], t))) /
+       |      greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1), 4)
+       |      AS stopword_ratio
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang, stopword_ratio,
+       |    round(ln((CAST(CAST('0x' || substring(
+       |          md5('wr_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |          AS DOUBLE)
+       |        + 0.5) / 4294967296.0)
+       |      / greatest(stopword_ratio, CAST('0.0001' AS DOUBLE)), 6)
+       |      AS res_key
+       |  FROM sig),
+       |r AS (
+       |  SELECT doc_id, lang, stopword_ratio, res_key, row_number() OVER (
+       |    PARTITION BY lang ORDER BY res_key DESC, doc_id ASC) AS rank
+       |  FROM b)
+       |SELECT doc_id, lang, stopword_ratio, res_key, rank FROM r
+       |WHERE rank <= 5""".stripMargin
+
   // --- llm_holdout_split --------------------------------------------------
   /** 5% deterministic holdout over the corpus
     * ([[graft.llm.Sampling.holdoutSplit]]): every doc labeled
@@ -2464,6 +2500,7 @@ object LlmQueries {
     "llm_contamination_report" -> (contaminationReport _),
     "llm_sample_mix" -> (sampleMix _),
     "llm_sample_score" -> (sampleScore _),
+    "llm_reservoir" -> (reservoir _),
     "llm_holdout_split" -> (holdoutSplit _),
     "llm_upsample" -> (upsampleQ _),
     "llm_source_cap" -> (sourceCap _),
@@ -2516,6 +2553,7 @@ object LlmQueries {
     "llm_contamination_report" -> contaminationReportSql,
     "llm_sample_mix" -> sampleMixSql,
     "llm_sample_score" -> sampleScoreSql,
+    "llm_reservoir" -> reservoirSql,
     "llm_holdout_split" -> holdoutSplitSql,
     "llm_upsample" -> upsampleSql,
     "llm_source_cap" -> sourceCapSql,

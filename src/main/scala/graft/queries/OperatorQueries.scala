@@ -675,9 +675,47 @@ object OperatorQueries {
       |  count(*) AS n_events, round(sum(value), 2) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  // --- op_scd2: type-2 slowly-changing-dimension build from the
+  // event stream — collapse each user's run of equal event_type into
+  // one validity interval (valid_from inclusive, valid_to = next
+  // change's ts, NULL while current) — the standard warehouse
+  // history-table shape. Order key is (ts, event_id): fixture
+  // timestamps CAN tie within a user, and event_id makes the run
+  // boundaries deterministic in both engines. Windows partition by
+  // user — bounded by one entity's history (the sessionize caveat
+  // applies to adversarially hot entities). ---------------------------
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    marked.withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+  }
+
+  val scd2Sql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type FROM m
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to
+      |FROM s""".stripMargin
+
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
     "op_sessionize" -> (sessionize _),
+    "op_scd2" -> (scd2 _),
     "op_munge_decode" -> (mungeDecode _),
     "op_proto_decode" -> (protoDecode _),
     "op_proto_repeated" -> (protoRepeated _),
@@ -697,6 +735,7 @@ object OperatorQueries {
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
     "op_sessionize" -> sessionizeSql,
+    "op_scd2" -> scd2Sql,
     "op_munge_decode" -> mungeDecodeSql,
     "op_proto_decode" -> protoDecodeSql,
     "op_proto_repeated" -> protoRepeatedSql,

@@ -659,6 +659,29 @@ class LlmSuite extends SparkSpec {
     out.unpersist()
   }
 
+  test("weighted reservoir: k per stratum, weight dominance, determinism") {
+    val out = LlmQueries.reservoir(spark, sf0001).cache()
+    val perLang = out.groupBy("lang").agg(max("rank").as("mx"),
+      count(lit(1)).as("n")).collect()
+    assert(perLang.nonEmpty)
+    // ranks dense 1..min(k, |stratum|)
+    assert(perLang.forall(r => r.getAs[Int]("mx") == r.getAs[Long]("n") &&
+      r.getAs[Int]("mx") <= 5))
+    out.unpersist()
+    // A-Res property on a controlled frame: near-zero-weight rows
+    // cannot displace weight-1 rows (their key is ~10000·ln u vs
+    // ln u) — pinned for these FIXED ids (u's are deterministic).
+    val ctl = (1L to 10L).map(i =>
+      (i, "s", if (i <= 5) 1.0 else 0.0)).toDF("doc_id", "st", "w")
+    val top = Sampling.weightedReservoir(ctl, k = 5, "st", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == (1L to 5L).toSet, s"low-weight rows sampled: $top")
+    // partitioning invariance
+    val top2 = Sampling.weightedReservoir(ctl.repartition(7), k = 5, "st", "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(top2 == top)
+  }
+
   test("pagerank: dup hubs outrank isolated docs, teleport floor exact") {
     val out = LlmQueries.pagerank(spark, sf0001).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap

@@ -172,6 +172,12 @@ class PlanQualitySuite extends SparkSpec {
       "no reduce-side (Final) WindowGroupLimit")
   }
 
+  test("weighted reservoir plans a partial WindowGroupLimit (capPerKey contract)") {
+    val p = plan("llm_reservoir")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      "no map-side (Partial) WindowGroupLimit")
+  }
+
   test("q22 lateral LIMIT decorrelates to a partial group limit + broadcast dim") {
     // The correlated ORDER BY+LIMIT lateral must NOT execute per outer
     // row: Catalyst decorrelates it into the llm_source_cap shape — a
