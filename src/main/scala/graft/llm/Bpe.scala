@@ -68,6 +68,16 @@ object Bpe {
     concat(filter(split(w, ""), s => length(s) > 0),
       array(lit(EndOfWord)))
 
+  /** [[trainBpe]] returning the merge list driver-side — the form
+    * the encode path ([[BpeEncodeExpr]]) consumes as literals. */
+  def trainMerges(df: DataFrame, nMerges: Int, minFreq: Long = 2L,
+      textCol: String = "text"): Seq[(Int, String, String, String, Long)] =
+    trainBpe(df, nMerges, minFreq, textCol)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+
   /** Train `nMerges` BPE merges on the corpus; returns the merge
     * table (step, left, right, merged, pair_freq) — the artifact a
     * tokenizer ships. Stops early when the best remaining pair's

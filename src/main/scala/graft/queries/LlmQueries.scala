@@ -1369,6 +1369,30 @@ object LlmQueries {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     graft.llm.Bpe.trainBpe(docs(s, dir), nMerges = 12)
 
+  // --- llm_bpe_encode (rows-only: the apply side of the round-trip —
+  // segment the corpus with its OWN trained merges and report the
+  // subword vocabulary usage, top 30 by frequency. Construction
+  // trains (the bpe_train contract) and bakes the merges into the
+  // native BpeEncodeExpr; BpeSuite pins encode parity against the
+  // trainer's own Column-level merge chain.) -----------------------------
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.llm.Bpe.trainMerges(docs(s, dir), nMerges = 12)
+      .map(m => (m._2, m._3))
+    val sub = docs(s, dir)
+      .select(explode_outer(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(col("w").isNotNull)
+      .select(explode_outer(
+        graft.functions.BpeEncodeExpr.bpe_encode(col("w"), merges))
+        .as("subword"))
+      .where(col("subword").isNotNull)
+      .groupBy("subword").agg(count(lit(1)).as("freq"))
+    val top = sub.orderBy(col("freq").desc, col("subword").asc).limit(30)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("subword").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select("rank", "subword", "freq")
+  }
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2489,6 +2513,7 @@ object LlmQueries {
     "llm_bigram_lm" -> (bigramLm _),
     "llm_vocab" -> (vocab _),
     "llm_bpe_train" -> (bpeTrain _),
+    "llm_bpe_encode" -> (bpeEncode _),
     "llm_tfidf" -> (tfidf _),
     "llm_drift" -> (drift _),
     "llm_quality" -> (quality _),

@@ -46,6 +46,52 @@ class BpeSuite extends SparkSpec {
     assert(merges == ref)
   }
 
+  test("native encode ≡ the trainer's merge chain; subwords reconstruct") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val merges = Bpe.trainMerges(d, nMerges = 12).map(m => (m._2, m._3))
+    assert(merges.nonEmpty)
+    val words = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct().limit(500)
+    // HOF reference: chars + </w>, then the trainer's own mergeOne
+    // fold per merge in rank order — the exact training trajectory.
+    val hofInit = concat(
+      filter(split(col("w"), ""), s => length(s) > 0),
+      array(lit(Bpe.EndOfWord)))
+    val hofEncoded = merges.foldLeft(hofInit) { case (sym, (l, r)) =>
+      Bpe.mergeOne(sym, lit(l), lit(r)) }
+    val rows = words.select(col("w"),
+      graft.functions.BpeEncodeExpr.bpe_encode(col("w"), merges).as("n"),
+      hofEncoded.as("h"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, native, hof) =>
+      assert(native == hof, s"encode diverges for '$w'")
+      assert(native.mkString == w + Bpe.EndOfWord,
+        s"subwords don't reconstruct '$w'")
+    }
+    // the registered report runs and ranks densely
+    val rep = LlmQueries.bpeEncode(spark, sf0001).collect()
+    assert(rep.nonEmpty && rep.map(_.getAs[Int]("rank")).toSeq ==
+      (1 to rep.length))
+  }
+
+  test("BpeEncodeExpr doGenCode compiles and matches eval") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.BpeEncodeExpr(
+      BoundReference(0, StringType, nullable = true),
+      Seq(("a", "a"), ("aa", "a")))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on bad code
+    val gen = proj(InternalRow(UTF8String.fromString("aaaa"))).getArray(0)
+    val out = (0 until gen.numElements()).map(i => gen.getUTF8String(i).toString)
+    // aaaa</w>: (a,a) pass → aa,aa,</w>; (aa,a) pass → no 'a' left
+    assert(out == Seq("aa", "aa", Bpe.EndOfWord))
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
   test("early stop below minFreq; determinism across partitionings") {
     val df = Seq("ab", "ab", "cd").toDF("text")
     val m = Bpe.trainBpe(df, nMerges = 10, minFreq = 2L)
