@@ -395,6 +395,38 @@ object Scale10Probe {
         timed("1x tokenDrift")(TextAnalysis.tokenDrift(dl1, side1).count())
         timed("10x tokenDrift")(TextAnalysis.tokenDrift(dl10, side1).count())
       }
+      if (which("events")) {
+        // Sessionization/SCD2 stress: SAME user ids, 10× history each
+        // (jittered ±1 h so replicas interleave instead of stacking) —
+        // per-user window partitions grow 10×, the documented
+        // hot-entity caveat, measured instead of assumed.
+        import graft.streaming.EventTimeOps
+        val base = spark.read.parquet(s"$sfDir/events.parquet")
+          .select("user_id", "ts", "event_id", "event_type", "value")
+        val e1 = base.repartition(32).localCheckpoint(true)
+        val e10 = (0 until 10).map { i =>
+          base.withColumn("ts", col("ts") + expr(
+              s"make_interval(0, 0, 0, 0, 0, 0, ${i * 3667})"))
+            .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        }.reduce(_ unionAll _).repartition(32).localCheckpoint(true)
+        println(s"--- events: ${e1.count()} / ${e10.count()}")
+        def sess(df: org.apache.spark.sql.DataFrame) =
+          EventTimeOps.sessionStats(df, "ts", "user_id", "value",
+            "30 minutes").count()
+        sess(e1) // warmup
+        timed("1x sessionStats")(sess(e1))
+        timed("10x sessionStats")(sess(e10))
+        def scd(df: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          df.withColumn("prev", lag(col("event_type"), 1).over(w))
+            .where(col("prev").isNull || col("prev") =!= col("event_type"))
+            .withColumn("valid_to", lead(col("ts"), 1).over(w))
+            .count()
+        }
+        timed("1x scd2")(scd(e1))
+        timed("10x scd2")(scd(e10))
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus
