@@ -441,6 +441,14 @@ object TextAnalysis {
     val cnts = toks.groupBy("lang", "term")
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") =!= 0, 1L).otherwise(0L)).as("cb"))
+    jsFromCounts(cnts)
+  }
+
+  /** Per-language JS divergence from a `(lang, term, ca, cb)` counts
+    * frame — the math half of [[tokenDrift]], shared with
+    * [[graft.streaming.StreamingDrift]] (which supplies side A from a
+    * persistent reference store and side B from a micro-batch). */
+  private[graft] def jsFromCounts(cnts: DataFrame): DataFrame = {
     val tots = cnts.groupBy("lang")
       .agg(sum("ca").as("ta"), sum("cb").as("tb"))
     val p = col("ca") / col("ta")

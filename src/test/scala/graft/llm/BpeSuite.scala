@@ -92,6 +92,25 @@ class BpeSuite extends SparkSpec {
     assert(proj(InternalRow(null)).isNullAt(0))
   }
 
+  test("property: random corpora match the reference exactly") {
+    // Random small-alphabet corpora exercise tie-breaks and
+    // overlapping-run merges far harder than natural text (many equal
+    // pair frequencies, aaa-runs everywhere).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    (0 until 4).foreach { trial =>
+      val words = (0 until 60).map(i =>
+        wordGen.apply(Gen.Parameters.default, Seed(trial * 1000L + i)).get)
+      val df = words.toDF("text") // one word per doc — tokens() keeps it
+      val dist = Bpe.trainBpe(df, nMerges = 8, minFreq = 2L)
+        .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val ref = Bpe.referenceBpe(words.iterator, nMerges = 8, minFreq = 2L)
+      assert(dist == ref, s"trial $trial: $dist vs $ref")
+    }
+  }
+
   test("early stop below minFreq; determinism across partitionings") {
     val df = Seq("ab", "ab", "cd").toDF("text")
     val m = Bpe.trainBpe(df, nMerges = 10, minFreq = 2L)
