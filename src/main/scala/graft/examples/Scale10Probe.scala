@@ -395,6 +395,28 @@ object Scale10Probe {
         timed("1x tokenDrift")(TextAnalysis.tokenDrift(dl1, side1).count())
         timed("10x tokenDrift")(TextAnalysis.tokenDrift(dl10, side1).count())
       }
+      if (which("pagerank")) {
+        // PageRank cost = edge build (minhash, probed separately) +
+        // iterations over the rank vector; this isolates the
+        // ITERATION term: fixed 10 rounds over 1× vs 10× vertex/edge
+        // sets (edges from the replicated near-dup corpus).
+        import graft.operators.PageRank
+        def graph(k: Int) = {
+          val d = docsX(k).localCheckpoint(true)
+          val pairs = Dedup.minhashLshPairsMd5(d, threshold = 0.5)
+            .select(col("id_a").as("u"), col("id_b").as("v"))
+            .localCheckpoint(true)
+          val edges = pairs.unionAll(
+            pairs.select(col("v").as("u"), col("u").as("v")))
+          (d.select(col("doc_id").as("id")), edges, pairs.count())
+        }
+        val (v1, e1, n1) = graph(1)
+        val (v10, e10, n10) = graph(10)
+        println(s"--- pair edges: $n1 / $n10")
+        PageRank.pageRank(v1, e1, 10).count() // warmup
+        timed("1x pageRank 10 iters")(PageRank.pageRank(v1, e1, 10).count())
+        timed("10x pageRank 10 iters")(PageRank.pageRank(v10, e10, 10).count())
+      }
       if (which("events")) {
         // Sessionization/SCD2 stress: SAME user ids, 10× history each
         // (jittered ±1 h so replicas interleave instead of stacking) —
