@@ -77,6 +77,61 @@ class EventTimeOpsSuite extends SparkSpec {
       eventsWithTs.count())
   }
 
+  test("STREAMING session_window (append + watermark) ≡ batch sessionStats") {
+    // Time-ordered replay (the StreamJoin mtime lesson: each chunk is
+    // its own sequential append so FileStreamSource replays in event
+    // order), plus a far-future sentinel chunk that pushes the
+    // watermark past every real session's end so append mode flushes
+    // them all.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sess-stream").toString
+    val ev = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("value"))
+    val Array(loMax, hiMax) = ev.agg(
+      expr("percentile(CAST(ts AS DOUBLE), 0.5)"),
+      expr("max(CAST(ts AS DOUBLE))")).head() match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val mid = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(loMax.toLong))
+    ev.where(col("ts") <= mid).repartition(1)
+      .write.mode("append").parquet(s"$root/in")
+    ev.where(col("ts") > mid).repartition(1)
+      .write.mode("append").parquet(s"$root/in")
+    val sentinel = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(hiMax.toLong + 30L * 24 * 3600))
+    Seq((-999L, sentinel, 0.0)).toDF("user_id", "ts", "value")
+      .repartition(1).write.mode("append").parquet(s"$root/in")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+    val agg = stream.withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("memory").queryName("sess_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("user_id") =!= -999L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val streamed = norm(spark.table("sess_stream"))
+    val batch = norm(EventTimeOps.sessionStats(ev, "ts", "user_id",
+      "value", "30 minutes"))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("sessionStats: known gaps split exactly, boundary is CLOSED") {
     import java.sql.Timestamp
     def ts(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
