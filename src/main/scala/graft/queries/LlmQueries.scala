@@ -1393,6 +1393,15 @@ object LlmQueries {
       .select("rank", "subword", "freq")
   }
 
+  // --- llm_quality_model (rows-only: trained quality classifier —
+  // the GPT-3/CCNet-style filter, self-supervised against vowel-
+  // stripped twins; LBFGS partition sums aren't SQL-reproducible, so
+  // QualityModelSuite pins separation accuracy ≥ 0.9 both classes
+  // and score determinism across partitionings. Construction fits
+  // the model — the bpe_train contract.) --------------------------------
+  def qualityModel(s: SparkSession, dir: String): DataFrame =
+    graft.llm.QualityModel.trainScore(docs(s, dir))
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2514,6 +2523,7 @@ object LlmQueries {
     "llm_vocab" -> (vocab _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_encode" -> (bpeEncode _),
+    "llm_quality_model" -> (qualityModel _),
     "llm_tfidf" -> (tfidf _),
     "llm_drift" -> (drift _),
     "llm_quality" -> (quality _),
