@@ -30,6 +30,11 @@ object PqProbe {
       val r2 = (ivfpq intersect brute).size.toDouble / brute.size
       println(s"[pq] $sf ivfpq recall@5 = $r2 " +
         s"(${(ivfpq intersect brute).size}/${brute.size})")
+      val res = LlmQueries.annIvfPqRes(spark, dir)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r3 = (res intersect brute).size.toDouble / brute.size
+      println(s"[pq] $sf ivfadc(residual) recall@5 = $r3 " +
+        s"(${(res intersect brute).size}/${brute.size})")
     }
     spark.stop()
   }

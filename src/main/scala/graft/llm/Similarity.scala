@@ -414,10 +414,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim", "approx_d2")
   }
 
+  /** Driver-side mirror of the [[cellScoresFn]]/[[argmaxCid]]
+    * assignment for a handful of vectors (the residual-codebook
+    * build): left-to-right dots, norm clamp, first-max tie-break —
+    * the same doubles the distributed path and the DuckDB oracle
+    * compute. */
+  private def assignLocal(vec: Seq[Double],
+      centArrs: Seq[Seq[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var bestC = 0
+    var c = 0
+    while (c < centArrs.length) {
+      val cent = centArrs(c)
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * cent(i); i += 1 }
+      var n2 = 0.0
+      cent.foreach(x => n2 += x * x)
+      val score = dot / math.max(math.sqrt(n2), 1e-12)
+      if (score > best) { best = score; bestC = c } // first max wins
+      c += 1
+    }
+    bestC
+  }
+
+  /** Residual PQ codebooks for [[ivfPqTopKFrom]]'s IVFADC mode:
+    * subspace slices of the RESIDUALS (vec − its assigned centroid)
+    * of the ks lowest-id corpus vectors — the deterministic sample
+    * quantizer applied in residual space, exactly what the oracle's
+    * `pqCodebookCtes` over a residual CTE rebuilds. */
+  def pqResidualCodebooks(corpus: DataFrame, m: Int, ks: Int,
+      centArrs: Seq[Seq[Double]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val cents = lowestIdCentroids(corpus, ks, idCol, vecCol)
+    val d = cents.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val sub = d / m
+    val residuals = cents.map { v =>
+      val cent = centArrs(assignLocal(v, centArrs))
+      v.zip(cent).map { case (x, c) => x - c }
+    }
+    (0 until m).map(j => residuals.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
   /** IVF-PQ ANN top-k — the two index structures composed, the
-    * canonical large-scale layout (FAISS's IVFADC shape, minus
-    * residual encoding — codes quantize the raw vectors; documented
-    * variant choice, the probe/ADC/re-rank mechanics are identical):
+    * canonical large-scale layout. With `residuals = true` this is
+    * FAISS's full IVFADC: codes quantize vec − centroid(cell) and the
+    * query tabulates distances per PROBED CELL against its own
+    * residual (finer quantization near the cell center — the paper's
+    * point); with `residuals = false` codes quantize raw vectors and
+    * one table serves all cells (the cheaper variant):
     * a coarse quantizer assigns every corpus vector to a cell AND a
     * PQ code array in ONE map-only projection; a query probes its
     * `nProbe` best cells and ADC-scans ONLY those cells' codes — at
@@ -433,25 +479,37 @@ object Similarity {
   def ivfPqTopKFrom(queries: DataFrame, corpus: DataFrame, k: Int,
       centArrs: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       nProbe: Int, rerank: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      residuals: Boolean = false): DataFrame = {
     val m = codebooks.length
     val ks = codebooks.head.length
     val nCentroids = centArrs.length
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     val cellScores = cellScoresFn(centArrs)
+    // vec − centroid(cid): the centroid table rides as one nested
+    // literal, indexed per row. Referencing `cid` from a prior
+    // withColumn is the WireParseExpr CSE case (top-level projection
+    // subexpressions dedupe), not the HOF-lambda trap.
+    def resOf(vec: Column, cid: Column): Column =
+      zip_with(vec, element_at(typedlit(centArrs), cid + 1), (a, b) => a - b)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
       .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
       .withColumn("cid",
         graft.functions.ExprUtils.bindOnce(cellScores(col("cv")))(argmaxCid))
-      .withColumn("codes", graft.functions.PqExpr.pq_codes(col("cv"), codebooks))
+      .withColumn("codes", graft.functions.PqExpr.pq_codes(
+        if (residuals) resOf(col("cv"), col("cid")) else col("cv"),
+        codebooks))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", greatest(norm(col("qv")), lit(1e-12)))
-      .withColumn("dt",
-        graft.functions.PqExpr.pq_dist_table(col("qv"), codebooks))
     // Top-nProbe cells per query — the ivfTopKFrom probe, map-only.
+    // The distance table is computed per (query, probed cell) row: in
+    // residual mode it MUST be (each probed cell has its own residual
+    // frame — the IVFADC point); in raw mode it is cell-independent,
+    // so the per-cell recompute is nProbe× redundant on a tiny
+    // broadcast side — kept uniform for one code path.
     val qProbed = q.withColumn("probe",
         explode(graft.functions.ExprUtils.bindOnce(cellScores(col("qv"))) { sc =>
           slice(sort_array(zip_with(sc,
@@ -460,6 +518,9 @@ object Similarity {
             1, nProbe) }))
       .withColumn("cid", col("probe.cid").cast("int"))
       .drop("probe")
+      .withColumn("dt", graft.functions.PqExpr.pq_dist_table(
+        if (residuals) resOf(col("qv"), col("cid")) else col("qv"),
+        codebooks))
     val adc = (0 until m).map(j =>
       element_at(col("dt"), lit(j * ks) + element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)

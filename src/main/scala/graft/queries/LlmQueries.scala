@@ -1160,6 +1160,96 @@ object LlmQueries {
        |WHERE rank <= $pqK""".stripMargin
   }
 
+  // --- llm_ann_ivfpq_res (full IVFADC, Jégou et al. 2011 §IV: PQ on
+  // RESIDUALS vec − centroid(cell) — finer quantization near each
+  // cell center — with per-probed-cell query distance tables. The
+  // residual codebooks are the sample quantizer applied in residual
+  // space (pqResidualCodebooks), so the whole pipeline stays
+  // cross-engine: the oracle builds a residual CTE and splices the
+  // SAME pqCodebookCtes over it.) ---------------------------------------
+  def annIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cents = Similarity.lowestIdCentroids(e, nCentroids = 16)
+    Similarity.ivfPqTopKFrom(e.where(col("vec_id") < 10), e, k = pqK,
+      cents,
+      Similarity.pqResidualCodebooks(e, m = pqM, ks = pqKs, cents),
+      nProbe = 4, rerank = pqRerank, residuals = true)
+  }
+
+  /** DuckDB rebuild of IVFADC: `cres` (per-vector residuals against
+    * the assigned centroid) feeds the SAME PQ codebook helper —
+    * corpus codes come from residual space; query tables are built
+    * per PROBED cell against that cell's residual (`qres`/`qdt2`),
+    * replacing the helper's own (unreferenced, pruned) qdt. */
+  val annIvfPqResSql: String = {
+    val (nCent, nProbe, sub) = (16, 4, 64 / pqM)
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |${sampleCentroidCtes("c", nCent)},
+       |cres AS (
+       |  SELECT v.vec_id,
+       |    list_transform(range(1, 65), i -> v.vec[i] - ct.cv[i]) AS vec
+       |  FROM c v
+       |  JOIN assign a ON a.vec_id = v.vec_id
+       |  JOIN cents ct ON ct.cid = a.cid),
+       |${pqCodebookCtes("cres")},
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+       |    FROM cell_sc WHERE vec_id < 10) WHERE rn <= $nProbe),
+       |qres AS (
+       |  SELECT p.query_id, p.cid AS qcid,
+       |    list_transform(range(1, 65), i -> q.vec[i] - ct.cv[i]) AS rv
+       |  FROM qprobe p
+       |  JOIN c q ON q.vec_id = p.query_id
+       |  JOIN cents ct ON ct.cid = p.cid),
+       |qslices AS (
+       |  SELECT query_id, qcid, j,
+       |    list_slice(rv, j * $sub + 1, (j + 1) * $sub) AS vs
+       |  FROM qres CROSS JOIN range(0, $pqM) r(j)),
+       |qdist AS (
+       |  SELECT s.query_id, s.qcid, s.j, b.cn,
+       |    list_reduce(list_transform(range(1, $sub + 1),
+       |      i -> (s.vs[i] - b.sc[i]) * (s.vs[i] - b.sc[i])),
+       |      (x, y) -> x + y) AS d2
+       |  FROM qslices s JOIN cb b USING (j)),
+       |qdt2 AS (
+       |  SELECT query_id, qcid, list(d2 ORDER BY j, cn) AS dt
+       |  FROM qdist GROUP BY 1, 2),
+       |adc AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round(list_reduce(list_transform(range(0, $pqM),
+       |      j -> t.dt[j * $pqKs + o.codes[j + 1] + 1]),
+       |      (x, y) -> x + y), 6) AS approx_d2
+       |  FROM qprobe q
+       |  JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
+       |  JOIN codes o ON o.vec_id = a.vec_id
+       |  JOIN qdt2 t ON t.query_id = q.query_id AND t.qcid = q.cid),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, approx_d2 FROM (
+       |    SELECT query_id, neighbor_id, approx_d2, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC)
+       |      AS arank
+       |    FROM adc) WHERE arank <= $pqRerank),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, approx_d2,
+       |    round(list_dot_product(qq.vec, nn.vec) /
+       |      (greatest(sqrt(list_dot_product(qq.vec, qq.vec)), 1e-12) *
+       |       greatest(sqrt(list_dot_product(nn.vec, nn.vec)), 1e-12)), 6)
+       |      AS sim
+       |  FROM cand
+       |  JOIN c qq ON qq.vec_id = query_id
+       |  JOIN c nn ON nn.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim, approx_d2, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+       |    AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, sim, approx_d2 FROM ranked
+       |WHERE rank <= $pqK""".stripMargin
+  }
+
   // --- llm_dedup_clusters (rows-only: transitive closure of near-dup
   // pairs → per-doc cluster representative + cluster sizes) --------------
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -2513,6 +2603,7 @@ object LlmQueries {
     "llm_ann_ivf_md5" -> (annIvfMd5 _),
     "llm_ann_pq" -> (annPq _),
     "llm_ann_ivfpq" -> (annIvfPq _),
+    "llm_ann_ivfpq_res" -> (annIvfPqRes _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_pagerank" -> (pagerank _),
     "llm_embed_dup_clusters" -> (embedDupClusters _),
@@ -2573,6 +2664,7 @@ object LlmQueries {
     "llm_ann_ivf_md5" -> annIvfMd5Sql,
     "llm_ann_pq" -> annPqSql,
     "llm_ann_ivfpq" -> annIvfPqSql,
+    "llm_ann_ivfpq_res" -> annIvfPqResSql,
     "llm_lang_id" -> langIdSql,
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,

@@ -705,6 +705,30 @@ class LlmSuite extends SparkSpec {
       "no vertex near the 2-clique stationary score")
   }
 
+  test("IVFADC (residual PQ): ranks valid, recall floor at fixture scale") {
+    // Measured 0.94 at sf0.001 — the best of the PQ family there
+    // (residual quantization is finer near cell centers, the paper's
+    // point). At sf0.1 the SAMPLE residual codebook underfits (0.44
+    // vs raw-PQ 0.76) — residual encoding amplifies codebook-quality
+    // sensitivity; production IVFADC k-means-fits the residual
+    // codebooks (the pluggable path). Floor at 0.85 where the sample
+    // quantizer is adequate.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 10), e, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val out = LlmQueries.annIvfPqRes(spark, sf0001).cache()
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Int]("rank") >= 1 &&
+      r.getAs[Int]("rank") <= 5))
+    val hits = out.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (hits intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.85, s"IVFADC recall@5 too low: $recall")
+    out.unpersist()
+  }
+
   test("tfidf: per-doc top terms ranked, df consistent with term spread") {
     val out = LlmQueries.tfidf(spark, sf0001).cache()
     // every doc with tokens yields ranks 1..min(3, #terms), no gaps
