@@ -64,6 +64,25 @@ class PlanQualitySuite extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name: nested-loop join")
     }
+    // Whitelist-rot guard: the exemption covers ONLY the two known
+    // shapes — a one-row scalar aggregate (HashAggregate with no
+    // grouping keys feeding the broadcast) or a tiny filtered query
+    // set (the ANN `vec_id < N` pushdown). A future edit introducing
+    // a REAL cartesian in a whitelisted query must fail here, not
+    // coast on the exemption.
+    intentional.foreach { name =>
+      val p = plan(name)
+      if (p.contains("BroadcastNestedLoopJoin")) {
+        assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+          s"$name: more nested loops than the one intentional shape")
+        val scalarBuild = p.contains("HashAggregate(keys=[],")
+        val tinyQuerySide = "PushedFilters: \\[[^\\]]*LessThan\\(vec_id"
+          .r.findFirstIn(p).isDefined
+        assert(scalarBuild || tinyQuerySide,
+          s"$name: nested-loop build is neither a scalar aggregate " +
+            "nor the filtered ANN query set")
+      }
+    }
   }
 
   test("LSH dedup verify joins never broadcast the corpus payload") {
