@@ -35,6 +35,17 @@ object PqProbe {
       val r3 = (res intersect brute).size.toDouble / brute.size
       println(s"[pq] $sf ivfadc(residual) recall@5 = $r3 " +
         s"(${(res intersect brute).size}/${brute.size})")
+      // the codebook-size lever for the residual underfit: ks=64
+      // sample residuals (production uses 256 k-means centroids)
+      val cents = Similarity.lowestIdCentroids(e, nCentroids = 16)
+      val res64 = Similarity.ivfPqTopKFrom(
+        e.where(F.col("vec_id") < 10), e, k = 5, cents,
+        Similarity.pqResidualCodebooks(e, m = 8, ks = 64, cents),
+        nProbe = 4, rerank = 50, residuals = true)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r4 = (res64 intersect brute).size.toDouble / brute.size
+      println(s"[pq] $sf ivfadc ks=64 recall@5 = $r4 " +
+        s"(${(res64 intersect brute).size}/${brute.size})")
     }
     spark.stop()
   }
