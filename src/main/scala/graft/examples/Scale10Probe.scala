@@ -417,6 +417,20 @@ object Scale10Probe {
         timed("1x pageRank 10 iters")(PageRank.pageRank(v1, e1, 10).count())
         timed("10x pageRank 10 iters")(PageRank.pageRank(v10, e10, 10).count())
       }
+      if (which("qmodel")) {
+        // LR fit cost vs corpus size: LBFGS sweeps the (cached)
+        // corpus+twin feature frame per iteration — wall should track
+        // input size; scoring is map-only.
+        import graft.llm.QualityModel
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        QualityModel.trainScore(d1).count() // warmup
+        timed("1x qualityModel train+score")(
+          QualityModel.trainScore(d1).count())
+        timed("10x qualityModel train+score")(
+          QualityModel.trainScore(d10).count())
+      }
       if (which("events")) {
         // Sessionization/SCD2 stress: SAME user ids, 10× history each
         // (jittered ±1 h so replicas interleave instead of stacking) —
