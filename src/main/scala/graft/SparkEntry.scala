@@ -12,9 +12,13 @@ object SparkEntry {
     * pure plan constructor, but ops whose plan SHAPE depends on data
     * run bounded jobs at construction time — the capped dedup family
     * (the dropHotKeys probe: one aggregate, memoized per canonical
-    * plan so identical re-constructions run ZERO jobs — suite-pinned)
-    * and the iterative ops (dedupClusters' convergence loop). Plan-only
-    * tooling should construct once and reuse the returned frame. */
+    * plan so identical re-constructions run ZERO jobs — suite-pinned),
+    * the iterative ops (dedupClusters' convergence loop), and the
+    * TRAINER class whose construction runs a whole fit: llm_bpe_train
+    * / llm_bpe_encode (one job per merge round), llm_quality_model
+    * (the LBFGS fit), llm_ann_ivf* (KMeans / the bounded
+    * lowestIdCentroids + codebook collects). Plan-only tooling should
+    * construct once and reuse the returned frame. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ OperatorQueries.all ++ LlmQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

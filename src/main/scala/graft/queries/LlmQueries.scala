@@ -1492,6 +1492,16 @@ object LlmQueries {
   def qualityModel(s: SparkSession, dir: String): DataFrame =
     graft.llm.QualityModel.trainScore(docs(s, dir))
 
+  // --- llm_e2e_score_sample (rows-only: the CCNet loop closed —
+  // train the quality discriminator, then importance-sample the
+  // corpus BY THE TRAINED SCORE through the existing sampleByScore
+  // machinery (keep probability = q_score). Demonstrates the trained
+  // filter plugging into the deterministic sampling gate; suite pins
+  // kept-fraction ≈ mean score and subset/determinism.) ------------------
+  def e2eScoreSample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.sampleByScore(
+      graft.llm.QualityModel.trainScore(docs(s, dir)), "q_score")
+
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2615,6 +2625,7 @@ object LlmQueries {
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_encode" -> (bpeEncode _),
     "llm_quality_model" -> (qualityModel _),
+    "llm_e2e_score_sample" -> (e2eScoreSample _),
     "llm_tfidf" -> (tfidf _),
     "llm_drift" -> (drift _),
     "llm_quality" -> (quality _),

@@ -28,6 +28,27 @@ class QualityModelSuite extends SparkSpec {
     assert(negAcc >= 0.9, s"corruptions misclassified: acc=$negAcc")
   }
 
+  test("e2e score-sample: kept fraction tracks mean score, deterministic") {
+    import graft.queries.LlmQueries
+    val kept = LlmQueries.e2eScoreSample(spark, sf0001).cache()
+    val n = corpus.count().toDouble
+    val meanScore = QualityModel.trainScore(corpus)
+      .agg(avg("q_score")).head().getDouble(0)
+    val frac = kept.count() / n
+    // Bernoulli-by-bucket with per-row p = q_score: expected kept
+    // fraction = mean score; md5 buckets are uniform enough at n=500
+    // for a ±0.1 band
+    assert(math.abs(frac - meanScore) < 0.1,
+      s"kept frac $frac vs mean score $meanScore")
+    // kept ids are a subset of the corpus and the run is deterministic
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    val ids2 = LlmQueries.e2eScoreSample(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == ids2)
+    assert(ids.subsetOf(corpus.select("doc_id").as[Long].collect().toSet))
+    kept.unpersist()
+  }
+
   test("deterministic across partitionings (canonical fit layout)") {
     val a = QualityModel.trainScore(corpus)
       .as[(Long, Double)].collect().toMap
