@@ -56,25 +56,30 @@ object QualityModel {
     * runtime, just a column expression. */
   final case class Model(coefficients: Seq[Double], intercept: Double)
 
-  /** Fit the discriminator on corpus ∪ corrupted twin. */
+  /** Fit the discriminator on corpus ∪ corrupted twin. The two
+    * classes are told apart by an explicit `cls` flag carried through
+    * the union — never by shifting ids (an id-offset scheme silently
+    * collides positive and shifted-negative rows on any corpus whose
+    * ids reach the offset, duplicating rows through the label join and
+    * corrupting the fit). (cls, id) is unique by construction, so it
+    * is also the canonical-layout sort key. */
   def fit(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Model = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.VectorAssembler
     val pos = df.select(col(idCol), col(textCol))
-      .withColumn("label", lit(1.0))
     val neg = df.select(col(idCol), corrupt(col(textCol)).as(textCol))
-      .withColumn("label", lit(0.0))
-      .withColumn(idCol, col(idCol) + lit(1000000000L))
-    val both = pos.unionByName(neg)
-    val feats = featurize(both, idCol, textCol)
-      .join(both.select(col(idCol), col("label")), Seq(idCol))
+    val feats = featurize(pos, idCol, textCol)
+        .withColumn("label", lit(1.0)).withColumn("cls", lit(1))
+      .unionByName(featurize(neg, idCol, textCol)
+        .withColumn("label", lit(0.0)).withColumn("cls", lit(0)))
     val assembler = new VectorAssembler()
       .setInputCols(FeatureCols.toArray).setOutputCol("features")
     // Canonical fit layout (the KMeans determinism lesson) + cache
     // (ML re-evaluates uncached input per LBFGS iteration).
     val fitInput = assembler.transform(
-        feats.repartition(16, col(idCol)).sortWithinPartitions(idCol))
+        feats.repartition(16, col("cls"), col(idCol))
+          .sortWithinPartitions("cls", idCol))
       .select("features", "label").persist()
     val m =
       try new LogisticRegression()

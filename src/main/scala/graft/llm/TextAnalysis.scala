@@ -451,8 +451,19 @@ object TextAnalysis {
   private[graft] def jsFromCounts(cnts: DataFrame): DataFrame = {
     val tots = cnts.groupBy("lang")
       .agg(sum("ca").as("ta"), sum("cb").as("tb"))
-    val p = col("ca") / col("ta")
-    val q = col("cb") / col("tb")
+    // A language with ZERO total mass on one side (e.g. a brand-new
+    // language in a StreamingDrift batch, absent from the reference
+    // store) makes the bare ratio 0/0 = NULL — and that NULL rides
+    // inside the OTHER side's denominator (p+q), nulling js_div for
+    // exactly the language-flip case the monitor exists to catch.
+    // Guarded, p=0 there and the math stays finite: each present term
+    // contributes ½·q·ln(2q/q) = ½·q·ln 2, so a fully one-sided
+    // language reports js_div = ln2/2 ≈ 0.3466 — the p-side KL term of
+    // the empty measure is zero by convention, and ln2/2 is the
+    // formula's ceiling for a zero-mass side (well above the
+    // zero-drift baseline, which is what the monitor needs).
+    val p = when(col("ta") > 0, col("ca") / col("ta")).otherwise(lit(0.0))
+    val q = when(col("tb") > 0, col("cb") / col("tb")).otherwise(lit(0.0))
     // p/m = 2p/(p+q): no epsilon games — the CASE guards kill the
     // zero-mass terms before the log ever sees a 0.
     val contrib =

@@ -1438,7 +1438,8 @@ object LlmQueries {
       |  FROM cnts GROUP BY 1),
       |terms AS (
       |  SELECT c.lang, ca, cb, ta, tb,
-      |    CAST(ca AS DOUBLE) / ta AS p, CAST(cb AS DOUBLE) / tb AS q
+      |    CASE WHEN ta > 0 THEN CAST(ca AS DOUBLE) / ta ELSE 0.0 END AS p,
+      |    CASE WHEN tb > 0 THEN CAST(cb AS DOUBLE) / tb ELSE 0.0 END AS q
       |  FROM cnts c JOIN tots t ON t.lang = c.lang)
       |SELECT lang, max(ta) AS n_tokens_a, max(tb) AS n_tokens_b,
       |  count(*) AS n_terms,

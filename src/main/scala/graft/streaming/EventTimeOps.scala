@@ -61,10 +61,12 @@ object EventTimeOps {
 
   /** Batch sessionization with full per-session stats — the same
     * native `session_window` (start = first event, end = last event +
-    * gap, half-open: an event landing exactly on the end starts a NEW
-    * session), no watermark. The DuckDB oracle rebuilds it as the
-    * classic gaps-and-islands (brk when diff ≥ gap, running sum,
-    * group) — which also documents the semantics equivalence.
+    * gap; the boundary is CLOSED: an event landing exactly `gap` after
+    * its predecessor still MERGES into the session — pinned in
+    * EventTimeOpsSuite "boundary is CLOSED"), no watermark. The DuckDB
+    * oracle rebuilds it as the classic gaps-and-islands with the
+    * matching strict break (brk when diff > gap, running sum, group) —
+    * which also documents the semantics equivalence.
     * Equal-timestamp ties are harmless: session membership depends
     * only on the sorted multiset of per-key timestamps, so every
     * ordering of ties yields identical sessions.

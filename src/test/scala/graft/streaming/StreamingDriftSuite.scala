@@ -41,6 +41,32 @@ class StreamingDriftSuite extends SparkSpec {
     assert(js > 0.5 && js <= math.log(2.0) + 1e-9, s"js=$js")
   }
 
+  test("a language ABSENT from the reference reads ln2/2, not NULL") {
+    val root = Files.createTempDirectory("graft-drift4").toString
+    val sd = StreamingDrift(s"$root/ref")
+    sd.buildReference(corpus)
+    // the language-flip scenario the monitor exists to catch: a batch
+    // arrives in a language the reference store has never seen →
+    // reference mass ta = 0. Unguarded ratios make p = 0/0 = NULL and
+    // null the whole js_div; guarded, every term contributes
+    // ½·q·ln(2q/q) = ½·q·ln 2, so the lang reports exactly ln2/2 —
+    // the formula's one-sided ceiling (the empty measure's KL term is
+    // zero by convention).
+    val flipped = Seq(
+      (1L, "xx", "alpha beta gamma alpha"),
+      (2L, "xx", "delta beta")).toDF("doc_id", "lang", "text")
+    val out = sd.processBatch(flipped).collect()
+    assert(out.length == 1 && out.head.getAs[String]("lang") == "xx")
+    val r = out.head
+    assert(r.getAs[Long]("n_tokens_a") == 0L)
+    assert(r.getAs[Long]("n_tokens_b") == 6L)
+    assert(!r.isNullAt(r.fieldIndex("js_div")),
+      "js_div must not be NULL for a reference-absent language")
+    val expected = math.rint(math.log(2.0) / 2.0 * 1e4) / 1e4
+    assert(r.getAs[Double]("js_div") == expected,
+      s"js=${r.getAs[Double]("js_div")} expected $expected")
+  }
+
   test("foreachBatch wiring: per-batch rows, parity with direct compute") {
     val root = Files.createTempDirectory("graft-drift3").toString
     val sd = StreamingDrift(s"$root/ref")
