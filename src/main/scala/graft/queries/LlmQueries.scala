@@ -1036,11 +1036,11 @@ object LlmQueries {
     * ordered distance tables for the query set). ONE copy shared by
     * [[annPqSql]] and [[annIvfPqSql]] — a fix lands in both or
     * neither. */
-  private def pqCodebookCtes(src: String): String = {
+  private def pqCodebookCtes(src: String, ks: Int = pqKs): String = {
     val sub = 64 / pqM
     s"""samp AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cn, vec AS cv
-       |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $pqKs)),
+       |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $ks)),
        |cb AS (
        |  SELECT j, cn, list_slice(cv, j * $sub + 1, (j + 1) * $sub) AS sc
        |  FROM samp CROSS JOIN range(0, $pqM) r(j)),
@@ -1166,22 +1166,32 @@ object LlmQueries {
   // residual codebooks are the sample quantizer applied in residual
   // space (pqResidualCodebooks), so the whole pipeline stays
   // cross-engine: the oracle builds a residual CTE and splices the
-  // SAME pqCodebookCtes over it.) ---------------------------------------
-  def annIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+  // SAME pqCodebookCtes over it. TWO registered ks points: ks=16 keeps
+  // the PQ family comparable (every other codebook is 16 samples);
+  // ks=64 is the PRODUCTION point — round-9 PqProbe measured the
+  // 16-sample residual codebook underfitting sf0.1 (recall@5 0.44 vs
+  // raw IVF-PQ's 0.76) and ks=64 restoring exact parity (0.76) while
+  // sf0.001 holds 0.94. A user copies _res64; _res documents the
+  // sample-size sensitivity residual encoding amplifies.) ----------------
+  private def ivfPqResFor(ks: Int)(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val cents = Similarity.lowestIdCentroids(e, nCentroids = 16)
     Similarity.ivfPqTopKFrom(e.where(col("vec_id") < 10), e, k = pqK,
       cents,
-      Similarity.pqResidualCodebooks(e, m = pqM, ks = pqKs, cents),
+      Similarity.pqResidualCodebooks(e, m = pqM, ks = ks, cents),
       nProbe = 4, rerank = pqRerank, residuals = true)
   }
+  def annIvfPqRes(s: SparkSession, dir: String): DataFrame =
+    ivfPqResFor(pqKs)(s, dir)
+  def annIvfPqRes64(s: SparkSession, dir: String): DataFrame =
+    ivfPqResFor(64)(s, dir)
 
   /** DuckDB rebuild of IVFADC: `cres` (per-vector residuals against
     * the assigned centroid) feeds the SAME PQ codebook helper —
     * corpus codes come from residual space; query tables are built
     * per PROBED cell against that cell's residual (`qres`/`qdt2`),
     * replacing the helper's own (unreferenced, pruned) qdt. */
-  val annIvfPqResSql: String = {
+  private def ivfPqResSqlFor(ks: Int): String = {
     val (nCent, nProbe, sub) = (16, 4, 64 / pqM)
     s"""WITH c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -1192,7 +1202,7 @@ object LlmQueries {
        |  FROM c v
        |  JOIN assign a ON a.vec_id = v.vec_id
        |  JOIN cents ct ON ct.cid = a.cid),
-       |${pqCodebookCtes("cres")},
+       |${pqCodebookCtes("cres", ks)},
        |qprobe AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (
@@ -1220,7 +1230,7 @@ object LlmQueries {
        |adc AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id,
        |    round(list_reduce(list_transform(range(0, $pqM),
-       |      j -> t.dt[j * $pqKs + o.codes[j + 1] + 1]),
+       |      j -> t.dt[j * $ks + o.codes[j + 1] + 1]),
        |      (x, y) -> x + y), 6) AS approx_d2
        |  FROM qprobe q
        |  JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.query_id
@@ -1249,6 +1259,9 @@ object LlmQueries {
        |SELECT query_id, neighbor_id, rank, sim, approx_d2 FROM ranked
        |WHERE rank <= $pqK""".stripMargin
   }
+
+  val annIvfPqResSql: String = ivfPqResSqlFor(pqKs)
+  val annIvfPqRes64Sql: String = ivfPqResSqlFor(64)
 
   // --- llm_dedup_clusters (rows-only: transitive closure of near-dup
   // pairs → per-doc cluster representative + cluster sizes) --------------
@@ -2615,6 +2628,7 @@ object LlmQueries {
     "llm_ann_pq" -> (annPq _),
     "llm_ann_ivfpq" -> (annIvfPq _),
     "llm_ann_ivfpq_res" -> (annIvfPqRes _),
+    "llm_ann_ivfpq_res64" -> (annIvfPqRes64 _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_pagerank" -> (pagerank _),
     "llm_embed_dup_clusters" -> (embedDupClusters _),
@@ -2677,6 +2691,7 @@ object LlmQueries {
     "llm_ann_pq" -> annPqSql,
     "llm_ann_ivfpq" -> annIvfPqSql,
     "llm_ann_ivfpq_res" -> annIvfPqResSql,
+    "llm_ann_ivfpq_res64" -> annIvfPqRes64Sql,
     "llm_lang_id" -> langIdSql,
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,

@@ -729,6 +729,28 @@ class LlmSuite extends SparkSpec {
     out.unpersist()
   }
 
+  test("IVFADC ks=64: the production residual codebook holds sf0.1 recall") {
+    // The registered-index fix for the round-9 weak spot: the 16-sample
+    // residual codebook underfits sf0.1 (recall@5 0.44) while ks=64
+    // restores exact raw-IVF-PQ parity (measured 0.76; sf0.001 holds
+    // 0.94 — PqProbe). llm_ann_ivfpq_res64 is the point a user copies,
+    // so its floor is pinned AT sf0.1, where the small codebook fails.
+    val e = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 10), e, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val out = LlmQueries.annIvfPqRes64(spark, sf01).cache()
+    val rows = out.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Int]("rank") >= 1 &&
+      r.getAs[Int]("rank") <= 5))
+    val hits = out.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (hits intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVFADC ks=64 recall@5 too low at sf0.1: $recall")
+    out.unpersist()
+  }
+
   test("tfidf: per-doc top terms ranked, df consistent with term spread") {
     val out = LlmQueries.tfidf(spark, sf0001).cache()
     // every doc with tokens yields ranks 1..min(3, #terms), no gaps
