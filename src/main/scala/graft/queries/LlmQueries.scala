@@ -1473,6 +1473,16 @@ object LlmQueries {
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     graft.llm.Bpe.trainBpe(docs(s, dir), nMerges = 12)
 
+  // --- llm_bpe_train_batched (rows-only: the PRODUCTION training
+  // path — top-B symbol-disjoint merges per round, so a 32k-merge
+  // vocabulary needs ~V/B pair-stats jobs instead of V (the round-9
+  // serial-rounds weak spot). 24 merges at B=8 land in 4 rounds here;
+  // BpeSuite pins batched(B=1) ≡ sequential exactly and batched(B>1)
+  // against the reference impl extended with the same rule;
+  // examples/BpeBatchProbe records the 256-merge sf0.1 wall time.) ------
+  def bpeTrainBatched(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Bpe.trainBpeBatched(docs(s, dir), nMerges = 24, batch = 8)
+
   // --- llm_bpe_encode (rows-only: the apply side of the round-trip —
   // segment the corpus with its OWN trained merges and report the
   // subword vocabulary usage, top 30 by frequency. Construction
@@ -2638,6 +2648,7 @@ object LlmQueries {
     "llm_bigram_lm" -> (bigramLm _),
     "llm_vocab" -> (vocab _),
     "llm_bpe_train" -> (bpeTrain _),
+    "llm_bpe_train_batched" -> (bpeTrainBatched _),
     "llm_bpe_encode" -> (bpeEncode _),
     "llm_quality_model" -> (qualityModel _),
     "llm_e2e_score_sample" -> (e2eScoreSample _),

@@ -111,6 +111,66 @@ class BpeSuite extends SparkSpec {
     }
   }
 
+  test("batched B=1 reproduces the sequential trainer EXACTLY") {
+    // The batching rule degenerates to plain greedy at B=1 (window of
+    // one, nothing to conflict with), so the map-probe merge pass and
+    // the per-pair merge pass must produce the identical table — the
+    // equivalence that lets the batched path claim the sequential
+    // algorithm's semantics.
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seq = Bpe.trainBpe(d, nMerges = 12)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val b1 = Bpe.trainBpeBatched(d, nMerges = 12, batch = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(b1 == seq, s"batched(B=1) diverged:\n$b1\nvs\n$seq")
+  }
+
+  test("batched B>1 matches the batched reference; conflicts skip, not stall") {
+    // The registered query's params against the single-threaded
+    // reference extended with the same windowed-disjoint rule.
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dist = LlmQueries.bpeTrainBatched(spark, sf0001)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val toks = d.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .as[String].collect().iterator
+    val ref = Bpe.referenceBpeBatched(toks, nMerges = 24, batch = 8)
+    assert(dist == ref, s"distributed $dist\nreference   $ref")
+    assert(dist.nonEmpty && dist.map(_._1) == (1 to dist.length))
+    // Controlled conflict pin: "ab"×5 ∪ "ac"×4 at B=2. Round-1 window
+    // is {(a,b) f=5, (b,</w>) f=5} (tie broken left asc) — the second
+    // shares 'b' with the first, so it is SKIPPED and the round
+    // accepts one merge; round 2 accepts (ab,</w>) AND the disjoint
+    // (a,c); round 3 finishes (ac,</w>). Frequencies are pre-batch.
+    val ctl = (Seq.fill(5)("ab") ++ Seq.fill(4)("ac")).toDF("text")
+    val m = Bpe.trainBpeBatched(ctl, nMerges = 4, batch = 2, minFreq = 2L)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "</w>", "ab</w>", 5L),
+      (3, "a", "c", "ac", 4L),
+      (4, "ac", "</w>", "ac</w>", 4L)), s"conflict table: $m")
+  }
+
+  test("property: random corpora match the batched reference exactly") {
+    // Small alphabets force dense conflicts inside every window —
+    // the acceptance rule (l, r, AND merged symbol all unused) is
+    // exercised far harder than on natural text.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    (0 until 4).foreach { trial =>
+      val words = (0 until 60).map(i =>
+        wordGen.apply(Gen.Parameters.default, Seed(9000L + trial * 1000L + i)).get)
+      val df = words.toDF("text")
+      val dist = Bpe.trainBpeBatched(df, nMerges = 8, batch = 3, minFreq = 2L)
+        .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val ref = Bpe.referenceBpeBatched(words.iterator, nMerges = 8,
+        batch = 3, minFreq = 2L)
+      assert(dist == ref, s"trial $trial: $dist vs $ref")
+    }
+  }
+
   test("early stop below minFreq; determinism across partitionings") {
     val df = Seq("ab", "ab", "cd").toDF("text")
     val m = Bpe.trainBpe(df, nMerges = 10, minFreq = 2L)
