@@ -463,6 +463,28 @@ object Scale10Probe {
         timed("1x scd2")(scd(e1))
         timed("10x scd2")(scd(e10))
       }
+      if (which("hier")) {
+        // Two-level quantizer assignment at k=160 (the SemDeDup k ∝ n
+        // regime): flat argmax is n·k dots; hierarchical routes via 13
+        // refined anchors + top-P probed groups (~13 + P·12 dots/row).
+        // Aggregate OVER cid (sum), never count() — the probe lesson:
+        // a bare count lets Catalyst prune the assignment entirely.
+        val e1 = embsX(1).localCheckpoint(true)
+        val e10 = embsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${e1.count()} / ${e10.count()} vectors")
+        val cents = Similarity.lowestIdCentroids(e10, 160)
+        val flat = Similarity.flatAssignFn(cents)
+        val hier = Similarity.hierarchicalAssignFn(cents, 13, coarseProbe = 2)
+        def sumCid(df: org.apache.spark.sql.DataFrame,
+            fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          df.select(fn(col("embedding")).as("cid"))
+            .agg(sum(col("cid").cast("long"))).head().getLong(0)
+        sumCid(e1, flat) // codegen warmup
+        timed("1x  flat assign (k=160)")(sumCid(e1, flat))
+        timed("10x flat assign (k=160)")(sumCid(e10, flat))
+        timed("1x  hier assign (13 anchors, P=2)")(sumCid(e1, hier))
+        timed("10x hier assign (13 anchors, P=2)")(sumCid(e10, hier))
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus

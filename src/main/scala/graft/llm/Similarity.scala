@@ -264,6 +264,107 @@ object Similarity {
   private def argmaxCid(scores: Column): Column =
     (array_position(scores, array_max(scores)) - 1).cast("int")
 
+  /** Flat argmax assignment (vec → cid) — the default quantizer
+    * assignment of the IVF/SemDeDup family: k normalized centroid
+    * dots, first-max tie-break. O(k) dots per row. */
+  private[graft] def flatAssignFn(centArrs: Seq[Seq[Double]]): Column => Column = {
+    val cellScores = cellScoresFn(centArrs)
+    vec => graft.functions.ExprUtils.bindOnce(cellScores(vec))(argmaxCid)
+  }
+
+  /** Two-level (coarse → fine) quantizer assignment — the flat
+    * argmax's O(n·k) remedy when k scales with the corpus (SemDeDup's
+    * k ∝ n makes flat assignment O(n²) dot products): route each
+    * vector through `nCoarse` anchor dots to a coarse group, then
+    * argmax only over that group's member centroids — ~nCoarse + k/
+    * nCoarse dots per row, minimized at nCoarse ≈ √k (≈ 2√k total, a
+    * √k/2-fold drop). This is the standard IMI/two-level-IVF routing
+    * (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012 —
+    * same idea, product form).
+    *
+    * Deterministic construction, no fit: anchors are the first
+    * `nCoarse` fine centroids (the sample-quantizer argument —
+    * lowestIdCentroids' scaladoc), and each fine centroid joins the
+    * group of its max-cosine anchor (driver-side [[assignLocal]],
+    * first-max ties; k·nCoarse dots once at build). Approximation
+    * contract: the result EQUALS flat argmax whenever the true-argmax
+    * centroid's group wins the coarse route (exact-direction copies of
+    * a centroid always agree: anchor scores are a pure function of
+    * direction); disagreements assign a near-optimal neighboring cell
+    * — acceptable for cell-local operators (SemDeDup pairs, IVF cells)
+    * where the cell is a blocking key, not an answer. Agreement rate
+    * and planted-copy invariants are suite-pinned; the assignment-cost
+    * drop at 10× is measured in Scale10Probe (`hier` arm).
+    *
+    * The expression evaluates only the matched group's branch
+    * (CaseWhen): nCoarse anchor dots + that group's member dots. */
+  def hierarchicalAssignFn(centArrs: Seq[Seq[Double]], nCoarse: Int,
+      coarseProbe: Int = 2): Column => Column = {
+    val k = centArrs.length
+    require(nCoarse >= 1 && nCoarse <= k,
+      s"nCoarse=$nCoarse out of range for k=$k")
+    val nP = math.min(coarseProbe, nCoarse)
+    require(nP >= 1, s"coarseProbe=$coarseProbe must be >= 1")
+    // Anchor build (driver-side, k·nCoarse dots, deterministic): seed
+    // anchors are the first nCoarse fine centroids (sample-quantizer
+    // argument); ONE Lloyd step (assign fine centroids → anchor :=
+    // member mean → reassign) pulls each anchor to the center of the
+    // group it actually routes, which measurably tightens routing on
+    // weakly-clustered data. An empty group keeps its seed anchor and
+    // falls back to that centroid alone.
+    val seeds = centArrs.take(nCoarse)
+    val firstPass: Seq[Int] = centArrs.map(assignLocal(_, seeds))
+    val anchors: Seq[Seq[Double]] = Seq.tabulate(nCoarse) { g =>
+      val m = centArrs.indices.filter(firstPass(_) == g)
+      if (m.isEmpty) seeds(g)
+      else m.map(centArrs).transpose.map(_.sum / m.length)
+    }
+    val groupOf: Seq[Int] = centArrs.map(assignLocal(_, anchors))
+    val members: Seq[Seq[Int]] = Seq.tabulate(nCoarse) { g =>
+      val m = centArrs.indices.filter(groupOf(_) == g)
+      if (m.nonEmpty) m else Seq(math.min(g, k - 1))
+    }
+    val anchorScores = cellScoresFn(anchors)
+    // The fine stage is DATA-DRIVEN, not branch-driven: the centroid
+    // matrix, its norms, and the per-group member lists ride as THREE
+    // array literals (single Literal nodes), and the probed groups'
+    // member union feeds one `transform` computing each member's
+    // normalized dot. A per-group CaseWhen form (nCoarse branches ×
+    // nP probes, each branch its own dot subtree) measured ~15 s of
+    // PLAN-TIME cost per query — the optimizer walks the whole tree
+    // even though only one branch ever runs per row. Tree size here
+    // is O(1) in k; per-row cost is the probed-member count.
+    val centNorms: Seq[Double] = centArrs.map { a =>
+      var s = 0.0; a.foreach(x => s += x * x)
+      math.max(math.sqrt(s), 1e-12)
+    }
+    val memberLit = typedlit(members)
+    val centLit = typedlit(centArrs)
+    val normLit = typedlit(centNorms)
+    vec =>
+      graft.functions.ExprUtils.bindOnce(
+          graft.functions.ExprUtils.bindOnce(anchorScores(vec)) { sc =>
+            // top-nP coarse groups: the ivf probe idiom — sort
+            // (−score, g) structs asc, keep the first nP
+            slice(sort_array(zip_with(sc,
+              sequence(lit(0), lit(nCoarse - 1)),
+              (score, i) => struct((-score).as("ns"), i.as("g")))), 1, nP)
+          }) { probe =>
+        // sorted union of the probed groups' members (disjoint lists)
+        // → first-max tie-break lands on the lowest global cid, the
+        // flat argmax tie order restricted to the probed union
+        graft.functions.ExprUtils.bindOnce(array_sort(concat(
+            (0 until nP).map(p => element_at(memberLit,
+              element_at(probe, p + 1).getField("g") + 1)): _*))) { cand =>
+          graft.functions.ExprUtils.bindOnce(transform(cand, ci =>
+              dot(vec, element_at(centLit, ci + 1)) /
+                element_at(normLit, ci + 1))) { s =>
+            element_at(cand, array_position(s, array_max(s)).cast("int"))
+          }
+        }
+      }
+  }
+
   /** IVF assignment → probe → top-k with EXPLICIT centroids: the
     * quantizer is pluggable — KMeans-fitted in [[ivfTopK]] (the
     * operator path), deterministic sample vectors
@@ -272,7 +373,8 @@ object Similarity {
     * same probe fan-out, same tie-breaks. */
   def ivfTopKFrom(queries: DataFrame, corpus: DataFrame, k: Int,
       centArrs: Seq[Seq[Double]], nProbe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      assignFn: Option[Column => Column] = None): DataFrame = {
     val nCentroids = centArrs.length
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
@@ -280,11 +382,15 @@ object Similarity {
       .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
     val cellScores = cellScoresFn(centArrs)
 
-    // argmax cell: array_position finds the FIRST max → lowest cid on
-    // ties, matching the old Window (cdot desc, cid asc) tie-break.
-    // bindOnce: scores are referenced twice (max + position).
+    // Corpus-side cell assignment — the O(n·k) term. Default: flat
+    // argmax (array_position finds the FIRST max → lowest cid on
+    // ties, matching the old Window (cdot desc, cid asc) tie-break;
+    // bindOnce: scores are referenced twice). `assignFn` plugs in
+    // [[hierarchicalAssignFn]] when k is large (~2√k dots per row).
+    // The QUERY probe below stays flat regardless: top-nProbe needs
+    // the full score vector, and the query side is tiny.
     val cAssigned = c.withColumn("cid",
-      graft.functions.ExprUtils.bindOnce(cellScores(col("cv")))(argmaxCid))
+      assignFn.getOrElse(flatAssignFn(centArrs))(col("cv")))
 
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -480,7 +586,8 @@ object Similarity {
       centArrs: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
       nProbe: Int, rerank: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      residuals: Boolean = false): DataFrame = {
+      residuals: Boolean = false,
+      assignFn: Option[Column => Column] = None): DataFrame = {
     val m = codebooks.length
     val ks = codebooks.head.length
     val nCentroids = centArrs.length
@@ -496,8 +603,11 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv"))
       // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
       .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
+      // corpus assignment pluggable (hierarchicalAssignFn at large k);
+      // residual codes quantize against whatever cell it picks, so the
+      // encode stays self-consistent under either assignment
       .withColumn("cid",
-        graft.functions.ExprUtils.bindOnce(cellScores(col("cv")))(argmaxCid))
+        assignFn.getOrElse(flatAssignFn(centArrs))(col("cv")))
       .withColumn("codes", graft.functions.PqExpr.pq_codes(
         if (residuals) resOf(col("cv"), col("cid")) else col("cv"),
         codebooks))
@@ -599,14 +709,16 @@ object Similarity {
     */
   def semDedupFrom(corpus: DataFrame, centArrs: Seq[Seq[Double]],
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cellScores = cellScoresFn(centArrs)
+      vecCol: String = "embedding",
+      assignFn: Option[Column => Column] = None): DataFrame = {
     val v = corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       // zero-norm clamp — 0/0 = NaN passes `>= threshold` silently
       .withColumn("nrm", greatest(norm(col("vec")), lit(1e-12)))
+      // flat argmax by default; hierarchicalAssignFn is the k ∝ n
+      // remedy (the cell is a blocking key — see its scaladoc)
       .withColumn("cid",
-        graft.functions.ExprUtils.bindOnce(cellScores(col("vec")))(argmaxCid))
+        assignFn.getOrElse(flatAssignFn(centArrs))(col("vec")))
       // The assigned frame feeds THREE branches (both pair sides + the
       // keep join-back). Hash-repartition on cid right after the
       // k-dot-products assignment so every branch reads the SAME

@@ -442,6 +442,54 @@ class LlmSuite extends SparkSpec {
     }
   }
 
+  test("two-level quantizer assignment: exact at full probe, floors at P=2/3, " +
+      "planted copies stay with their originals") {
+    // Machinery exactness pin (data-independent): with coarseProbe =
+    // nCoarse every group is probed, so the two-level route MUST equal
+    // flat argmax row-for-row — any divergence is a tie-break or
+    // union-construction bug, not an approximation.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Similarity.lowestIdCentroids(e, 16, vecCol = "v")
+    def agree(p: Int): Double = {
+      val r = e.select(
+          Similarity.flatAssignFn(cents)(col("v")).as("f"),
+          Similarity.hierarchicalAssignFn(cents, 4, coarseProbe = p)(
+            col("v")).as("h"))
+        .agg(sum(when(col("f") === col("h"), 1L).otherwise(0L)),
+          count(lit(1))).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    assert(agree(4) == 1.0, "exhaustive coarse probe must equal flat argmax")
+    // Agreement floors at the approximate widths (HierAssignProbe:
+    // 0.846 at P=2, 0.946 at P=3 — the fixture's near-isotropic
+    // vectors are the hard case; clustered data routes better).
+    assert(agree(3) >= 0.9, s"P=3 agreement ${agree(3)}")
+    assert(agree(2) >= 0.8, s"P=2 agreement ${agree(2)}")
+    // Planted-copy invariant through the semDedupFrom hook: the
+    // assignment is a pure function of DIRECTION (normalized dots,
+    // deterministic ties), so a 1.5×-scaled copy routes identically —
+    // every copy shares its original's cell and is dropped at sim 1.0,
+    // and every original survives, same as the flat registered query.
+    val dup = LlmQueries.embsWithDups(spark, sf0001)
+    val cents2 = Similarity.lowestIdCentroids(dup, nCentroids = 16)
+    val out = Similarity.semDedupFrom(dup, cents2, threshold = 0.999,
+      assignFn = Some(Similarity.hierarchicalAssignFn(cents2, 4))).collect()
+    assert(out.length == 600)
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    val copies = out.filter(_.getAs[Long]("id") >= 1000000)
+    assert(copies.length == 100)
+    copies.foreach { r =>
+      assert(r.getAs[Int]("cid") ==
+        byId(r.getAs[Long]("id") - 1000000).getAs[Int]("cid"), r.toString)
+      assert(r.getAs[Int]("kept") == 0, r.toString)
+      assert(r.getAs[Double]("max_prior_sim") == 1.0, r.toString)
+    }
+    out.filter(_.getAs[Long]("id") < 1000000).foreach { r =>
+      assert(r.getAs[Int]("kept") == 1, r.toString)
+    }
+  }
+
   test("LSH-blocked embed dedup: guaranteed recall on exact-direction copies") {
     // ground truth: every pair at >= 0.999 over ALL pairs (constant
     // block) — SAME planted corpus the registered query processes
