@@ -36,6 +36,24 @@ object QualityModel {
     * signals while keeping length/structure in-distribution. */
   def corrupt(text: Column): Column = translate(text, "aeiouAEIOU", "")
 
+  /** Deterministic word-order shuffle: tokens reordered by token hash.
+    * Preserves the token MULTISET — every per-row surface feature is
+    * (nearly) unchanged — while destroying bigram structure: the
+    * corruption class only the corpus-LM features can see, which makes
+    * it the held-out task separating [[fitFused]] from [[fit]]
+    * (QualityModelSuite). Pair it with token-REBUILT positives
+    * (`concat_ws(" ", tokens(text))`) so punctuation loss doesn't leak
+    * a surface signal. */
+  def shuffleTokens(text: Column): Column =
+    // hash salted with the POSITION: keyed on the token alone this is
+    // a sort, not a shuffle — duplicate tokens land adjacent and the
+    // repeated-bigram runs light up top_bigram_frac (measured: the
+    // base model read 0.91 held-out accuracy off that artifact)
+    concat_ws(" ", transform(array_sort(transform(
+      TextAnalysis.tokens(text),
+      (t, i) => struct(xxhash64(t, i).as("h"), t.as("t")))),
+      s => s.getField("t")))
+
   private val FeatureCols = Seq("punct_ratio", "stopword_ratio",
     "mean_word_len", "dup_token_frac", "top_bigram_frac", "ln_tokens")
 
@@ -56,6 +74,83 @@ object QualityModel {
     * runtime, just a column expression. */
   final case class Model(coefficients: Seq[Double], intercept: Double)
 
+  private val FusedFeatureCols = FeatureCols ++ Seq("unigram_lp", "bigram_lp")
+
+  /** Floor log-prob for a doc with no tokens/bigrams to score (junk by
+    * definition): ln of a vanishing probability, far below any real
+    * corpus score. */
+  private val LmFloor = -20.0
+
+  /** Corpus-LM features of `df`'s docs under unigram + bigram MLE
+    * models trained on `lm` (the CCNet recipe's actual signal: a
+    * reference-corpus language model scoring candidates): per doc the
+    * mean token log-prob ln(tf/T) and mean bigram log-prob ln(c2/c1),
+    * with unseen events floored at ln(0.5/total) — deterministic,
+    * engine-free smoothing (no fit). Rounded to 4dp: per-doc sums of
+    * logs are float-order-sensitive across partitionings (the reason
+    * the BASE features are all per-row expressions), and 4dp is the
+    * typicality convention that absorbs it.
+    *
+    * Scale shape: the same skew-safe chain as typicality/bigramLogprob
+    * — per-(doc, term) counts partial-aggregate before any shuffle,
+    * the LM count tables derive from pre-collapsed rows (Zipf head
+    * arrives collapsed), totals ride as broadcast one-row aggregates,
+    * join-backs are AQE-splittable. No window, nothing corpus-sized
+    * in one task. */
+  def lmFeatures(df: DataFrame, lm: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def toks(d: DataFrame, withId: Boolean) = {
+      val cols = if (withId) Seq(col(idCol)) else Nil
+      d.select(cols :+ explode_outer(
+          TextAnalysis.tokens(col(textCol))).as("tok"): _*)
+        .where(col("tok").isNotNull)
+    }
+    def bigrams(d: DataFrame, withId: Boolean) = {
+      val cols = if (withId) Seq(col(idCol)) else Nil
+      d.select(cols :+ explode_outer(graft.functions.ExprUtils.bindOnce(
+          TextAnalysis.tokens(col(textCol))) { t =>
+          when(size(t) >= 2,
+            zip_with(slice(t, lit(1), size(t) - 1),
+              slice(t, lit(2), size(t) - 1),
+              (a, b) => concat(a, lit(" "), b)))
+        }).as("bg"): _*)
+        .where(col("bg").isNotNull)
+    }
+    // unigram LM from `lm`: tf per token + total
+    val tf = toks(lm, withId = false).groupBy("tok")
+      .agg(count(lit(1)).as("tf"))
+    val tTot = tf.agg(sum("tf").cast("double").as("t_total"))
+    val uni = toks(df, withId = true)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(tf, Seq("tok"), "left")
+      .crossJoin(broadcast(tTot))
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(col("cnt") * log(coalesce(col("tf").cast("double"), lit(0.5))
+          / col("t_total"))) / sum(col("cnt")), 4).as("unigram_lp"))
+    // bigram LM from `lm`: c2 per bigram, c1 per context, total
+    val c2 = bigrams(lm, withId = false).groupBy("bg")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .groupBy("ctx").agg(sum("c2").as("c1"))
+    val bTot = c2.agg(sum("c2").cast("double").as("b_total"))
+    val bi = bigrams(df, withId = true)
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .join(c2, Seq("bg"), "left").join(c1, Seq("ctx"), "left")
+      .crossJoin(broadcast(bTot))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("cnt") *
+          when(col("c2").isNull, log(lit(0.5) / col("b_total")))
+            .otherwise(log(col("c2").cast("double") / col("c1"))))
+        / sum(col("cnt")), 4).as("bigram_lp"))
+    df.select(col(idCol))
+      .join(uni, Seq(idCol), "left").join(bi, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("unigram_lp"), lit(LmFloor)).as("unigram_lp"),
+        coalesce(col("bigram_lp"), lit(LmFloor)).as("bigram_lp"))
+  }
+
   /** Fit the discriminator on corpus ∪ corrupted twin. The two
     * classes are told apart by an explicit `cls` flag carried through
     * the union — never by shifting ids (an id-offset scheme silently
@@ -64,17 +159,45 @@ object QualityModel {
     * corrupting the fit). (cls, id) is unique by construction, so it
     * is also the canonical-layout sort key. */
   def fit(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): Model = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.feature.VectorAssembler
+      textCol: String = "text",
+      corruptFn: Column => Column = corrupt): Model = {
     val pos = df.select(col(idCol), col(textCol))
-    val neg = df.select(col(idCol), corrupt(col(textCol)).as(textCol))
+    val neg = df.select(col(idCol), corruptFn(col(textCol)).as(textCol))
     val feats = featurize(pos, idCol, textCol)
         .withColumn("label", lit(1.0)).withColumn("cls", lit(1))
       .unionByName(featurize(neg, idCol, textCol)
         .withColumn("label", lit(0.0)).withColumn("cls", lit(0)))
+    fitOn(feats, FeatureCols, idCol)
+  }
+
+  /** [[fit]] with the corpus-LM features fused in (the full CCNet
+    * recipe): the unigram/bigram MLE models are trained on the RAW
+    * corpus (the positive class) once, and BOTH classes score under
+    * them — a corrupted twin's tokens and bigrams are mostly unseen,
+    * so its LM features collapse toward the floor while the surface
+    * features stay in-distribution. This is the signal family that
+    * separates corruptions the per-row features cannot see (e.g.
+    * word-order shuffles, which preserve every base feature but
+    * destroy bigram likelihood — pinned in QualityModelSuite). */
+  def fitFused(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      corruptFn: Column => Column = corrupt): Model = {
+    val pos = df.select(col(idCol), col(textCol))
+    val neg = df.select(col(idCol), corruptFn(col(textCol)).as(textCol))
+    def cls(d: DataFrame, label: Double, c: Int) =
+      featurize(d, idCol, textCol)
+        .join(lmFeatures(d, pos, idCol, textCol), Seq(idCol))
+        .withColumn("label", lit(label)).withColumn("cls", lit(c))
+    fitOn(cls(pos, 1.0, 1).unionByName(cls(neg, 0.0, 0)),
+      FusedFeatureCols, idCol)
+  }
+
+  private def fitOn(feats: DataFrame, featureCols: Seq[String],
+      idCol: String): Model = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
     val assembler = new VectorAssembler()
-      .setInputCols(FeatureCols.toArray).setOutputCol("features")
+      .setInputCols(featureCols.toArray).setOutputCol("features")
     // Canonical fit layout (the KMeans determinism lesson) + cache
     // (ML re-evaluates uncached input per LBFGS iteration).
     val fitInput = assembler.transform(
@@ -89,21 +212,40 @@ object QualityModel {
     Model(m.coefficients.toArray.toSeq, m.intercept)
   }
 
+  private def sigmoid(model: Model, cols: Seq[String]): Column = {
+    val margin = cols.zipWithIndex.map { case (c, i) =>
+      col(c) * lit(model.coefficients(i)) }.reduce(_ + _) +
+      lit(model.intercept)
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), 4)
+  }
+
   /** Score docs MAP-ONLY under a fitted model: (idCol, q_score =
     * sigmoid(w·x + b), rounded to 4 decimals) — coefficients ride as
     * literals, no model UDF in the scan path. */
   def scoreWith(df: DataFrame, model: Model, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val scored = featurize(df, idCol, textCol)
-    val margin = FeatureCols.zipWithIndex.map { case (c, i) =>
-      col(c) * lit(model.coefficients(i)) }.reduce(_ + _) +
-      lit(model.intercept)
-    scored.select(col(idCol),
-      round(lit(1.0) / (lit(1.0) + exp(-margin)), 4).as("q_score"))
-  }
+      textCol: String = "text"): DataFrame =
+    featurize(df, idCol, textCol).select(col(idCol),
+      sigmoid(model, FeatureCols).as("q_score"))
+
+  /** Score under a FUSED model (see [[fitFused]]): base features stay
+    * per-row; the LM features join against the `lm`-corpus count
+    * tables — no longer map-only, but the same skew-safe aggregation
+    * shape as typicality (the count tables, not the corpus, are the
+    * join state). */
+  def scoreWithFused(df: DataFrame, lm: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    featurize(df, idCol, textCol)
+      .join(lmFeatures(df, lm, idCol, textCol), Seq(idCol))
+      .select(col(idCol), sigmoid(model, FusedFeatureCols).as("q_score"))
 
   /** Train on corpus ∪ corrupted twin, then score EVERY corpus doc. */
   def trainScore(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     scoreWith(df, fit(df, idCol, textCol), idCol, textCol)
+
+  /** [[trainScore]] with the fused (base + corpus-LM) feature family. */
+  def trainScoreFused(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    scoreWithFused(df, df.select(col(idCol), col(textCol)),
+      fitFused(df, idCol, textCol), idCol, textCol)
 }

@@ -1516,6 +1516,15 @@ object LlmQueries {
   def qualityModel(s: SparkSession, dir: String): DataFrame =
     graft.llm.QualityModel.trainScore(docs(s, dir))
 
+  // --- llm_quality_model_lm (rows-only: the FUSED feature family —
+  // base per-row signals + corpus-trained unigram/bigram LM features,
+  // the full CCNet recipe. QualityModelSuite pins accuracy ≥ 0.9,
+  // determinism across partitionings, and — on a controlled corpus
+  // with real bigram structure — that the LM feature alone separates
+  // word-order corruption the base family provably cannot see.) ---------
+  def qualityModelLm(s: SparkSession, dir: String): DataFrame =
+    graft.llm.QualityModel.trainScoreFused(docs(s, dir))
+
   // --- llm_e2e_score_sample (rows-only: the CCNet loop closed —
   // train the quality discriminator, then importance-sample the
   // corpus BY THE TRAINED SCORE through the existing sampleByScore
@@ -2651,6 +2660,7 @@ object LlmQueries {
     "llm_bpe_train_batched" -> (bpeTrainBatched _),
     "llm_bpe_encode" -> (bpeEncode _),
     "llm_quality_model" -> (qualityModel _),
+    "llm_quality_model_lm" -> (qualityModelLm _),
     "llm_e2e_score_sample" -> (e2eScoreSample _),
     "llm_tfidf" -> (tfidf _),
     "llm_drift" -> (drift _),
