@@ -485,6 +485,64 @@ object Scale10Probe {
         timed("1x  hier assign (13 anchors, P=2)")(sumCid(e1, hier))
         timed("10x hier assign (13 anchors, P=2)")(sumCid(e10, hier))
       }
+      if (which("skew")) {
+        // The suites PIN the plan shapes that make hot keys AQE's
+        // problem (shuffle joins, no windows); this arm proves the
+        // claimed safety net actually FIRES at runtime: an adversarial
+        // corpus where one fingerprint owns ~99% of rows (the
+        // line-dedup footer case taken to the limit) through a
+        // shuffle join, with the skew thresholds lowered to fixture
+        // bytes (defaults: 256 MB partitions — nothing local would
+        // ever trigger). Evidence = "AQEShuffleRead ... skewed" in
+        // the executed adaptive plan + wall-clock.
+        val restore = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .map(k => k -> spark.conf.getOption(k)).toMap
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        try {
+          val n = 2000000L
+          // one hot fingerprint (0) on 99% of rows + a long tail;
+          // ~64-byte payload so the hot partition clears the 1 MB bar
+          val left = spark.range(n).select(
+            when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id"))
+              .as("fp"),
+            col("id").as("doc_id"),
+            lpad(col("id").cast("string"), 48, "x").as("payload"))
+          val right = spark.range(200000).select(col("id").as("fp"),
+            (col("id") % 7).as("tag"))
+          def runOnce(): (Long, Double, String) = {
+            val joined = left.join(right, "fp")
+              .agg(count(lit(1)).as("rows"), sum(length(col("payload"))))
+            val t0 = System.nanoTime()
+            val rows = joined.collect()(0).getLong(0)
+            ((rows), (System.nanoTime() - t0) / 1e9,
+              joined.queryExecution.executedPlan.toString())
+          }
+          runOnce() // warmup (codegen + shuffle service)
+          val (rows, secs, plan) = runOnce()
+          val fired = plan.contains("skewed")
+          val skewLine = plan.linesIterator
+            .find(_.contains("skewed")).getOrElse("").trim
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+          val (_, secsOff, _) = runOnce()
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+          println(f"skew arm: $rows%d joined rows; split ON $secs%.1f s / " +
+            f"OFF $secsOff%.1f s; fired = $fired")
+          println(s"skew arm plan: $skewLine")
+          assert(fired, "AQE skew split did NOT fire — evidence arm broken")
+        } finally restore.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
       if (which("decontaminate")) {
         // Fixed benchmark set drawn from REPLICA 0's transformed text
         // (docsX rewrites vowels per replica, so a base-corpus
