@@ -98,47 +98,61 @@ object QualityModel {
     * join-backs are AQE-splittable. No window, nothing corpus-sized
     * in one task. */
   def lmFeatures(df: DataFrame, lm: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    def toks(d: DataFrame, withId: Boolean) = {
-      val cols = if (withId) Seq(col(idCol)) else Nil
-      d.select(cols :+ explode_outer(
-          TextAnalysis.tokens(col(textCol))).as("tok"): _*)
-        .where(col("tok").isNotNull)
-    }
-    def bigrams(d: DataFrame, withId: Boolean) = {
-      val cols = if (withId) Seq(col(idCol)) else Nil
-      d.select(cols :+ explode_outer(graft.functions.ExprUtils.bindOnce(
-          TextAnalysis.tokens(col(textCol))) { t =>
-          when(size(t) >= 2,
-            zip_with(slice(t, lit(1), size(t) - 1),
-              slice(t, lit(2), size(t) - 1),
-              (a, b) => concat(a, lit(" "), b)))
-        }).as("bg"): _*)
-        .where(col("bg").isNotNull)
-    }
-    // unigram LM from `lm`: tf per token + total
-    val tf = toks(lm, withId = false).groupBy("tok")
+      textCol: String = "text"): DataFrame =
+    lmFeaturesFrom(df, lmCounts(lm, textCol), idCol, textCol)
+
+  /** The trained LM as count tables — built once, consumed by every
+    * [[lmFeaturesFrom]] evaluation. Deliberately NOT persisted:
+    * the fused fit references these identical subtrees from both class
+    * branches of one plan, and Spark's exchange reuse already dedupes
+    * them there — caching them instead MEASURED SLOWER (sf0.1 fit 6.5
+    * → 7.9 s, FuseCostProbe: the InMemoryRelation adds materialization
+    * barriers and buys nothing the reused exchange wasn't providing). */
+  private[llm] final case class LmCounts(tf: DataFrame, tTot: DataFrame,
+      c2: DataFrame, c1: DataFrame, bTot: DataFrame)
+
+  private def toks(d: DataFrame, textCol: String, idCols: Seq[Column]) =
+    d.select(idCols :+ explode_outer(
+        TextAnalysis.tokens(col(textCol))).as("tok"): _*)
+      .where(col("tok").isNotNull)
+
+  private def bigrams(d: DataFrame, textCol: String, idCols: Seq[Column]) =
+    d.select(idCols :+ explode_outer(graft.functions.ExprUtils.bindOnce(
+        TextAnalysis.tokens(col(textCol))) { t =>
+        when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+      }).as("bg"): _*)
+      .where(col("bg").isNotNull)
+
+  private[llm] def lmCounts(lm: DataFrame, textCol: String = "text")
+      : LmCounts = {
+    val tf = toks(lm, textCol, Nil).groupBy("tok")
       .agg(count(lit(1)).as("tf"))
-    val tTot = tf.agg(sum("tf").cast("double").as("t_total"))
-    val uni = toks(df, withId = true)
+    val c2 = bigrams(lm, textCol, Nil).groupBy("bg")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .groupBy("ctx").agg(sum("c2").as("c1"))
+    LmCounts(tf, tf.agg(sum("tf").cast("double").as("t_total")),
+      c2, c1, c2.agg(sum("c2").cast("double").as("b_total")))
+  }
+
+  private[llm] def lmFeaturesFrom(df: DataFrame, lm: LmCounts,
+      idCol: String, textCol: String): DataFrame = {
+    val uni = toks(df, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-      .join(tf, Seq("tok"), "left")
-      .crossJoin(broadcast(tTot))
+      .join(lm.tf, Seq("tok"), "left")
+      .crossJoin(broadcast(lm.tTot))
       .groupBy(col(idCol))
       .agg(round(
         sum(col("cnt") * log(coalesce(col("tf").cast("double"), lit(0.5))
           / col("t_total"))) / sum(col("cnt")), 4).as("unigram_lp"))
-    // bigram LM from `lm`: c2 per bigram, c1 per context, total
-    val c2 = bigrams(lm, withId = false).groupBy("bg")
-      .agg(count(lit(1)).as("c2"))
-    val c1 = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
-      .groupBy("ctx").agg(sum("c2").as("c1"))
-    val bTot = c2.agg(sum("c2").cast("double").as("b_total"))
-    val bi = bigrams(df, withId = true)
+    val bi = bigrams(df, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
       .withColumn("ctx", substring_index(col("bg"), " ", 1))
-      .join(c2, Seq("bg"), "left").join(c1, Seq("ctx"), "left")
-      .crossJoin(broadcast(bTot))
+      .join(lm.c2, Seq("bg"), "left").join(lm.c1, Seq("ctx"), "left")
+      .crossJoin(broadcast(lm.bTot))
       .groupBy(col(idCol))
       .agg(round(sum(col("cnt") *
           when(col("c2").isNull, log(lit(0.5) / col("b_total")))
@@ -181,12 +195,17 @@ object QualityModel {
     * destroy bigram likelihood — pinned in QualityModelSuite). */
   def fitFused(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      corruptFn: Column => Column = corrupt): Model = {
+      corruptFn: Column => Column = corrupt): Model =
+    fitFusedWith(df, lmCounts(df.select(col(textCol)), textCol),
+      idCol, textCol, corruptFn)
+
+  private def fitFusedWith(df: DataFrame, lm: LmCounts, idCol: String,
+      textCol: String, corruptFn: Column => Column): Model = {
     val pos = df.select(col(idCol), col(textCol))
     val neg = df.select(col(idCol), corruptFn(col(textCol)).as(textCol))
     def cls(d: DataFrame, label: Double, c: Int) =
       featurize(d, idCol, textCol)
-        .join(lmFeatures(d, pos, idCol, textCol), Seq(idCol))
+        .join(lmFeaturesFrom(d, lm, idCol, textCol), Seq(idCol))
         .withColumn("label", lit(label)).withColumn("cls", lit(c))
     fitOn(cls(pos, 1.0, 1).unionByName(cls(neg, 0.0, 0)),
       FusedFeatureCols, idCol)
@@ -234,8 +253,12 @@ object QualityModel {
     * join state). */
   def scoreWithFused(df: DataFrame, lm: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreWithFusedFrom(df, lmCounts(lm, textCol), model, idCol, textCol)
+
+  private def scoreWithFusedFrom(df: DataFrame, lm: LmCounts,
+      model: Model, idCol: String, textCol: String): DataFrame =
     featurize(df, idCol, textCol)
-      .join(lmFeatures(df, lm, idCol, textCol), Seq(idCol))
+      .join(lmFeaturesFrom(df, lm, idCol, textCol), Seq(idCol))
       .select(col(idCol), sigmoid(model, FusedFeatureCols).as("q_score"))
 
   /** Train on corpus ∪ corrupted twin, then score EVERY corpus doc. */
@@ -245,7 +268,9 @@ object QualityModel {
 
   /** [[trainScore]] with the fused (base + corpus-LM) feature family. */
   def trainScoreFused(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    scoreWithFused(df, df.select(col(idCol), col(textCol)),
-      fitFused(df, idCol, textCol), idCol, textCol)
+      textCol: String = "text"): DataFrame = {
+    val lm = lmCounts(df.select(col(textCol)), textCol)
+    val model = fitFusedWith(df, lm, idCol, textCol, corrupt)
+    scoreWithFusedFrom(df, lm, model, idCol, textCol)
+  }
 }

@@ -55,9 +55,13 @@ class PlanQualitySuite extends SparkSpec {
     // so the corpus never shuffles.
     // llm_pagerank's final mean-1 normalization crosses the one-row
     // vertex-count aggregate into the rank vector — the same shape.
+    // llm_quality_model_lm's TWO nested loops are both scalar-subquery
+    // shapes: the LM features cross the one-row token total and the
+    // one-row bigram total into pre-collapsed count rows.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
-      "llm_ann_pq", "llm_pagerank")
+      "llm_ann_pq", "llm_pagerank", "llm_quality_model_lm")
+    val maxLoops = Map("llm_quality_model_lm" -> 2).withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
@@ -73,8 +77,9 @@ class PlanQualitySuite extends SparkSpec {
     intentional.foreach { name =>
       val p = plan(name)
       if (p.contains("BroadcastNestedLoopJoin")) {
-        assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
-          s"$name: more nested loops than the one intentional shape")
+        assert("BroadcastNestedLoopJoin".r.findAllIn(p).length
+            <= maxLoops(name),
+          s"$name: more nested loops than the intentional shapes")
         val scalarBuild = p.contains("HashAggregate(keys=[],")
         val tinyQuerySide = "PushedFilters: \\[[^\\]]*LessThan\\(vec_id"
           .r.findFirstIn(p).isDefined
