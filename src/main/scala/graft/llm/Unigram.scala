@@ -1,0 +1,258 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed unigram-LM tokenizer training (Kudo 2018, "Subword
+  * Regularization: Improving Neural Network Translation Models with
+  * Multiple Subword Candidates" — the SentencePiece unigram
+  * algorithm), the other half of the tokenizer-prep story next to
+  * [[Bpe]]: instead of greedy merges, learn PIECE PROBABILITIES and
+  * segment by maximum likelihood.
+  *
+  * Simplified-but-honest spec (every choice deterministic and matched
+  * EXACTLY by the single-threaded reference in UnigramSuite):
+  *  1. SEED: all substrings (length ≤ maxPieceLen) of the dictionary
+  *     words, weighted by word frequency × occurrences; the top
+  *     `seedSize` multi-char pieces by (count desc, piece asc) plus
+  *     ALL single characters (coverage); initial log-prob
+  *     ln(cnt / Σ seed cnts).
+  *  2. EM × nIter: E-step = Viterbi-best segmentation of every
+  *     dictionary word under the current model (native
+  *     [[graft.functions.ViterbiSegmentExpr]] — the model rides as
+  *     literals, the pass is map-only); M-step = piece counts
+  *     (partial-aggregated sum of word freqs) collected driver-side
+  *     (≤ seed size rows), log-probs renormalized ln(cnt / total).
+  *     A piece never used by any best segmentation is dropped —
+  *     except single characters, floored at ln(0.5 / total) (Kudo
+  *     keeps characters for coverage).
+  *  3. PRUNE to the top `vocabSize` pieces by (count desc, piece asc)
+  *     ∪ all single characters, then one final E+count pass under the
+  *     pruned model produces the shipped table.
+  *  (The full paper also EM-estimates with lattice marginals and
+  *  prunes by likelihood LOSS; the Viterbi-count + frequency-prune
+  *  simplification keeps every step exactly reproducible — the BPE
+  *  rows-only contract.)
+  *
+  * Scale shape — the [[Bpe]] argument verbatim: corpus-sized work is
+  * the ONE tokenize + groupBy into the word dictionary; every EM
+  * round after that is one job over the dictionary (lazy
+  * localCheckpoint, the CC-loop lesson) with a bounded (≤ seed size)
+  * driver collect. nIter is FIXED (3-4 in practice), not
+  * vocab-proportional — unlike sequential BPE there is no
+  * rounds-scale-with-vocab problem to batch away. */
+object Unigram {
+
+  /** Log-prob charged per character consumed by the unknown-character
+    * fallback ([[graft.functions.ViterbiSegmentExpr]]). Training
+    * never hits it (every dictionary character is in the seed). */
+  val UnkLp: Double = -1e4
+
+  /** The trained model driver-side: (piece, count, logprob), ordered
+    * (count desc, piece asc) — the form the encode path consumes. */
+  def trainModel(df: DataFrame, vocabSize: Int = 60, seedSize: Int = 500,
+      maxPieceLen: Int = 6, nIter: Int = 3,
+      textCol: String = "text"): Seq[(String, Long, Double)] = {
+    require(vocabSize >= 1 && seedSize >= 1 && maxPieceLen >= 1 && nIter >= 0,
+      s"bad params vocabSize=$vocabSize seedSize=$seedSize " +
+        s"maxPieceLen=$maxPieceLen nIter=$nIter")
+    val dict = df.select(
+        explode_outer(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
+
+    // Seed substring counts: every (start, len ≤ maxPieceLen) slice of
+    // every dictionary word, weighted by word freq. One pass over the
+    // dictionary; `w` is an attribute so the nested lambdas are cheap.
+    val subs = dict.select(col("freq"),
+        explode_outer(flatten(transform(
+          sequence(lit(0), length(col("w")) - 1),
+          i => transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i)),
+            l => col("w").substr(i + 1, l))))).as("piece"))
+      .where(col("piece").isNotNull)
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val singles = subs.where(length(col("piece")) === 1)
+      .orderBy("piece").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val multis = subs.where(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+
+    var vocab: Seq[(String, Long)] = (singles ++ multis).toSeq
+    if (vocab.isEmpty) return Nil // token-free corpus
+    var total: Long = vocab.iterator.map(_._2).sum
+    def lpOf(cnt: Long): Double =
+      if (cnt > 0) math.log(cnt.toDouble / total)
+      else math.log(0.5 / total)
+
+    def countPass(model: Seq[(String, Long)]): Map[String, Long] = {
+      val pcs = model.map(_._1)
+      val lps = model.map(m => lpOf(m._2))
+      dict.select(col("freq"),
+          explode_outer(graft.functions.ViterbiSegmentExpr
+            .viterbi_segment(col("w"), pcs, lps)).as("piece"))
+        .where(col("piece").isNotNull)
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+    def refresh(counts: Map[String, Long],
+        model: Seq[(String, Long)]): Seq[(String, Long)] =
+      model.flatMap { case (p, _) =>
+        counts.get(p) match {
+          case Some(c) => Some(p -> c)
+          case None if p.length == 1 => Some(p -> 0L) // coverage floor
+          case None => None
+        }
+      }
+
+    var it = 0
+    while (it < nIter) {
+      val counts = countPass(vocab)
+      vocab = refresh(counts, vocab)
+      total = vocab.iterator.map(_._2).sum
+      it += 1
+    }
+
+    // Prune to the production vocabulary (single chars exempt from the
+    // cap — coverage overrides it), renormalize, one final pass.
+    val ranked = vocab.sortBy { case (p, c) => (-c, p) }
+    val kept = (ranked.take(vocabSize) ++
+      ranked.drop(vocabSize).filter(_._1.length == 1))
+    total = kept.iterator.map(_._2).sum
+    val finalCounts = countPass(kept)
+    val finalVocab = refresh(finalCounts, kept)
+    total = finalVocab.iterator.map(_._2).sum
+    finalVocab.map { case (p, c) => (p, c, lpOf(c)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  /** Train and ship the vocabulary table:
+    * (rank, piece, count, logprob rounded 6dp). */
+  def trainUnigram(df: DataFrame, vocabSize: Int = 60, seedSize: Int = 500,
+      maxPieceLen: Int = 6, nIter: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val model = trainModel(df, vocabSize, seedSize, maxPieceLen, nIter,
+      textCol)
+    val rows = model.zipWithIndex.map { case ((p, c, lp), i) =>
+      Row(i + 1, p, c, math.rint(lp * 1e6) / 1e6)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("piece", StringType, nullable = false),
+        StructField("count", LongType, nullable = false),
+        StructField("logprob", DoubleType, nullable = false))))
+  }
+
+  /** Single-threaded reference — the UnigramSuite ground truth, same
+    * spec in the textbook form with its own Viterbi (same tie-breaks:
+    * max score, then fewer pieces, then smallest split point). */
+  private[llm] def referenceUnigram(tokens: Iterator[String],
+      vocabSize: Int = 60, seedSize: Int = 500, maxPieceLen: Int = 6,
+      nIter: Int = 3): Seq[(String, Long, Double)] = {
+    val dict = scala.collection.mutable.HashMap.empty[String, Long]
+    tokens.foreach(w => dict(w) = dict.getOrElse(w, 0L) + 1L)
+
+    val seedCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + l)
+          seedCnt(p) = seedCnt.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = seedCnt.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multis = seedCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+
+    var vocab: Seq[(String, Long)] = singles ++ multis
+    if (vocab.isEmpty) return Nil
+    var total: Long = vocab.iterator.map(_._2).sum
+    def lpOf(cnt: Long): Double =
+      if (cnt > 0) math.log(cnt.toDouble / total)
+      else math.log(0.5 / total)
+
+    def viterbi(w: String, lp: Map[String, Double],
+        maxLen: Int): Seq[String] = {
+      val n = w.length
+      val score = new Array[Double](n + 1)
+      val np = new Array[Int](n + 1)
+      val back = new Array[Int](n + 1)
+      var i = 1
+      while (i <= n) {
+        var best = Double.NegativeInfinity
+        var bestNp = Int.MaxValue
+        var bestJ = -1
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          lp.get(w.substring(j, i)) match {
+            case Some(x) =>
+              val sc = score(j) + x
+              if (sc > best || (sc == best && np(j) + 1 < bestNp)) {
+                best = sc; bestNp = np(j) + 1; bestJ = j
+              }
+            case None =>
+          }
+          j += 1
+        }
+        if (bestJ < 0) {
+          best = score(i - 1) + UnkLp; bestNp = np(i - 1) + 1; bestJ = i - 1
+        }
+        score(i) = best; np(i) = bestNp; back(i) = bestJ
+        i += 1
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var p = n
+      while (p > 0) { out.prepend(w.substring(back(p), p)); p = back(p) }
+      out.toSeq
+    }
+
+    def countPass(model: Seq[(String, Long)]): Map[String, Long] = {
+      val lp = model.map { case (p, c) => p -> lpOf(c) }.toMap
+      val maxLen = model.iterator.map(_._1.length).max
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      dict.foreach { case (w, f) =>
+        viterbi(w, lp, maxLen).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      counts.toMap
+    }
+    def refresh(counts: Map[String, Long],
+        model: Seq[(String, Long)]): Seq[(String, Long)] =
+      model.flatMap { case (p, _) =>
+        counts.get(p) match {
+          case Some(c) => Some(p -> c)
+          case None if p.length == 1 => Some(p -> 0L)
+          case None => None
+        }
+      }
+
+    var it = 0
+    while (it < nIter) {
+      val counts = countPass(vocab)
+      vocab = refresh(counts, vocab)
+      total = vocab.iterator.map(_._2).sum
+      it += 1
+    }
+    val ranked = vocab.sortBy { case (p, c) => (-c, p) }
+    val kept = (ranked.take(vocabSize) ++
+      ranked.drop(vocabSize).filter(_._1.length == 1))
+    total = kept.iterator.map(_._2).sum
+    val finalCounts = countPass(kept)
+    val finalVocab = refresh(finalCounts, kept)
+    total = finalVocab.iterator.map(_._2).sum
+    finalVocab.map { case (p, c) => (p, c, lpOf(c)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+}

@@ -1507,6 +1507,39 @@ object LlmQueries {
       .select("rank", "subword", "freq")
   }
 
+  // --- llm_unigram_train (rows-only: SentencePiece-style unigram-LM
+  // tokenizer vocabulary — the OTHER major tokenizer algorithm next
+  // to BPE. Substring seed → Viterbi-EM piece probabilities (native
+  // ViterbiSegmentExpr, one job per EM round) → frequency prune with
+  // character coverage. No cross-engine oracle (data-dependent EM
+  // fixpoint); UnigramSuite pins the vocabulary table EXACTLY against
+  // an independent single-threaded reference implementation.) ------------
+  def unigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.trainUnigram(docs(s, dir))
+
+  // --- llm_unigram_encode (rows-only: the apply side — segment the
+  // corpus under its OWN trained unigram model and report per-doc
+  // fertility (pieces per word token), the number a tokenizer choice
+  // is judged by. Construction trains (the bpe_train contract);
+  // UnigramSuite pins native Viterbi ≡ the reference and subword
+  // reconstruction.) -----------------------------------------------------
+  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.llm.Unigram.trainModel(docs(s, dir))
+    val pcs = model.map(_._1)
+    val lps = model.map(_._3)
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(col("w").isNotNull)
+      .select(col("doc_id"),
+        size(graft.functions.ViterbiSegmentExpr
+          .viterbi_segment(col("w"), pcs, lps)).as("np"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("np").as("n_pieces"))
+      .withColumn("pieces_per_token",
+        round(col("n_pieces") / col("n_tokens"), 4))
+  }
+
   // --- llm_quality_model (rows-only: trained quality classifier —
   // the GPT-3/CCNet-style filter, self-supervised against vowel-
   // stripped twins; LBFGS partition sums aren't SQL-reproducible, so
@@ -2658,6 +2691,8 @@ object LlmQueries {
     "llm_vocab" -> (vocab _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_train_batched" -> (bpeTrainBatched _),
+    "llm_unigram_train" -> (unigramTrain _),
+    "llm_unigram_encode" -> (unigramEncode _),
     "llm_bpe_encode" -> (bpeEncode _),
     "llm_quality_model" -> (qualityModel _),
     "llm_quality_model_lm" -> (qualityModelLm _),
