@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule rewriting a NAIVE interval-containment join into the
+  * bucketed equi-join shape of [[graft.operators.RangeJoin]] — the one
+  * place in this engine where a custom Catalyst `Rule` genuinely buys
+  * what the DataFrame API cannot: a user who writes the textbook
+  *
+  * {{{ points.join(intervals, $"p" >= $"s" && $"p" <= $"e") }}}
+  *
+  * gets BroadcastNestedLoopJoin from Spark (there is no inequality
+  * join strategy), i.e. O(|points|·|intervals|) comparisons and a
+  * whole-side broadcast — the classic 100 TB scale-killer. The
+  * operator method solves it for callers who know to use it; this
+  * rule fixes the PLANS OF QUERIES THE USER ALREADY WROTE, which no
+  * library function can reach. SURVEY.md §4's stance ("no custom Rule
+  * REQUIRED for reference parity") stands — this is an optimization
+  * of user-written plans, not a parity need.
+  *
+  * Fires on: `Join(Inner)` whose condition's conjuncts contain a
+  * cross-side containment pair `lo ≤ p ∧ p ≤ hi` (any comparison
+  * orientation; strict `<` also accepted — the residual keeps the
+  * original strictness) where `p` is an integral-typed deterministic
+  * expression over ONE side and `lo`/`hi` are integral expressions
+  * over the OTHER side, and the condition has NO cross-side equality
+  * conjunct (an equi key would already hash-join fine — rewriting
+  * would only add replication; this also makes the rule a fixpoint:
+  * its own output contains a bucket equality and never re-fires).
+  *
+  * Rewrite (exactly [[graft.operators.RangeJoin.joinPointsInIntervals]]'s
+  * math, so semantics inherit that operator's oracled pins): the point
+  * side projects `floorDiv(p, W)`; the interval side filters
+  * `lo ≤ hi` (Sequence COUNTS DOWN on inverted bounds — the repo
+  * lesson) then generates one row per overlapped bucket via
+  * `explode(sequence(floorDiv(lo, W), floorDiv(hi, W)))`; the new join
+  * is an EQUI join on the bucket with the ORIGINAL condition as the
+  * residual; a final Project restores the original output attributes.
+  * Each matched pair emits exactly once (a point lies in exactly one
+  * bucket). `W` = `spark.graft.rangeJoin.bucketWidth` (default 1000
+  * position units).
+  *
+  * Registered via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or per-session
+  * with `spark.experimental.extraOptimizations`; disable with
+  * `spark.graft.rangeJoin.enabled=false`.
+  */
+object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val EnabledKey = "spark.graft.rangeJoin.enabled"
+  private val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** `(x - pmod(x, w)) / w` with the analyzer's coercions applied by
+    * hand (the optimizer runs no type coercion): floor division that
+    * tiles negative positions correctly — bit-identical to the
+    * operator's Column form, so buckets agree. */
+  private def floorDiv(x: Expression, w: Long): Expression = {
+    val xl = if (x.dataType == LongType) x else Cast(x, LongType)
+    val wl = Literal(w, LongType)
+    Cast(Divide(Cast(Subtract(xl, Pmod(xl, wl)), DoubleType),
+      Cast(wl, DoubleType)), LongType)
+  }
+
+  /** Interpretations of one inequality conjunct as a cross-side bound:
+    * `a ≤ b` is BOTH "a lower-bounds point b" and "b upper-bounds
+    * point a" — the caller pairs a lower and an upper on the same
+    * point expression. Only single-sided, integral, deterministic
+    * operands on OPPOSITE sides qualify. Each entry is
+    * (pointExpr, boundExpr, isLower). */
+  private def boundsOf(c: Expression, left: LogicalPlan,
+      right: LogicalPlan): Seq[(Expression, Expression, Boolean)] = {
+    def singleSided(e: Expression): Boolean = {
+      val refs = e.references
+      refs.nonEmpty && (refs.subsetOf(left.outputSet) ||
+        refs.subsetOf(right.outputSet))
+    }
+    def oppositeSides(a: Expression, b: Expression): Boolean =
+      a.references.subsetOf(left.outputSet) !=
+        b.references.subsetOf(left.outputSet)
+    def le(lo: Expression, hi: Expression)
+        : Seq[(Expression, Expression, Boolean)] =
+      if (singleSided(lo) && singleSided(hi) && oppositeSides(lo, hi) &&
+          integral(lo) && integral(hi) &&
+          lo.deterministic && hi.deterministic)
+        Seq((hi, lo, true), (lo, hi, false)) // lo bounds point hi; hi bounds point lo
+      else Nil
+    c match {
+      case LessThanOrEqual(a, b) => le(a, b)
+      case LessThan(a, b) => le(a, b)
+      case GreaterThanOrEqual(a, b) => le(b, a)
+      case GreaterThan(a, b) => le(b, a)
+      case _ => Nil
+    }
+  }
+
+  private def hasCrossEquality(conjuncts: Seq[Expression],
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) =>
+        val (ra, rb) = (a.references, b.references)
+        (ra.nonEmpty && rb.nonEmpty &&
+          ((ra.subsetOf(left.outputSet) && rb.subsetOf(right.outputSet)) ||
+           (ra.subsetOf(right.outputSet) && rb.subsetOf(left.outputSet))))
+      case EqualNullSafe(a, b) =>
+        val (ra, rb) = (a.references, b.references)
+        (ra.nonEmpty && rb.nonEmpty &&
+          ((ra.subsetOf(left.outputSet) && rb.subsetOf(right.outputSet)) ||
+           (ra.subsetOf(right.outputSet) && rb.subsetOf(left.outputSet))))
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val conf = SQLConf.get
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val width = conf.getConfString(WidthKey, "1000").toLong
+    if (width <= 0) return plan
+
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !hasCrossEquality(splitConjunctivePredicates(cond),
+            left, right) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val bounds = conjuncts.flatMap(c => boundsOf(c, left, right))
+        // A containment pair: a lower and an upper bound on the SAME
+        // point expression (semanticEquals across the two conjuncts).
+        // Each bound's operands are single-sided on opposite sides, so
+        // lo and hi automatically live opposite the shared point.
+        val pair = (for {
+          (p1, lo, isLo) <- bounds if isLo
+          (p2, hi, isLo2) <- bounds if !isLo2
+          if p1.semanticEquals(p2)
+        } yield (p1, lo, hi)).headOption
+
+        pair match {
+          case Some((p, lo, hi)) =>
+            val pOnLeft = p.references.subsetOf(left.outputSet)
+            val (pointPlan, intervalPlan) =
+              if (pOnLeft) (left, right) else (right, left)
+            // point side: project the bucket
+            val pBkt = Alias(floorDiv(p, width), "__graft_pbkt")()
+            val pointProj = Project(pointPlan.output :+ pBkt, pointPlan)
+            // interval side: drop empty intervals, generate buckets
+            val nonEmpty = Filter(LessThanOrEqual(
+              if (lo.dataType == LongType) lo else Cast(lo, LongType),
+              if (hi.dataType == LongType) hi else Cast(hi, LongType)),
+              intervalPlan)
+            val seq = Sequence(floorDiv(lo, width), floorDiv(hi, width),
+              None, Option(conf.sessionLocalTimeZone))
+            val iBktAttr = AttributeReference("__graft_ibkt", LongType,
+              nullable = false)()
+            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None,
+              generatorOutput = Seq(iBktAttr), child = nonEmpty)
+            val (newL, newR) =
+              if (pOnLeft) (pointProj, gen) else (gen, pointProj)
+            val newCond = And(EqualTo(pBkt.toAttribute, iBktAttr), cond)
+            Project(j.output, Join(newL, newR, Inner, Some(newCond), hint))
+          case None => j
+        }
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point registering the graft Catalyst
+  * extensions (currently [[ContainmentJoinRule]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ContainmentJoinRule)
+}

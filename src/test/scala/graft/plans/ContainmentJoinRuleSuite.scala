@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ContainmentJoinRuleSuite extends SparkSpec {
+  import spark.implicits._
+
+  // negatives (bucket tiling), boundary-inclusive hits, an empty
+  // interval, a null point and a null bound — every edge the operator
+  // suite pins, through the RULE instead.
+  private def points = Seq(
+    (1L, -2500L), (2L, -1L), (3L, 0L), (4L, 999L), (5L, 1000L),
+    (6L, 4242L), (7L, 7000L)).toDF("pid", "p")
+      .unionByName(Seq((8L, Option.empty[Long])).toDF("pid", "p"))
+  private def intervals = Seq(
+    (10L, -3000L, -2000L), (11L, -10L, 5L), (12L, 0L, 999L),
+    (13L, 999L, 1000L), (14L, 4000L, 5000L), (15L, 5000L, 4000L))
+    .toDF("iid", "s", "e")
+    .unionByName(Seq((16L, Option.empty[Long], Option(9000L)))
+      .toDF("iid", "s", "e"))
+
+  private def naive(p: DataFrame, i: DataFrame): DataFrame =
+    p.join(i, col("p") >= col("s") && col("p") <= col("e"))
+
+  private def collectSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations = Seq(ContainmentJoinRule)
+    try f
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("control: the naive containment join IS a nested loop without the rule") {
+    val plan = naive(points, intervals).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"control assumption broke — plan:\n$plan")
+  }
+
+  test("rule rewrites to a bucketed equi join with identical results") {
+    val expected = collectSet(naive(points, intervals))
+    assert(expected.nonEmpty)
+    // boundary hits present in the fixture: p=999 in [0,999] & [999,1000]
+    assert(expected.contains((4L, 12L)) && expected.contains((4L, 13L)))
+    withRule {
+      val df = naive(points, intervals)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rule did not fire:\n$plan")
+      assert(plan.contains("Generate explode"),
+        s"no bucket generation in plan:\n$plan")
+      assert(collectSet(df) == expected, "rewritten join changed results")
+    }
+    // and the rewrite agrees with the hand-built operator
+    val op = graft.operators.RangeJoin.joinPointsInIntervals(
+      points, intervals, col("p"), col("s"), col("e"), bucketWidth = 1000L)
+    assert(collectSet(op) == expected)
+  }
+
+  test("strict bounds and flipped orientations rewrite with exact residuals") {
+    val strictExpected = collectSet(
+      points.join(intervals, col("p") > col("s") && col("p") < col("e")))
+    withRule {
+      val strict = points.join(intervals,
+        col("p") > col("s") && col("p") < col("e"))
+      assert(!strict.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"))
+      assert(collectSet(strict) == strictExpected,
+        "strictness lost in the residual")
+      // flipped comparison orientation (s <= p && e >= p)
+      val flipped = points.join(intervals,
+        col("s") <= col("p") && col("e") >= col("p"))
+      assert(!flipped.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"))
+      assert(collectSet(flipped) == collectSet(naive(points, intervals)))
+    }
+  }
+
+  test("no-fire guards: equi-keyed bands, non-integral axes stay untouched") {
+    withRule {
+      // an equi key makes the naive plan a hash join already — the
+      // rule must not add replication on top
+      val pk = points.withColumn("k", col("pid") % 2)
+      val ik = intervals.withColumn("k", col("iid") % 2)
+      val keyed = pk.join(ik, pk("k") === ik("k") &&
+        col("p") >= col("s") && col("p") <= col("e"))
+      val keyedPlan = keyed.queryExecution.executedPlan.toString()
+      assert(!keyedPlan.contains("Generate explode"),
+        s"rule fired on an equi-keyed join:\n$keyedPlan")
+      // double-typed axis: bucket math would be inexact — left alone
+      val pd = points.withColumn("pd", col("p").cast("double"))
+      val id2 = intervals.withColumn("sd", col("s").cast("double"))
+        .withColumn("ed", col("e").cast("double"))
+      val dbl = pd.join(id2,
+        col("pd") >= col("sd") && col("pd") <= col("ed"))
+      assert(!dbl.queryExecution.executedPlan.toString()
+        .contains("Generate explode"), "rule fired on a double axis")
+    }
+  }
+
+  test("extra cross-side conjuncts survive as residuals") {
+    val base = points.join(intervals,
+      col("p") >= col("s") && col("p") <= col("e") &&
+        col("pid") =!= col("iid") % 7)
+    val expected = collectSet(base)
+    withRule {
+      val df = naive(points, intervals)
+        .where(col("pid") =!= col("iid") % 7)
+      val rewritten = points.join(intervals,
+        col("p") >= col("s") && col("p") <= col("e") &&
+          col("pid") =!= col("iid") % 7)
+      assert(!rewritten.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"))
+      assert(collectSet(rewritten) == expected)
+    }
+  }
+
+  test("GraftExtensions registration path works end-to-end") {
+    // `spark.sql.extensions` is a STATIC conf read from the
+    // SparkContext at session construction — unreachable in a suite
+    // whose context already exists. Builder.withExtensions invokes the
+    // SAME entry class (GraftExtensions is the (SparkSessionExtensions
+    // => Unit) both paths call), so registering through it on a fresh
+    // session over the shared context exercises the injection
+    // end-to-end. getOrCreate returns the active session, so clear
+    // active/default first (the Spark test-suite idiom).
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne orig, "needed a fresh session to apply extensions")
+      import s2.implicits._
+      val p2 = Seq((1L, 5L), (2L, 42L)).toDF("pid", "p")
+      val i2 = Seq((10L, 0L, 10L), (11L, 40L, 50L)).toDF("iid", "s", "e")
+      val df = p2.join(i2, col("p") >= col("s") && col("p") <= col("e"))
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"extension-registered rule did not fire:\n$plan")
+      assert(df.select("pid", "iid").as[(Long, Long)].collect().toSet ==
+        Set((1L, 10L), (2L, 11L)))
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}
