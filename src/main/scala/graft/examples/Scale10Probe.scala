@@ -485,6 +485,26 @@ object Scale10Probe {
         timed("1x  hier assign (13 anchors, P=2)")(sumCid(e1, hier))
         timed("10x hier assign (13 anchors, P=2)")(sumCid(e10, hier))
       }
+      if (which("tokenizer")) {
+        // Both trainers' cost is dictionary-sized (the two-phase
+        // argument): docsX(10) grows the distinct-word dictionary ~10×
+        // (per-replica vowel rewrites), so this measures the actual
+        // scaling term — pair-stats/EM jobs over the dictionary — not
+        // the corpus scan.
+        val d1 = docsX(1).localCheckpoint(true)
+        val d10 = docsX(10).localCheckpoint(true)
+        println(s"--- corpora: ${d1.count()} / ${d10.count()} docs")
+        import graft.llm.{Bpe, Unigram}
+        Bpe.trainBpeBatched(d1, nMerges = 8, batch = 8).collect() // warmup
+        timed("1x  bpe batched B=32, 64 merges")(
+          Bpe.trainBpeBatched(d1, 64, batch = 32, minFreq = 1L).count())
+        timed("10x bpe batched B=32, 64 merges")(
+          Bpe.trainBpeBatched(d10, 64, batch = 32, minFreq = 1L).count())
+        timed("1x  unigram train (defaults)")(
+          Unigram.trainUnigram(d1).count())
+        timed("10x unigram train (defaults)")(
+          Unigram.trainUnigram(d10).count())
+      }
       if (which("skew")) {
         // The suites PIN the plan shapes that make hot keys AQE's
         // problem (shuffle joins, no windows); this arm proves the

@@ -50,7 +50,16 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * (`spark.sql.extensions=graft.plans.GraftExtensions`) or per-session
   * with `spark.experimental.extraOptimizations`; disable with
   * `spark.graft.rangeJoin.enabled=false`.
-  */
+  *
+  * Deliberately NOT extended to the interval-OVERLAP pattern
+  * (`ls ≤ re ∧ rs ≤ le`): the bucketed overlap rewrite
+  * ([[graft.operators.RangeJoin.joinOverlappingIntervals]]) requires
+  * real intervals — it drops `end < start` rows — while the naive
+  * condition matches some INVERTED rows too (ls=5, le=3 against
+  * rs=2, re=6 satisfies both conjuncts). A rule can't assume the
+  * user's columns are well-formed intervals, so the rewrite would
+  * silently change results; the operator method, whose contract
+  * states interval semantics, is the right surface for that case. */
 object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.rangeJoin.enabled"
