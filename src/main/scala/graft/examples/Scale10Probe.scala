@@ -519,7 +519,10 @@ object Scale10Probe {
           "spark.sql.autoBroadcastJoinThreshold",
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
           "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          // the OFF-arm toggles this mid-try; a throw there must not
+          // leave skew splitting disabled for later arms
+          "spark.sql.adaptive.skewJoin.enabled")
           .map(k => k -> spark.conf.getOption(k)).toMap
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set(

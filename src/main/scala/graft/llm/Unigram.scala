@@ -74,12 +74,16 @@ object Unigram {
             l => col("w").substr(i + 1, l))))).as("piece"))
       .where(col("piece").isNotNull)
       .groupBy("piece").agg(sum("freq").as("cnt"))
+      // persisted across the two collects below — uncached, the full
+      // substring explode + shuffle would run twice (review catch)
+      .persist()
     val singles = subs.where(length(col("piece")) === 1)
       .orderBy("piece").collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val multis = subs.where(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize).collect()
       .map(r => r.getString(0) -> r.getLong(1))
+    subs.unpersist(blocking = false)
 
     var vocab: Seq[(String, Long)] = (singles ++ multis).toSeq
     if (vocab.isEmpty) return Nil // token-free corpus

@@ -70,15 +70,23 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** `(x - pmod(x, w)) / w` with the analyzer's coercions applied by
-    * hand (the optimizer runs no type coercion): floor division that
-    * tiles negative positions correctly — bit-identical to the
-    * operator's Column form, so buckets agree. */
+  /** Floor division tiling negative positions correctly, in PURE LONG
+    * arithmetic (the analyzer's coercions don't run in the optimizer,
+    * and overflow must be impossible for every long input): truncate
+    * toward zero, then step down when the remainder is negative.
+    * Unlike a `(x - pmod(x, w)) / w` form this cannot overflow even at
+    * Long.MinValue (pmod's non-negative remainder would push MinValue
+    * below the long range and throw under ANSI — review catch):
+    * |q·w| ≤ |x| and the q−1 step only fires when r < 0, which needs
+    * w ≥ 2 and keeps q − 1 in range. Both rewritten sides use this
+    * same expression, so buckets agree by construction. */
   private def floorDiv(x: Expression, w: Long): Expression = {
     val xl = if (x.dataType == LongType) x else Cast(x, LongType)
     val wl = Literal(w, LongType)
-    Cast(Divide(Cast(Subtract(xl, Pmod(xl, wl)), DoubleType),
-      Cast(wl, DoubleType)), LongType)
+    val q = IntegralDivide(xl, wl)
+    val r = Subtract(xl, Multiply(q, wl))
+    If(LessThan(r, Literal(0L, LongType)),
+      Subtract(q, Literal(1L, LongType)), q)
   }
 
   /** Interpretations of one inequality conjunct as a cross-side bound:
@@ -164,8 +172,34 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               if (lo.dataType == LongType) lo else Cast(lo, LongType),
               if (hi.dataType == LongType) hi else Cast(hi, LongType)),
               intervalPlan)
-            val seq = Sequence(floorDiv(lo, width), floorDiv(hi, width),
-              None, Option(conf.sessionLocalTimeZone))
+            // Fan-out guard (review catch): the rule applies to
+            // ARBITRARY user data, and an open-ended interval (a
+            // Long.MaxValue sentinel, epoch-micros at a too-fine
+            // width) would make Sequence build millions of replicas or
+            // exceed Spark's array cap. A silent cap would drop
+            // matches, so the guard fails LOUDLY per offending row
+            // with an actionable message instead.
+            val maxBuckets = conf.getConfString(
+              "spark.graft.rangeJoin.maxBuckets", "1048576").toLong
+            val loB = floorDiv(lo, width)
+            val hiB = floorDiv(hi, width)
+            val seq0 = Sequence(loB, hiB, None,
+              Option(conf.sessionLocalTimeZone))
+            val msg = s"graft ContainmentJoinRule: an interval spans " +
+              s"more than $maxBuckets buckets at bucketWidth=$width; " +
+              "raise spark.graft.rangeJoin.bucketWidth or " +
+              ".maxBuckets, or set spark.graft.rangeJoin.enabled=false"
+            // The guard compare runs in DOUBLE: a long subtraction
+            // could itself overflow for full-range sentinel bounds
+            // (the exact case the guard exists for); ±1-bucket double
+            // imprecision is irrelevant against a threshold.
+            val seq = If(
+              GreaterThan(
+                Subtract(Cast(hiB, DoubleType), Cast(loB, DoubleType)),
+                Literal(maxBuckets.toDouble, DoubleType)),
+              Cast(new RaiseError(Literal.create(msg,
+                org.apache.spark.sql.types.StringType)), seq0.dataType),
+              seq0)
             val iBktAttr = AttributeReference("__graft_ibkt", LongType,
               nullable = false)()
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,

@@ -41,16 +41,21 @@ final case class StreamingDecontaminate(benchmark: DataFrame,
     Decontaminate.cutContaminated(batch, benchmark, k, w, minShared,
       spanK, minTokens, maxDf, idCol, textCol)
 
-  /** Wire onto a streaming DataFrame: per micro-batch, append the cut
-    * corpus (idCol, text_cut, n_removed, batch_id) to `outDir`. */
+  /** Wire onto a streaming DataFrame: per micro-batch, write the cut
+    * corpus to `outDir/batch_id=N`. The per-batch OVERWRITE (not a
+    * flat append) makes replay idempotent — foreachBatch re-delivers a
+    * micro-batch whose write finished but whose checkpoint commit did
+    * not, and an append would duplicate its rows (review catch);
+    * rewriting the batch's own partition directory is a no-op on
+    * replay. Readers `spark.read.parquet(outDir)` and get `batch_id`
+    * back as a partition column. */
   def attach(stream: DataFrame, outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()

@@ -118,6 +118,34 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  test("Long.MinValue positions bucket without overflow; wide intervals " +
+      "fail loudly at the fan-out guard") {
+    withRule {
+      // MinValue sentinel point: the (x - pmod) floor-div form
+      // underflowed long here and threw under ANSI (review catch); the
+      // integral form must bucket and match correctly.
+      val pMin = Seq((1L, Long.MinValue), (2L, -500L)).toDF("pid", "p")
+      val iMin = Seq((10L, Long.MinValue, Long.MinValue + 10L),
+        (11L, -1000L, 0L)).toDF("iid", "s", "e")
+      val df = pMin.join(iMin, col("p") >= col("s") && col("p") <= col("e"))
+      assert(!df.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"))
+      assert(collectSet(df) == Set((1L, 10L), (2L, 11L)))
+      // an open-ended sentinel interval would replicate to ~2^43
+      // buckets — the guard must raise the actionable graft error, not
+      // hang or die in Sequence internals
+      val iWide = Seq((20L, 0L, Long.MaxValue)).toDF("iid", "s", "e")
+      val wide = pMin.join(iWide,
+        col("p") >= col("s") && col("p") <= col("e"))
+      val err = intercept[Exception](wide.collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("ContainmentJoinRule")),
+        s"guard error not surfaced: $err")
+    }
+  }
+
   test("GraftExtensions registration path works end-to-end") {
     // `spark.sql.extensions` is a STATIC conf read from the
     // SparkContext at session construction — unreachable in a suite
