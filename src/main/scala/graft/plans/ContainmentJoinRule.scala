@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -144,8 +144,11 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (width <= 0) return plan
 
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint)
-          if !hasCrossEquality(splitConjunctivePredicates(cond),
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (jt match {
+            case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+            case _ => false
+          }) && !hasCrossEquality(splitConjunctivePredicates(cond),
             left, right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val bounds = conjuncts.flatMap(c => boundsOf(c, left, right))
@@ -153,11 +156,30 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // point expression (semanticEquals across the two conjuncts).
         // Each bound's operands are single-sided on opposite sides, so
         // lo and hi automatically live opposite the shared point.
-        val pair = (for {
+        val pair0 = (for {
           (p1, lo, isLo) <- bounds if isLo
           (p2, hi, isLo2) <- bounds if !isLo2
           if p1.semanticEquals(p2)
         } yield (p1, lo, hi)).headOption
+
+        // Multiplicity safety beyond Inner: the POINT side keeps one
+        // row per input row (one bucket each) while the interval side
+        // is REPLICATED per bucket, so the rewrite is only valid when
+        // the preserved / per-row-deduplicated side is the point side:
+        //  - LeftOuter / LeftSemi / LeftAnti need the point on the
+        //    LEFT (a replicated preserved side would null-extend or
+        //    semi-emit once PER REPLICA, and the empty-interval filter
+        //    would delete rows an anti join must keep);
+        //  - RightOuter needs the point on the RIGHT (symmetric).
+        val pair = pair0.filter { case (p, _, _) =>
+          val pOnLeft = p.references.subsetOf(left.outputSet)
+          jt match {
+            case Inner => true
+            case LeftOuter | LeftSemi | LeftAnti => pOnLeft
+            case RightOuter => !pOnLeft
+            case _ => false
+          }
+        }
 
         pair match {
           case Some((p, lo, hi)) =>
@@ -208,7 +230,7 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             val (newL, newR) =
               if (pOnLeft) (pointProj, gen) else (gen, pointProj)
             val newCond = And(EqualTo(pBkt.toAttribute, iBktAttr), cond)
-            Project(j.output, Join(newL, newR, Inner, Some(newCond), hint))
+            Project(j.output, Join(newL, newR, jt, Some(newCond), hint))
           case None => j
         }
     }

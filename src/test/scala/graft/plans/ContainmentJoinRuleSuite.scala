@@ -118,6 +118,56 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  test("outer/semi/anti orientations: rewritten when the preserved side " +
+      "is the point side, untouched otherwise, results identical") {
+    def outerSet(df: DataFrame): Set[(Long, Option[Long])] =
+      df.select("pid", "iid").as[(Long, Option[Long])].collect().toSet
+    val loExpected = outerSet(points.join(intervals,
+      col("p") >= col("s") && col("p") <= col("e"), "left_outer"))
+    val semiExpected = points.join(intervals,
+      col("p") >= col("s") && col("p") <= col("e"), "left_semi")
+      .select("pid").as[Long].collect().toSet
+    val antiExpected = points.join(intervals,
+      col("p") >= col("s") && col("p") <= col("e"), "left_anti")
+      .select("pid").as[Long].collect().toSet
+    // sanity: the fixture exercises all three outcomes
+    assert(loExpected.exists(_._2.isEmpty) && semiExpected.nonEmpty &&
+      antiExpected.nonEmpty)
+    withRule {
+      val lo = points.join(intervals,
+        col("p") >= col("s") && col("p") <= col("e"), "left_outer")
+      assert(!lo.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"), "left_outer did not rewrite")
+      assert(outerSet(lo) == loExpected)
+      val semi = points.join(intervals,
+        col("p") >= col("s") && col("p") <= col("e"), "left_semi")
+      assert(!semi.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"), "left_semi did not rewrite")
+      assert(semi.select("pid").as[Long].collect().toSet == semiExpected)
+      val anti = points.join(intervals,
+        col("p") >= col("s") && col("p") <= col("e"), "left_anti")
+      assert(!anti.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"), "left_anti did not rewrite")
+      assert(anti.select("pid").as[Long].collect().toSet == antiExpected)
+      // the UNSAFE orientation — intervals preserved (left_outer with
+      // the point on the right) — must stay a nested loop: a
+      // replicated preserved side would change multiplicities
+      val loWrong = intervals.join(points,
+        col("p") >= col("s") && col("p") <= col("e"), "left_outer")
+      assert(!loWrong.queryExecution.executedPlan.toString()
+        .contains("Generate explode"),
+        "rule fired with the replicated side preserved")
+      // right_outer with the point on the right IS the safe mirror
+      val ro = intervals.join(points,
+        col("p") >= col("s") && col("p") <= col("e"), "right_outer")
+      assert(!ro.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"), "right_outer did not rewrite")
+      val roSet = ro.select("pid", "iid").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(roSet == loExpected)
+    }
+  }
+
   test("Long.MinValue positions bucket without overflow; wide intervals " +
       "fail loudly at the fan-out guard") {
     withRule {
