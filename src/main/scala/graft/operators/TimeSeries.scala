@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** Time-series similarity search over an event stream (the retrieved
+  * EDBT/ICDE distributed-TS-similarity line, reduced to its exact
+  * deterministic core): bucket each entity's activity into a
+  * fixed-length value series, CENTER it, and rank entity pairs by the
+  * cosine of centered series — which is Pearson correlation of the
+  * raw series, the standard shape-similarity score (level-invariant;
+  * norm-clamped so constant series read similarity 0, never NaN — the
+  * CLAUDE.md invariant).
+  *
+  * Scale shape: series construction is one partial-aggregated
+  * groupBy((key, slot)) — a hot entity's events collapse map-side —
+  * followed by a per-key fold into a FIXED-length array (nSlots
+  * doubles per entity, the dense "embedding" of its activity); the
+  * top-k search is [[Similarity.bruteForceTopK]] verbatim, so the
+  * broadcast-queries / corpus-never-shuffles contract and every ANN
+  * upgrade path (LSH / IVF / PQ over the same vectors — the centered
+  * series IS an embedding column) apply unchanged.
+  *
+  * Cross-engine exactness: slot sums round to 4dp (double partial-sum
+  * order is engine- and partition-dependent; the repo's rounding
+  * convention absorbs it), mean/centering fold left-to-right over the
+  * slot-ordered array in both engines, final cosine rounds to 6dp
+  * with id-asc tie-break — the `op_ts_topk` DuckDB oracle rebuilds
+  * the whole pipeline.
+  */
+object TimeSeries {
+
+  /** Fixed-length per-entity daily value series:
+    * (keyCol, vec = array of nSlots CENTERED daily sums). Slots with
+    * no events contribute 0.0 before centering; events outside
+    * [startDate, startDate + nSlots) are ignored. */
+  def dailySeries(events: DataFrame, startDate: String, nSlots: Int,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    require(nSlots >= 1, s"nSlots=$nSlots must be >= 1")
+    val slots = events.select(col(keyCol),
+        datediff(to_date(col(tsCol)), to_date(lit(startDate))).as("__d"),
+        col(valCol))
+      .where(col("__d") >= 0 && col("__d") < nSlots)
+      .groupBy(col(keyCol), col("__d"))
+      .agg(round(sum(col(valCol)), 4).as("__v"))
+    val dense = slots.groupBy(col(keyCol))
+      .agg(map_from_entries(collect_list(struct(col("__d"), col("__v"))))
+        .as("__m"))
+      .select(col(keyCol),
+        transform(sequence(lit(0), lit(nSlots - 1)), d =>
+          when(map_contains_key(col("__m"), d),
+            element_at(col("__m"), d)).otherwise(lit(0.0))).as("__vec"))
+    // center: subtract the series mean (left-to-right fold — the
+    // DuckDB list_reduce order); bindOnce pins vec and mean against
+    // HOF re-evaluation
+    dense.select(col(keyCol),
+      graft.functions.ExprUtils.bindOnce(col("__vec")) { v =>
+        graft.functions.ExprUtils.bindOnce(
+            aggregate(v, lit(0.0d), (a, b) => a + b) / nSlots) { mean =>
+          transform(v, x => x - mean)
+        }
+      }.as("vec"))
+  }
+
+  /** Top-k most-correlated entities for each query entity: build the
+    * centered daily series and run the brute-force cosine search —
+    * `sim` IS the Pearson correlation of the two raw series. */
+  def topKCorrelated(events: DataFrame, queryPred: Column,
+      startDate: String, nSlots: Int, k: Int,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val series = dailySeries(events, startDate, nSlots, keyCol, tsCol,
+      valCol)
+    Similarity.bruteForceTopK(series.where(queryPred), series, k,
+      idCol = keyCol, vecCol = "vec")
+  }
+}

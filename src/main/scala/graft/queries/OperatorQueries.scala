@@ -712,8 +712,60 @@ object OperatorQueries {
       |    AS valid_to
       |FROM s""".stripMargin
 
+  // --- op_ts_topk: time-series similarity search — per-user daily
+  // value series over the fixture's 30-day window, CENTERED, ranked
+  // by cosine = Pearson correlation of the raw series (the
+  // level-invariant shape score; constant series read 0 via the norm
+  // clamp, never NaN). Series construction is one partial-aggregated
+  // groupBy; the search is bruteForceTopK verbatim, so the centered
+  // series is an embedding column and the whole ANN family (LSH / IVF
+  // / PQ) is the documented scale path for wide entity counts. Slot
+  // sums round 4dp (cross-engine double-sum order), folds run
+  // left-to-right in both engines. -------------------------------------
+  def tsTopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.topKCorrelated(
+      Tables.load(s, dir, "events"), col("user_id") < 10,
+      startDate = "2024-01-01", nSlots = 30, k = 5)
+
+  val tsTopKSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |    value
+      |  FROM events),
+      |slots AS (
+      |  SELECT user_id, d, round(sum(value), 4) AS v
+      |  FROM ev WHERE d >= 0 AND d < 30 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT u.user_id, dy.d, coalesce(s.v, 0.0) AS v
+      |  FROM (SELECT DISTINCT user_id FROM slots) u
+      |  CROSS JOIN (SELECT range AS d FROM range(0, 30)) dy
+      |  LEFT JOIN slots s ON s.user_id = u.user_id AND s.d = dy.d),
+      |raw AS (SELECT user_id, list(v ORDER BY d) AS vec FROM grid
+      |  GROUP BY 1),
+      |cent AS (
+      |  SELECT user_id, list_transform(vec,
+      |    x -> x - list_reduce(vec, (a, b) -> a + b) / 30.0) AS vec
+      |  FROM raw),
+      |q AS (SELECT user_id AS query_id, vec AS qv FROM cent
+      |  WHERE user_id < 10),
+      |c AS (SELECT user_id AS neighbor_id, vec AS cv FROM cent),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_dot_product(qv, cv) /
+      |      (greatest(sqrt(list_dot_product(qv, qv)), 1e-12) *
+      |       greatest(sqrt(list_dot_product(cv, cv)), 1e-12)), 6) AS sim
+      |  FROM c, q WHERE query_id <> neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, sim FROM ranked
+      |WHERE rank <= 5""".stripMargin
+
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
+    "op_ts_topk" -> (tsTopK _),
     "op_sessionize" -> (sessionize _),
     "op_scd2" -> (scd2 _),
     "op_munge_decode" -> (mungeDecode _),
@@ -734,6 +786,7 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
+    "op_ts_topk" -> tsTopKSql,
     "op_sessionize" -> sessionizeSql,
     "op_scd2" -> scd2Sql,
     "op_munge_decode" -> mungeDecodeSql,

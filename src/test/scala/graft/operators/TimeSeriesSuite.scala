@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeSeriesSuite extends SparkSpec {
+  import spark.implicits._
+
+  // Controlled 30-slot corpus exercising the correlation identities:
+  //   u1: 10/20/30 on days 0-2           (the probe shape)
+  //   u2: exactly 2× u1                  → centered(u2) = 2·centered(u1) → r = 1
+  //   u3: exactly −1× u1                 → r = −1
+  //   u4: constant 5.0 on ALL 30 days    → centered ≡ 0 → clamped sim 0, no NaN
+  private def ev = {
+    def rows(uid: Long, dayVals: Seq[(Int, Double)]) =
+      dayVals.zipWithIndex.map { case ((d, v), i) =>
+        (uid * 1000 + i, f"2024-01-${d + 1}%02d 12:00:00", uid, v) }
+    val all =
+      rows(1L, Seq(0 -> 10.0, 1 -> 20.0, 2 -> 30.0)) ++
+      rows(2L, Seq(0 -> 20.0, 1 -> 40.0, 2 -> 60.0)) ++
+      rows(3L, Seq(0 -> -10.0, 1 -> -20.0, 2 -> -30.0)) ++
+      rows(4L, (0 until 30).map(d => d -> 5.0))
+    all.toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+  }
+
+  test("centered-cosine IS Pearson r: scale → 1, inversion → −1, " +
+      "constant series → clamped 0") {
+    val out = TimeSeries.topKCorrelated(ev, col("user_id") <= 4,
+        startDate = "2024-01-01", nSlots = 30, k = 3)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((1L, 2L))._2 == 1.0, s"scaled copy not at r=1: ${out((1L, 2L))}")
+    assert(out((2L, 1L))._2 == 1.0)
+    assert(out((1L, 3L))._2 == -1.0, "inverted series not at r=-1")
+    assert(out((1L, 2L))._1 == 1, "scaled copy must rank first")
+    // the constant user correlates 0 with everyone — and everyone
+    // with it — via the norm clamp (never NaN, CLAUDE.md invariant)
+    assert(out((4L, 1L))._2 == 0.0 && out((1L, 4L))._2 == 0.0)
+    assert(out.values.forall { case (_, s) => !s.isNaN })
+  }
+
+  test("series construction: daily sums, absent days zero, out-of-range " +
+      "events ignored, hash-partitioning invariance") {
+    // two events the same day sum; an event outside the window must
+    // not shift the series
+    val e2 = ev.unionByName(Seq(
+        (9001L, "2024-01-02 01:00:00", 1L, 5.0),   // day 1 extra → 25.0
+        (9002L, "2023-12-31 23:00:00", 1L, 999.0), // before the window
+        (9003L, "2024-02-05 00:00:00", 1L, 999.0)) // after the window
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s"))
+    val vec = TimeSeries.dailySeries(e2, "2024-01-01", 30)
+      .where(col("user_id") === 1L)
+      .select("vec").as[Seq[Double]].head()
+    assert(vec.length == 30)
+    val mean = (10.0 + 25.0 + 30.0) / 30
+    assert(math.abs(vec(1) - (25.0 - mean)) < 1e-9, s"day-1 slot: ${vec(1)}")
+    assert(math.abs(vec(5) - (0.0 - mean)) < 1e-9, "absent day not zero")
+    // partitioning must not change the (rounded) series
+    val a = TimeSeries.dailySeries(e2, "2024-01-01", 30)
+      .as[(Long, Seq[Double])].collect().toMap
+    val b = TimeSeries.dailySeries(e2.repartition(7), "2024-01-01", 30)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(a == b, "partitioning changed the centered series")
+  }
+
+  test("registered query: full top-k per query user, fixture sanity") {
+    val out = graft.SparkEntry.queries("op_ts_topk")(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    val perQuery = out.groupBy(_._1)
+    assert(perQuery.values.forall(_.length == 5))
+    assert(out.forall(r => r._4 >= -1.0 - 1e-9 && r._4 <= 1.0 + 1e-9),
+      "a correlation left [-1, 1]")
+  }
+}

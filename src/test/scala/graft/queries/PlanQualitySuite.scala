@@ -58,9 +58,11 @@ class PlanQualitySuite extends SparkSpec {
     // llm_quality_model_lm's TWO nested loops are both scalar-subquery
     // shapes: the LM features cross the one-row token total and the
     // one-row bigram total into pre-collapsed count rows.
+    // op_ts_topk is bruteForceTopK over per-user series — the ANN
+    // shape with user_id as the tiny filtered query side.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
-      "llm_ann_pq", "llm_pagerank", "llm_quality_model_lm")
+      "llm_ann_pq", "llm_pagerank", "llm_quality_model_lm", "op_ts_topk")
     val maxLoops = Map("llm_quality_model_lm" -> 2).withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
@@ -81,8 +83,9 @@ class PlanQualitySuite extends SparkSpec {
             <= maxLoops(name),
           s"$name: more nested loops than the intentional shapes")
         val scalarBuild = p.contains("HashAggregate(keys=[],")
-        val tinyQuerySide = "PushedFilters: \\[[^\\]]*LessThan\\(vec_id"
-          .r.findFirstIn(p).isDefined
+        val tinyQuerySide =
+          "PushedFilters: \\[[^\\]]*LessThan\\((vec_id|user_id)"
+            .r.findFirstIn(p).isDefined
         assert(scalarBuild || tinyQuerySide,
           s"$name: nested-loop build is neither a scalar aggregate " +
             "nor the filtered ANN query set")
