@@ -66,6 +66,28 @@ class TimeSeriesSuite extends SparkSpec {
     assert(a == b, "partitioning changed the centered series")
   }
 
+  test("the centered series IS an embedding column: the IVF ANN path " +
+      "runs on it and finds the brute-force neighbors") {
+    // the documented scale path for wide entity counts, demonstrated
+    // rather than asserted: sf0.1's 1500 user series through the SAME
+    // ivfTopKFrom core the embedding queries use
+    import graft.llm.Similarity
+    val events = spark.read.parquet(s"$sf01/events.parquet")
+    val series = TimeSeries.dailySeries(events, "2024-01-01", 30)
+    val brute = Similarity.bruteForceTopK(
+        series.where(col("user_id") < 10), series, k = 5,
+        idCol = "user_id", vecCol = "vec")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.lowestIdCentroids(series, 16,
+      idCol = "user_id", vecCol = "vec")
+    val ivf = Similarity.ivfTopKFrom(series.where(col("user_id") < 10),
+        series, k = 5, cents, nProbe = 8, idCol = "user_id",
+        vecCol = "vec")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"series-IVF recall@5 too low: $recall")
+  }
+
   test("registered query: full top-k per query user, fixture sanity") {
     val out = graft.SparkEntry.queries("op_ts_topk")(spark, sf0001)
       .as[(Long, Long, Int, Double)].collect()
