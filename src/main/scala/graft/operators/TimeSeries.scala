@@ -32,20 +32,27 @@ import graft.llm.Similarity
   */
 object TimeSeries {
 
-  /** Fixed-length per-entity daily value series:
-    * (keyCol, vec = array of nSlots CENTERED daily sums). Slots with
-    * no events contribute 0.0 before centering; events outside
-    * [startDate, startDate + nSlots) are ignored. */
-  def dailySeries(events: DataFrame, startDate: String, nSlots: Int,
-      keyCol: String = "user_id", tsCol: String = "ts",
-      valCol: String = "value"): DataFrame = {
+  /** RAW (unrounded) per-(key, day-slot) value sums — the additive
+    * half of the series build, shared with
+    * [[graft.streaming.StreamingSeriesStore]] whose store is a log of
+    * exactly these partials (sums merge across batches; a ROUNDED
+    * partial would not — round only at the final merge). */
+  private[graft] def slotSums(events: DataFrame, startDate: String,
+      nSlots: Int, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
     require(nSlots >= 1, s"nSlots=$nSlots must be >= 1")
-    val slots = events.select(col(keyCol),
+    events.select(col(keyCol),
         datediff(to_date(col(tsCol)), to_date(lit(startDate))).as("__d"),
         col(valCol))
       .where(col("__d") >= 0 && col("__d") < nSlots)
       .groupBy(col(keyCol), col("__d"))
-      .agg(round(sum(col(valCol)), 4).as("__v"))
+      .agg(sum(col(valCol)).as("__v"))
+  }
+
+  /** Dense + centered series from a ROUNDED (key, __d, __v) slot
+    * frame — the deterministic half of the build. */
+  private[graft] def fromSlots(slots: DataFrame, nSlots: Int,
+      keyCol: String): DataFrame = {
     val dense = slots.groupBy(col(keyCol))
       .agg(map_from_entries(collect_list(struct(col("__d"), col("__v"))))
         .as("__m"))
@@ -64,6 +71,18 @@ object TimeSeries {
         }
       }.as("vec"))
   }
+
+  /** Fixed-length per-entity daily value series:
+    * (keyCol, vec = array of nSlots CENTERED daily sums). Slots with
+    * no events contribute 0.0 before centering; events outside
+    * [startDate, startDate + nSlots) are ignored. */
+  def dailySeries(events: DataFrame, startDate: String, nSlots: Int,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame =
+    fromSlots(
+      slotSums(events, startDate, nSlots, keyCol, tsCol, valCol)
+        .withColumn("__v", round(col("__v"), 4)),
+      nSlots, keyCol)
 
   /** Top-k most-correlated entities for each query entity: build the
     * centered daily series and run the brute-force cosine search —

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+import graft.operators.TimeSeries
+
+/** Streaming maintenance of the time-series similarity index — the
+  * continuous form of [[TimeSeries]] (the retrieved EDBT 2019 line is
+  * literally "TS similarity search for STREAMING data"): events arrive
+  * in micro-batches and the per-entity daily series stays queryable
+  * at any point, without re-scanning history.
+  *
+  * State design — the slot sums are ADDITIVE, so the store is a LOG OF
+  * PER-BATCH PARTIAL SUMS (raw, unrounded — a rounded partial would
+  * not merge), written to `storeDir/batch_id=N` with per-batch
+  * OVERWRITE: replay of a batch whose write finished but whose
+  * checkpoint commit did not rewrites its own partition — idempotent
+  * by construction (the StreamingDecontaminate lesson; a flat append
+  * would DOUBLE-COUNT on replay, which dedup-style stores tolerate but
+  * sums never do). Reads merge the log with one partial-aggregated
+  * groupBy, round to the 4dp convention, and feed the SAME
+  * [[TimeSeries.fromSlots]] half the batch operator uses — so
+  * store-built series equal the batch series on the union of all
+  * batches by construction, any replay order (suite-pinned at both
+  * SFs). No watermark is needed: a slot sum has no horizon (late
+  * events just add), which is exactly why the state lives in a store
+  * and not in keyed executor memory. Compaction at scale = rewrite
+  * the log as one summed snapshot partition (same read path). */
+final case class StreamingSeriesStore(storeDir: String,
+    startDate: String, nSlots: Int, keyCol: String = "user_id",
+    tsCol: String = "ts", valCol: String = "value") {
+
+  /** Fold ONE micro-batch's partial slot sums into the store. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit =
+    TimeSeries.slotSums(batch, startDate, nSlots, keyCol, tsCol, valCol)
+      .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+
+  /** The centered series as of all folded batches — identical shape
+    * (and, on the same event set, identical values) to
+    * [[TimeSeries.dailySeries]]. */
+  def series(spark: SparkSession): DataFrame =
+    TimeSeries.fromSlots(
+      spark.read.parquet(storeDir)
+        .groupBy(col(keyCol), col("__d"))
+        .agg(round(sum("__v"), 4).as("__v")),
+      nSlots, keyCol)
+
+  /** Top-k correlated entities over the CURRENT store state. */
+  def topK(spark: SparkSession, queryPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val s = series(spark)
+    Similarity.bruteForceTopK(s.where(queryPred), s, k,
+      idCol = keyCol, vecCol = "vec")
+  }
+
+  /** Wire onto a streaming DataFrame of events. */
+  def attach(stream: DataFrame, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+      }
+      .start()
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TimeSeries
+
+/** The streaming series store: chunked replay must rebuild EXACTLY the
+  * batch operator's series (the store log is per-batch partial sums —
+  * additive, so ANY chunking works), per-batch replay must be
+  * idempotent (sums double-count under the flat-append pattern dedup
+  * stores get away with), and the similarity search over the store
+  * must equal the registered batch query. */
+class StreamingSeriesSuite extends SparkSpec {
+  import spark.implicits._
+
+  private def replayParity(sfDir: String, tag: String): Unit = {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "ts", "user_id", "value")
+    val batchSeries = TimeSeries.dailySeries(events, "2024-01-01", 30)
+      .as[(Long, Seq[Double])].collect().toMap
+
+    val root = Files.createTempDirectory(s"graft-sstore-$tag").toString
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = store.attach(
+      in.toDF().toDF("event_id", "ts", "user_id", "value"),
+      s"$root/ckpt")
+    val rows = events
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    (0 until 3).foreach { c =>
+      in.addData(rows.filter(_._1 % 3 == c).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = store.series(spark)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(streamed == batchSeries,
+      s"$tag: store series differ from the batch operator")
+
+    // replay idempotency: re-folding an already-committed batch (same
+    // batch_id, same rows) must leave the series unchanged — the
+    // double-count hazard the per-batch overwrite exists for
+    store.processBatch(
+      rows.filter(_._1 % 3 == 0).toSeq
+        .toDF("event_id", "ts", "user_id", "value"), batchId = 0L)
+    val replayed = store.series(spark)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(replayed == batchSeries, s"$tag: batch replay double-counted")
+  }
+
+  test("chunked replay rebuilds the batch series exactly; replay is " +
+      "idempotent (sf0.001)") {
+    replayParity(sf0001, "sf0001")
+  }
+
+  test("replay parity and idempotency hold at sf0.1") {
+    replayParity(sf01, "sf01")
+  }
+
+  test("similarity search over the store equals the registered batch query") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "ts", "user_id", "value")
+    val root = Files.createTempDirectory("graft-sstore-q").toString
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30)
+    store.processBatch(events, batchId = 0L)
+    val fromStore = store.topK(spark, col("user_id") < 10, k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val batch = graft.SparkEntry.queries("op_ts_topk")(spark, sf0001)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(fromStore == batch)
+  }
+}
