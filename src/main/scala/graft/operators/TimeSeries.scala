@@ -57,9 +57,13 @@ object TimeSeries {
       .agg(map_from_entries(collect_list(struct(col("__d"), col("__v"))))
         .as("__m"))
       .select(col(keyCol),
+        // try_element_at: absent slots AND present-but-NULL sums (a
+        // day whose every value is NULL) both land on 0.0 — matching
+        // the oracle's coalesce(v, 0.0); a bare map lookup would
+        // null-poison the whole centered series through the mean fold
+        // (review catch), and ANSI element_at throws on absent keys.
         transform(sequence(lit(0), lit(nSlots - 1)), d =>
-          when(map_contains_key(col("__m"), d),
-            element_at(col("__m"), d)).otherwise(lit(0.0))).as("__vec"))
+          coalesce(try_element_at(col("__m"), d), lit(0.0))).as("__vec"))
     // center: subtract the series mean (left-to-right fold — the
     // DuckDB list_reduce order); bindOnce pins vec and mean against
     // HOF re-evaluation

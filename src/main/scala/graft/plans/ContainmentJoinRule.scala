@@ -156,12 +156,6 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         // point expression (semanticEquals across the two conjuncts).
         // Each bound's operands are single-sided on opposite sides, so
         // lo and hi automatically live opposite the shared point.
-        val pair0 = (for {
-          (p1, lo, isLo) <- bounds if isLo
-          (p2, hi, isLo2) <- bounds if !isLo2
-          if p1.semanticEquals(p2)
-        } yield (p1, lo, hi)).headOption
-
         // Multiplicity safety beyond Inner: the POINT side keeps one
         // row per input row (one bucket each) while the interval side
         // is REPLICATED per bucket, so the rewrite is only valid when
@@ -171,7 +165,11 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         //    semi-emit once PER REPLICA, and the empty-interval filter
         //    would delete rows an anti join must keep);
         //  - RightOuter needs the point on the RIGHT (symmetric).
-        val pair = pair0.filter { case (p, _, _) =>
+        // The orientation predicate filters INSIDE the search (review
+        // catch): a condition can hold pairs in both orientations, and
+        // taking the first pair before filtering would reject a join
+        // whose OTHER pair is a legal rewrite.
+        def orientationOk(p: Expression): Boolean = {
           val pOnLeft = p.references.subsetOf(left.outputSet)
           jt match {
             case Inner => true
@@ -180,6 +178,12 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             case _ => false
           }
         }
+        val pair = (for {
+          (p1, lo, isLo) <- bounds if isLo
+          (p2, hi, isLo2) <- bounds if !isLo2
+          if p1.semanticEquals(p2)
+          if orientationOk(p1)
+        } yield (p1, lo, hi)).headOption
 
         pair match {
           case Some((p, lo, hi)) =>

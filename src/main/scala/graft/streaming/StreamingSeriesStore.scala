@@ -39,13 +39,33 @@ final case class StreamingSeriesStore(storeDir: String,
 
   /** The centered series as of all folded batches — identical shape
     * (and, on the same event set, identical values) to
-    * [[TimeSeries.dailySeries]]. */
-  def series(spark: SparkSession): DataFrame =
+    * [[TimeSeries.dailySeries]]. An untouched store yields an EMPTY
+    * series, not a read error — "queryable at any point" includes
+    * before the first commit (review catch; keys are LongType in this
+    * pre-data schema, the fixture/event-id convention). A read racing
+    * a failure-replay overwrite of one batch partition can transiently
+    * miss files — retry semantics are the caller's (the usual
+    * object-store snapshot caveat). */
+  def series(spark: SparkSession): DataFrame = {
+    val dir = new java.io.File(storeDir)
+    val slots =
+      if (dir.isDirectory && dir.listFiles() != null &&
+          dir.listFiles().nonEmpty)
+        spark.read.parquet(storeDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__d",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("__v",
+            org.apache.spark.sql.types.DoubleType))))
     TimeSeries.fromSlots(
-      spark.read.parquet(storeDir)
-        .groupBy(col(keyCol), col("__d"))
+      slots.groupBy(col(keyCol), col("__d"))
         .agg(round(sum("__v"), 4).as("__v")),
       nSlots, keyCol)
+  }
 
   /** Top-k correlated entities over the CURRENT store state. */
   def topK(spark: SparkSession, queryPred: org.apache.spark.sql.Column,

@@ -168,6 +168,32 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  test("a wrong-orientation pair listed first must not mask the legal one") {
+    // left_outer with TWO containment pairs: the first conjunct pair's
+    // point lives on the RIGHT (illegal orientation for left_outer),
+    // the second pair's on the LEFT (legal). The orientation predicate
+    // filters inside the pair search, so the legal pair still rewrites
+    // (review catch: filtering after headOption rejected the whole
+    // join).
+    val l = Seq((1L, 5L, 0L, 100L), (2L, 42L, 0L, 10L))
+      .toDF("pid", "p", "lo2", "hi2")
+    val r = Seq((10L, 0L, 10L, 50L), (11L, 40L, 50L, 5L))
+      .toDF("iid", "s", "e", "q2")
+    def joined(df: org.apache.spark.sql.DataFrame) = df
+    val cond = col("lo2") <= col("q2") && col("q2") <= col("hi2") &&
+      col("p") >= col("s") && col("p") <= col("e")
+    val expected = l.join(r, cond, "left_outer")
+      .select("pid", "iid").as[(Long, Option[Long])].collect().toSet
+    withRule {
+      val df = l.join(r, cond, "left_outer")
+      assert(!df.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"),
+        "legal pair masked by the wrong-orientation pair")
+      assert(df.select("pid", "iid").as[(Long, Option[Long])]
+        .collect().toSet == expected)
+    }
+  }
+
   test("Long.MinValue positions bucket without overflow; wide intervals " +
       "fail loudly at the fan-out guard") {
     withRule {

@@ -63,6 +63,13 @@ class StreamingSeriesSuite extends SparkSpec {
     replayParity(sf01, "sf01")
   }
 
+  test("an untouched store is queryable: empty series, no read error") {
+    val root = Files.createTempDirectory("graft-sstore-empty").toString
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30)
+    assert(store.series(spark).count() == 0L)
+    assert(store.topK(spark, col("user_id") < 10, k = 5).count() == 0L)
+  }
+
   test("similarity search over the store equals the registered batch query") {
     val events = spark.read.parquet(s"$sf0001/events.parquet")
       .select("event_id", "ts", "user_id", "value")
