@@ -222,6 +222,22 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  test("SQL surface: BETWEEN in a spark.sql join rewrites too") {
+    // BETWEEN parses to the GreaterThanOrEqual/LessThanOrEqual
+    // conjunct pair, so the SQL-writing user gets the same rewrite.
+    points.createOrReplaceTempView("cjr_points")
+    intervals.createOrReplaceTempView("cjr_intervals")
+    val sql = """SELECT p.pid, i.iid FROM cjr_points p
+                 JOIN cjr_intervals i ON p.p BETWEEN i.s AND i.e"""
+    val expected = spark.sql(sql).as[(Long, Long)].collect().toSet
+    withRule {
+      val df = spark.sql(sql)
+      assert(!df.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"), "BETWEEN did not rewrite")
+      assert(df.as[(Long, Long)].collect().toSet == expected)
+    }
+  }
+
   test("GraftExtensions registration path works end-to-end") {
     // `spark.sql.extensions` is a STATIC conf read from the
     // SparkContext at session construction — unreachable in a suite
