@@ -222,6 +222,28 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  test("keyless band joins rewrite: bounds may be EXPRESSIONS over the " +
+      "other side") {
+    // |p − s| ≤ 10 written as the containment pair p ≥ s−10 ∧ p ≤ s+10:
+    // lo and hi are expressions (not bare columns) over the interval
+    // side — the rule's single-sided check is on references, so the
+    // keyless band join (the nested-loop trap in attribution
+    // pipelines) gets the bucketed shape too.
+    val l = Seq((1L, 5L), (2L, 42L), (3L, 1500L)).toDF("pid", "p")
+    val r = Seq((10L, 0L), (11L, 50L), (12L, 1493L)).toDF("iid", "s")
+    val cond = col("p") >= col("s") - 10 && col("p") <= col("s") + 10
+    val expected = l.join(r, cond).select("pid", "iid")
+      .as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+    withRule {
+      val df = l.join(r, cond)
+      assert(!df.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"), "band join did not rewrite")
+      assert(df.select("pid", "iid").as[(Long, Long)].collect().toSet ==
+        expected)
+    }
+  }
+
   test("SQL surface: BETWEEN in a spark.sql join rewrites too") {
     // BETWEEN parses to the GreaterThanOrEqual/LessThanOrEqual
     // conjunct pair, so the SQL-writing user gets the same rewrite.
