@@ -65,8 +65,20 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private val EnabledKey = "spark.graft.rangeJoin.enabled"
   private val WidthKey = "spark.graft.rangeJoin.bucketWidth"
 
+  /** Axis types the bucket math is EXACT for: integrals, plus
+    * timestamps — `Cast(timestamp, long)` (seconds) is a MONOTONE
+    * mapping applied identically to the point and both bounds, which
+    * is all bucket coverage needs (p ∈ [lo, hi] ⇒ sec(p) ∈ [sec(lo),
+    * sec(hi)] ⇒ the point's bucket is among the interval's generated
+    * buckets); the residual keeps the original sub-second comparison
+    * exact. `bucketWidth` is in the axis's long-cast units — SECONDS
+    * for timestamp axes. Fractional types stay excluded (their cast
+    * rounds toward zero, breaking the tiling for negatives, and a
+    * double axis has no exact bucket anyway). */
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.TimestampNTZType => true
     case _ => false
   }
 

@@ -222,6 +222,43 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  test("timestamp axes rewrite: Cast-to-seconds is monotone, residual " +
+      "keeps sub-second exactness") {
+    // the sessionize/window-attribution shape: events joined to time
+    // windows with `ts BETWEEN w_start AND w_end` — previously a
+    // nested loop (timestamps were excluded from the integral guard).
+    // Sub-second boundaries pin the residual: an event 1 ms after the
+    // window end shares the window's SECOND bucket but must not match.
+    val evs = Seq(
+      (1L, "2024-01-01 10:00:00.500"),
+      (2L, "2024-01-01 10:59:59.999"),
+      (3L, "2024-01-01 11:00:00.001"),
+      (4L, "2024-03-05 00:00:00.000")).toDF("eid", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val wins = Seq(
+      (10L, "2024-01-01 10:00:00.000", "2024-01-01 11:00:00.000"),
+      (11L, "2024-03-01 00:00:00.000", "2024-03-31 23:59:59.999"))
+      .toDF("wid", "ws_s", "we_s")
+      .withColumn("w_start", to_timestamp(col("ws_s")))
+      .withColumn("w_end", to_timestamp(col("we_s")))
+      .drop("ws_s", "we_s")
+    val cond = col("ts") >= col("w_start") && col("ts") <= col("w_end")
+    val naivePlan = evs.join(wins, cond)
+      .queryExecution.executedPlan.toString()
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"))
+    val expected = evs.join(wins, cond).select("eid", "wid")
+      .as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L), (2L, 10L), (4L, 11L)),
+      s"fixture assumption: $expected") // eid 3 is 1ms past the window
+    withRule {
+      val df = evs.join(wins, cond)
+      assert(!df.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"), "timestamp axis not rewritten")
+      assert(df.select("eid", "wid").as[(Long, Long)].collect().toSet ==
+        expected)
+    }
+  }
+
   test("keyless band joins rewrite: bounds may be EXPRESSIONS over the " +
       "other side") {
     // |p − s| ≤ 10 written as the containment pair p ≥ s−10 ∧ p ≤ s+10:
