@@ -72,14 +72,36 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * sec(hi)] ⇒ the point's bucket is among the interval's generated
     * buckets); the residual keeps the original sub-second comparison
     * exact. `bucketWidth` is in the axis's long-cast units — SECONDS
-    * for timestamp axes. Fractional types stay excluded (their cast
-    * rounds toward zero, breaking the tiling for negatives, and a
-    * double axis has no exact bucket anyway). */
+    * for timestamp axes. TIMESTAMP_NTZ has NO direct long cast in
+    * Spark 4 (`Cast.castToLong` has no NTZ arm — a post-analysis
+    * injected cast dies in a MatchError at execution, the round-11
+    * ADVICE crash), so NTZ routes through [[toLongAxis]]'s two-step
+    * NTZ→TIMESTAMP(UTC)→long chain instead: with the zone pinned to
+    * UTC the wall-clock micros ARE the instant micros, making the
+    * mapping the same micros-to-seconds floor as TimestampType —
+    * monotone, deterministic, DST-free. Fractional types stay
+    * excluded (their cast rounds toward zero, breaking the tiling for
+    * negatives, and a double axis has no exact bucket anyway). */
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
     case org.apache.spark.sql.types.TimestampType => true
     case org.apache.spark.sql.types.TimestampNTZType => true
     case _ => false
+  }
+
+  /** The monotone axis-to-long mapping shared by the point projection,
+    * the interval bucket generator, and the non-empty filter — every
+    * bucket comparison must go through the SAME mapping or tiling
+    * breaks. NTZ cannot cast straight to long (see [[integral]]); the
+    * explicit UTC zone on the intermediate cast is REQUIRED because
+    * this rule runs post-analysis where ResolveTimeZone never fires —
+    * a zone-less Cast would NPE on evaluation. */
+  private def toLongAxis(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      Cast(Cast(e, org.apache.spark.sql.types.TimestampType, Some("UTC")),
+        LongType)
+    case _ => Cast(e, LongType)
   }
 
   /** Floor division tiling negative positions correctly, in PURE LONG
@@ -93,7 +115,7 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * w ≥ 2 and keeps q − 1 in range. Both rewritten sides use this
     * same expression, so buckets agree by construction. */
   private def floorDiv(x: Expression, w: Long): Expression = {
-    val xl = if (x.dataType == LongType) x else Cast(x, LongType)
+    val xl = toLongAxis(x)
     val wl = Literal(w, LongType)
     val q = IntegralDivide(xl, wl)
     val r = Subtract(xl, Multiply(q, wl))
@@ -207,9 +229,7 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             val pointProj = Project(pointPlan.output :+ pBkt, pointPlan)
             // interval side: drop empty intervals, generate buckets
             val nonEmpty = Filter(LessThanOrEqual(
-              if (lo.dataType == LongType) lo else Cast(lo, LongType),
-              if (hi.dataType == LongType) hi else Cast(hi, LongType)),
-              intervalPlan)
+              toLongAxis(lo), toLongAxis(hi)), intervalPlan)
             // Fan-out guard (review catch): the rule applies to
             // ARBITRARY user data, and an open-ended interval (a
             // Long.MaxValue sentinel, epoch-micros at a too-fine
@@ -230,9 +250,13 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             // The guard compare runs in DOUBLE: a long subtraction
             // could itself overflow for full-range sentinel bounds
             // (the exact case the guard exists for); ±1-bucket double
-            // imprecision is irrelevant against a threshold.
+            // imprecision is irrelevant against a threshold. The bound
+            // is ≥ because the replica COUNT is hiB−loB+1: a span of
+            // exactly maxBuckets+1 buckets has hiB−loB = maxBuckets
+            // and must fail too, matching the "more than maxBuckets"
+            // message (the round-11 ADVICE off-by-one).
             val seq = If(
-              GreaterThan(
+              GreaterThanOrEqual(
                 Subtract(Cast(hiB, DoubleType), Cast(loB, DoubleType)),
                 Literal(maxBuckets.toDouble, DoubleType)),
               Cast(new RaiseError(Literal.create(msg,

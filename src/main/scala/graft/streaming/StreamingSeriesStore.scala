@@ -47,10 +47,16 @@ final case class StreamingSeriesStore(storeDir: String,
     * miss files — retry semantics are the caller's (the usual
     * object-store snapshot caveat). */
   def series(spark: SparkSession): DataFrame = {
-    val dir = new java.io.File(storeDir)
+    // Existence probe through the Hadoop FileSystem API — the store's
+    // whole point is object-store scale, and a java.io.File probe is
+    // ALWAYS false for hdfs://-/s3a://-qualified paths, silently
+    // reporting an empty store (the round-11 ADVICE defect). The
+    // Path's own scheme picks the FS, so file:, hdfs: and s3a: stores
+    // all probe correctly under one code path.
+    val path = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     val slots =
-      if (dir.isDirectory && dir.listFiles() != null &&
-          dir.listFiles().nonEmpty)
+      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
         spark.read.parquet(storeDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

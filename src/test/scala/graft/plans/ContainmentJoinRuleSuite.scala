@@ -259,6 +259,71 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  test("timestamp_ntz axes rewrite through the UTC mapping — no " +
+      "Cast(ntz, long) MatchError, results identical") {
+    // Spark 4 has no direct NTZ→long cast: the round-11 ADVICE crash
+    // was the rule injecting one post-analysis and dying in
+    // Cast.castToLong at execution. The fix routes NTZ through
+    // NTZ→TIMESTAMP(UTC)→long; this pins (a) the join EXECUTES, (b)
+    // results match the un-rewritten join incl. a sub-second residual
+    // boundary, (c) the rewrite actually fired (not a silent no-fire).
+    val evs = Seq(
+      (1L, "2024-01-01 10:00:00.500"),
+      (2L, "2024-01-01 10:59:59.999"),
+      (3L, "2024-01-01 11:00:00.001"),
+      (4L, "2024-03-05 00:00:00.000")).toDF("eid", "ts_s")
+      .withColumn("ts", to_timestamp_ntz(col("ts_s"))).drop("ts_s")
+    val wins = Seq(
+      (10L, "2024-01-01 10:00:00.000", "2024-01-01 11:00:00.000"),
+      (11L, "2024-03-01 00:00:00.000", "2024-03-31 23:59:59.999"))
+      .toDF("wid", "ws_s", "we_s")
+      .withColumn("w_start", to_timestamp_ntz(col("ws_s")))
+      .withColumn("w_end", to_timestamp_ntz(col("we_s")))
+      .drop("ws_s", "we_s")
+    assert(evs.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val cond = col("ts") >= col("w_start") && col("ts") <= col("w_end")
+    val expected = evs.join(wins, cond).select("eid", "wid")
+      .as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L), (2L, 10L), (4L, 11L)),
+      s"fixture assumption: $expected") // eid 3 is 1ms past the window
+    withRule {
+      val df = evs.join(wins, cond)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"ntz axis not rewritten:\n$plan")
+      assert(df.select("eid", "wid").as[(Long, Long)].collect().toSet ==
+        expected, "ntz rewrite changed results")
+    }
+  }
+
+  test("fan-out guard bound agrees with its message: a span of exactly " +
+      "maxBuckets+1 buckets fails, maxBuckets passes") {
+    // round-11 ADVICE off-by-one: strict > let hiB−loB = maxBuckets
+    // (i.e. maxBuckets+1 replicas) through while the error text says
+    // "more than maxBuckets buckets".
+    withRule {
+      spark.conf.set("spark.graft.rangeJoin.maxBuckets", "10")
+      try {
+        val p = Seq((1L, 0L)).toDF("pid", "p")
+        // width 1000: [0, 10999] spans buckets 0..10 = 11 = max+1 → fail
+        val iOver = Seq((20L, 0L, 10999L)).toDF("iid", "s", "e")
+        val over = p.join(iOver,
+          col("p") >= col("s") && col("p") <= col("e"))
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        val err = intercept[Exception](over.collect())
+        assert(messages(err).exists(_.contains("ContainmentJoinRule")),
+          s"boundary span did not hit the guard: $err")
+        // [0, 9999] spans buckets 0..9 = 10 = max → allowed
+        val iOk = Seq((21L, 0L, 9999L)).toDF("iid", "s", "e")
+        val ok = p.join(iOk, col("p") >= col("s") && col("p") <= col("e"))
+        assert(collectSet(ok) == Set((1L, 21L)))
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBuckets")
+    }
+  }
+
   test("keyless band joins rewrite: bounds may be EXPRESSIONS over the " +
       "other side") {
     // |p − s| ≤ 10 written as the containment pair p ≥ s−10 ∧ p ≤ s+10:

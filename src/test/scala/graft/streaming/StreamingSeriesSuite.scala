@@ -70,6 +70,32 @@ class StreamingSeriesSuite extends SparkSpec {
     assert(store.topK(spark, col("user_id") < 10, k = 5).count() == 0L)
   }
 
+  test("scheme-qualified store paths probe through the Hadoop FS API " +
+      "(a java.io.File probe silently read these as empty)") {
+    // round-11 ADVICE defect: the existence probe used java.io.File,
+    // which is always false for any scheme-qualified path — the exact
+    // hdfs://-s3a:// scale deployment the scaladoc invokes — so
+    // series()/topK() silently returned nothing. `file:/...` is the
+    // scheme-qualified path this environment can serve; the probe now
+    // resolves the FileSystem FROM the path scheme, so it exercises
+    // the same code path hdfs:// would.
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "ts", "user_id", "value")
+    val batchSeries = TimeSeries.dailySeries(events, "2024-01-01", 30)
+      .as[(Long, Seq[Double])].collect().toMap
+    val root = Files.createTempDirectory("graft-sstore-scheme")
+      .toUri.toString.stripSuffix("/") // file:/... form
+    assert(root.startsWith("file:"))
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30)
+    // untouched scheme-qualified store: still empty-not-error
+    assert(store.series(spark).count() == 0L)
+    store.processBatch(events, batchId = 0L)
+    val streamed = store.series(spark)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(streamed == batchSeries,
+      "scheme-qualified store read as empty — FS probe regressed")
+  }
+
   test("similarity search over the store equals the registered batch query") {
     val events = spark.read.parquet(s"$sf0001/events.parquet")
       .select("event_id", "ts", "user_id", "value")
