@@ -154,6 +154,313 @@ object Unigram {
         StructField("logprob", DoubleType, nullable = false))))
   }
 
+  /** The full-EM twin of [[trainModel]] — the two Kudo 2018 steps the
+    * Viterbi trainer documents away, restored (round-12 item #2):
+    *
+    *  - E-step over LATTICE MARGINALS, not the best path: expected
+    *    piece counts across ALL segmentations via forward-backward
+    *    (native [[graft.functions.LatticeMarginalsExpr]], map-only
+    *    with the model as literals — the same one-job-per-round shape
+    *    as the Viterbi pass). Counts are quantized to long
+    *    micro-units AT THE LEAF (the expression's determinism
+    *    contract), so the distributed M-step sums longs —
+    *    order-independent, hence reproducible across partitionings
+    *    and pinned bitwise by UnigramSuite against
+    *    [[referenceUnigramEm]].
+    *  - PRUNE by LIKELIHOOD LOSS, not frequency: each multi-char
+    *    piece is scored by how much corpus likelihood its removal
+    *    costs — loss(p) = count(p) × (lp(p) − altScore(p)), where
+    *    altScore is the best re-segmentation of p's own string under
+    *    the vocabulary WITHOUT p (the SentencePiece
+    *    `PruneSentencePieces` approximation: every occurrence of p
+    *    re-segments that way if p disappears; a driver-side Viterbi
+    *    over ≤ seedSize strings). Keep the top (vocabSize −
+    *    #characters) multis by (loss desc, piece asc) plus ALL single
+    *    characters (coverage, never prunable — a char's removal can
+    *    make words unsegmentable, loss = ∞).
+    *
+    * Seeding, the character floor, refresh semantics, nIter and the
+    * final count-pass-under-the-pruned-model all match [[trainModel]],
+    * so the two trainers differ EXACTLY in the two restored steps.
+    * Zero-count floor: a never-used piece is charged half a count in
+    * the CURRENT count unit (0.5 × unit — seed counts are raw units,
+    * post-E-step counts are micro-units; the ratio to total is what
+    * ln sees, so units cancel within a round).
+    *
+    * Returned counts are in micro-units
+    * ([[graft.functions.LatticeMarginalsExpr.QuantScale]]). */
+  def trainModelEm(df: DataFrame, vocabSize: Int = 60, seedSize: Int = 500,
+      maxPieceLen: Int = 6, nIter: Int = 3,
+      textCol: String = "text"): Seq[(String, Long, Double)] = {
+    require(vocabSize >= 1 && seedSize >= 1 && maxPieceLen >= 1 && nIter >= 0,
+      s"bad params vocabSize=$vocabSize seedSize=$seedSize " +
+        s"maxPieceLen=$maxPieceLen nIter=$nIter")
+    val dict = df.select(
+        explode_outer(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
+
+    val subs = dict.select(col("freq"),
+        explode_outer(flatten(transform(
+          sequence(lit(0), length(col("w")) - 1),
+          i => transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("w")) - i)),
+            l => col("w").substr(i + 1, l))))).as("piece"))
+      .where(col("piece").isNotNull)
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .persist()
+    val singles = subs.where(length(col("piece")) === 1)
+      .orderBy("piece").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val multis = subs.where(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    subs.unpersist(blocking = false)
+
+    var vocab: Seq[(String, Long)] = (singles ++ multis).toSeq
+    if (vocab.isEmpty) return Nil
+    var unit: Double = 1.0 // seed counts are raw; E-step counts are micro
+    var total: Long = vocab.iterator.map(_._2).sum
+    def lpOf(cnt: Long): Double =
+      if (cnt > 0) math.log(cnt.toDouble / total)
+      else math.log(0.5 * unit / total)
+
+    def marginalPass(model: Seq[(String, Long)]): Map[String, Long] = {
+      val pcs = model.map(_._1)
+      val lps = model.map(m => lpOf(m._2))
+      dict.select(col("freq"),
+          explode_outer(graft.functions.LatticeMarginalsExpr
+            .lattice_marginals(col("w"), pcs, lps)).as("e"))
+        .where(col("e").isNotNull)
+        .select(col("e.piece").as("piece"),
+          (col("freq") * col("e.cq")).as("c"))
+        .groupBy("piece").agg(sum("c").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+    def refresh(counts: Map[String, Long],
+        model: Seq[(String, Long)]): Seq[(String, Long)] =
+      model.flatMap { case (p, _) =>
+        counts.get(p) match {
+          case Some(c) => Some(p -> c)
+          case None if p.length == 1 => Some(p -> 0L) // coverage floor
+          case None => None
+        }
+      }
+
+    var it = 0
+    while (it < nIter) {
+      val counts = marginalPass(vocab)
+      vocab = refresh(counts, vocab)
+      unit = graft.functions.LatticeMarginalsExpr.QuantScale
+      total = vocab.iterator.map(_._2).sum
+      it += 1
+    }
+
+    // Likelihood-loss prune (driver-side: the vocabulary is ≤ seed
+    // size). Singles are exempt — coverage overrides the cap.
+    val lpAll = vocab.map { case (p, c) => p -> lpOf(c) }.toMap
+    val maxL = vocab.iterator.map(_._1.length).max
+    val keptSingles = vocab.filter(_._1.length == 1)
+    val rankedMultis = vocab.filter(_._1.length >= 2)
+      .map { case (p, c) =>
+        val alt = viterbiScore(p, lpAll - p, maxL)
+        (p, c, c.toDouble * (lpAll(p) - alt))
+      }
+      .sortBy { case (p, _, loss) => (-loss, p) }
+    val kept = keptSingles ++ rankedMultis
+      .take(math.max(0, vocabSize - keptSingles.length))
+      .map { case (p, c, _) => (p, c) }
+    total = kept.iterator.map(_._2).sum
+    val finalCounts = marginalPass(kept)
+    val finalVocab = refresh(finalCounts, kept)
+    unit = graft.functions.LatticeMarginalsExpr.QuantScale
+    total = finalVocab.iterator.map(_._2).sum
+    finalVocab.map { case (p, c) => (p, c, lpOf(c)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  /** Train the full-EM model and ship the vocabulary table:
+    * (rank, piece, exp_count (expected count, 6dp), logprob (6dp)) —
+    * exp_count is fractional by nature (lattice marginals), unlike the
+    * Viterbi table's integer count. */
+  def trainUnigramEm(df: DataFrame, vocabSize: Int = 60, seedSize: Int = 500,
+      maxPieceLen: Int = 6, nIter: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    val model = trainModelEm(df, vocabSize, seedSize, maxPieceLen, nIter,
+      textCol)
+    val q = graft.functions.LatticeMarginalsExpr.QuantScale
+    val rows = model.zipWithIndex.map { case ((p, c, lp), i) =>
+      Row(i + 1, p, math.rint(c / q * 1e6) / 1e6, math.rint(lp * 1e6) / 1e6)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("piece", StringType, nullable = false),
+        StructField("exp_count", DoubleType, nullable = false),
+        StructField("logprob", DoubleType, nullable = false))))
+  }
+
+  /** Best-segmentation SCORE of one string under a piece→logprob map —
+    * the prune step's alternative-cost Viterbi (driver-side; score
+    * only, no backpointers; unreachable positions take the unk edge,
+    * though with every character in-vocab that path never fires). */
+  private[llm] def viterbiScore(w: String, lp: Map[String, Double],
+      maxLen: Int): Double = {
+    val n = w.length
+    val score = new Array[Double](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        lp.get(w.substring(j, i)) match {
+          case Some(x) =>
+            val sc = score(j) + x
+            if (sc > best) best = sc
+          case None =>
+        }
+        j += 1
+      }
+      if (best == Double.NegativeInfinity) best = score(i - 1) + UnkLp
+      score(i) = best
+      i += 1
+    }
+    score(n)
+  }
+
+  /** Marginal log-likelihood ln Z of one string (forward pass over the
+    * same lattice as [[graft.functions.LatticeMarginalsExpr]]) — the
+    * UnigramSuite dominance check's scoring helper. */
+  private[graft] def logZ(w: String, lp: Map[String, Double],
+      maxLen: Int): Double = {
+    val n = w.length
+    if (n == 0) return 0.0
+    val NegInf = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b
+      else if (b == NegInf) a
+      else if (a >= b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    val alpha = new Array[Double](n + 1)
+    var i = 1
+    while (i <= n) {
+      var acc = NegInf
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        lp.get(w.substring(j, i)) match {
+          case Some(x) => acc = lse(acc, alpha(j) + x)
+          case None =>
+        }
+        j += 1
+      }
+      if (acc == NegInf) acc = alpha(i - 1) + UnkLp
+      alpha(i) = acc
+      i += 1
+    }
+    alpha(n)
+  }
+
+  /** Single-threaded reference for the EM trainer — UnigramSuite's
+    * ground truth. The AGGREGATION half (dictionary build, seed
+    * ranking, freq-weighted count sums, refresh, loss prune) is
+    * independently re-derived with plain hash maps; the per-word
+    * lattice step deliberately calls the SAME
+    * [[graft.functions.LatticeMarginalsExpr.marginals]] leaf the
+    * expression uses — two separately-coded float orderings could
+    * differ in ulps, and the bitwise pin is over the long-quantized
+    * aggregate, exact only when leaf values agree exactly. */
+  private[llm] def referenceUnigramEm(tokens: Iterator[String],
+      vocabSize: Int = 60, seedSize: Int = 500, maxPieceLen: Int = 6,
+      nIter: Int = 3): Seq[(String, Long, Double)] = {
+    val dict = scala.collection.mutable.HashMap.empty[String, Long]
+    tokens.foreach(w => dict(w) = dict.getOrElse(w, 0L) + 1L)
+
+    val seedCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    dict.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + l)
+          seedCnt(p) = seedCnt.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles = seedCnt.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multis = seedCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+
+    var vocab: Seq[(String, Long)] = singles ++ multis
+    if (vocab.isEmpty) return Nil
+    var unit: Double = 1.0
+    var total: Long = vocab.iterator.map(_._2).sum
+    def lpOf(cnt: Long): Double =
+      if (cnt > 0) math.log(cnt.toDouble / total)
+      else math.log(0.5 * unit / total)
+
+    def countPassEm(model: Seq[(String, Long)]): Map[String, Long] = {
+      val lpM = new java.util.HashMap[String, java.lang.Double](
+        model.length * 2)
+      model.foreach { case (p, c) => lpM.put(p, lpOf(c)) }
+      val maxLen = model.iterator.map(_._1.length).max
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      dict.foreach { case (w, f) =>
+        val m = graft.functions.LatticeMarginalsExpr.marginals(w, lpM, maxLen)
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          counts(e.getKey) =
+            counts.getOrElse(e.getKey, 0L) + f * e.getValue.longValue()
+        }
+      }
+      counts.toMap
+    }
+    def refresh(counts: Map[String, Long],
+        model: Seq[(String, Long)]): Seq[(String, Long)] =
+      model.flatMap { case (p, _) =>
+        counts.get(p) match {
+          case Some(c) => Some(p -> c)
+          case None if p.length == 1 => Some(p -> 0L)
+          case None => None
+        }
+      }
+
+    var it = 0
+    while (it < nIter) {
+      val counts = countPassEm(vocab)
+      vocab = refresh(counts, vocab)
+      unit = graft.functions.LatticeMarginalsExpr.QuantScale
+      total = vocab.iterator.map(_._2).sum
+      it += 1
+    }
+
+    val lpAll = vocab.map { case (p, c) => p -> lpOf(c) }.toMap
+    val maxL = vocab.iterator.map(_._1.length).max
+    val keptSingles = vocab.filter(_._1.length == 1)
+    val rankedMultis = vocab.filter(_._1.length >= 2)
+      .map { case (p, c) =>
+        val alt = viterbiScore(p, lpAll - p, maxL)
+        (p, c, c.toDouble * (lpAll(p) - alt))
+      }
+      .sortBy { case (p, _, loss) => (-loss, p) }
+    val kept = keptSingles ++ rankedMultis
+      .take(math.max(0, vocabSize - keptSingles.length))
+      .map { case (p, c, _) => (p, c) }
+    total = kept.iterator.map(_._2).sum
+    val finalCounts = countPassEm(kept)
+    val finalVocab = refresh(finalCounts, kept)
+    unit = graft.functions.LatticeMarginalsExpr.QuantScale
+    total = finalVocab.iterator.map(_._2).sum
+    finalVocab.map { case (p, c) => (p, c, lpOf(c)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
   /** Single-threaded reference — the UnigramSuite ground truth, same
     * spec in the textbook form with its own Viterbi (same tie-breaks:
     * max score, then fewer pieces, then smallest split point). */

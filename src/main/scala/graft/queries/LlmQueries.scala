@@ -1517,6 +1517,18 @@ object LlmQueries {
   def unigramTrain(s: SparkSession, dir: String): DataFrame =
     graft.llm.Unigram.trainUnigram(docs(s, dir))
 
+  // --- llm_unigram_train_em (rows-only: the FULL Kudo 2018 trainer —
+  // lattice-marginal forward-backward E-step (native
+  // LatticeMarginalsExpr, leaf-quantized expected counts so the
+  // distributed M-step sums longs) and likelihood-LOSS pruning, the
+  // two steps llm_unigram_train's Viterbi-count spec documents away.
+  // No cross-engine oracle (data-dependent EM fixpoint); UnigramSuite
+  // pins the table bitwise vs a single-threaded marginals reference,
+  // a hand-computed two-segmentation lattice, and corpus-likelihood
+  // dominance over the Viterbi trainer.) ---------------------------------
+  def unigramTrainEm(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Unigram.trainUnigramEm(docs(s, dir))
+
   // --- llm_unigram_encode (rows-only: the apply side — segment the
   // corpus under its OWN trained unigram model and report per-doc
   // fertility (pieces per word token), the number a tokenizer choice
@@ -2692,6 +2704,7 @@ object LlmQueries {
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_train_batched" -> (bpeTrainBatched _),
     "llm_unigram_train" -> (unigramTrain _),
+    "llm_unigram_train_em" -> (unigramTrainEm _),
     "llm_unigram_encode" -> (unigramEncode _),
     "llm_bpe_encode" -> (bpeEncode _),
     "llm_quality_model" -> (qualityModel _),
