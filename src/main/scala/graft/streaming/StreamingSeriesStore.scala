@@ -26,8 +26,9 @@ import graft.operators.TimeSeries
   * batches by construction, any replay order (suite-pinned at both
   * SFs). No watermark is needed: a slot sum has no horizon (late
   * events just add), which is exactly why the state lives in a store
-  * and not in keyed executor memory. Compaction at scale = rewrite
-  * the log as one summed snapshot partition (same read path). */
+  * and not in keyed executor memory. [[compact]] bounds the log:
+  * rewrite all-but-the-latest batch partitions as one summed snapshot
+  * partition, same read path. */
 final case class StreamingSeriesStore(storeDir: String,
     startDate: String, nSlots: Int, keyCol: String = "user_id",
     tsCol: String = "ts", valCol: String = "value") {
@@ -71,6 +72,53 @@ final case class StreamingSeriesStore(storeDir: String,
       slots.groupBy(col(keyCol), col("__d"))
         .agg(round(sum("__v"), 4).as("__v")),
       nSlots, keyCol)
+  }
+
+  /** Compact the per-batch partial-sum log into ONE summed snapshot
+    * partition — the read path is unchanged (the snapshot is itself a
+    * raw partial that merges like any batch), so a store that folded
+    * 10⁴ micro-batches stops paying 10⁴-partition list-and-merge on
+    * every read.
+    *
+    * Replay safety: the LATEST batch partition is deliberately LEFT
+    * OUT of the fold. Batches commit sequentially, so the only
+    * partition a restart can rewrite is the max written id (its
+    * checkpoint commit may not have landed); folding it would turn
+    * that benign self-overwrite into a double-count against the
+    * snapshot. Every lower id has committed and can never replay —
+    * those fold into a snapshot at the LOWEST folded id (an id no
+    * future batch or replay can collide with).
+    *
+    * The snapshot is staged as a dot-prefixed temp dir INSIDE the
+    * store (invisible to Spark's file index) and swapped in with
+    * delete-then-rename. The swap is NOT crash-atomic: run compact()
+    * as a maintenance step — no concurrent readers mid-swap (the
+    * same transient-miss caveat [[series]] documents for replay
+    * overwrites, wider here). A no-op below 3 batch partitions. */
+  def compact(spark: SparkSession): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id="))
+    if (parts.length <= 2) return
+    val withIds = parts.map(s =>
+      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
+    val maxId = withIds.map(_._2).max
+    val fold = withIds.filter(_._2 != maxId)
+    val snapId = fold.map(_._2).min
+    // leaf-dir read: no partition discovery, plain (key, __d, __v)
+    // rows; the sum stays RAW — the snapshot is a partial, rounding
+    // happens once at the read merge like every other batch
+    val summed = spark.read
+      .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
+      .groupBy(col(keyCol), col("__d"))
+      .agg(sum("__v").as("__v"))
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    summed.write.mode("overwrite").parquet(tmp.toString)
+    fold.foreach { case (p, _) => fs.delete(p, true) }
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
+    ()
   }
 
   /** Top-k correlated entities over the CURRENT store state. */

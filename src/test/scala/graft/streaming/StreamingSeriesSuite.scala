@@ -96,6 +96,50 @@ class StreamingSeriesSuite extends SparkSpec {
       "scheme-qualified store read as empty — FS probe regressed")
   }
 
+  test("compact folds the log to snapshot+latest, series identical, " +
+      "latest-batch replay still idempotent") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "ts", "user_id", "value")
+    val batchSeries = TimeSeries.dailySeries(events, "2024-01-01", 30)
+      .as[(Long, Seq[Double])].collect().toMap
+    val root = Files.createTempDirectory("graft-sstore-compact").toString
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30)
+    val rows = events
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    (0 until 5).foreach { c =>
+      store.processBatch(rows.filter(_._1 % 5 == c).toSeq
+        .toDF("event_id", "ts", "user_id", "value"), batchId = c.toLong)
+    }
+    def partDirs(): Set[String] =
+      new java.io.File(s"$root/store").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    assert(partDirs() == (0 until 5).map(i => s"batch_id=$i").toSet)
+    store.compact(spark)
+    // batches 0-3 fold into a snapshot at the lowest folded id; the
+    // LATEST batch stays out (it is the only replay-eligible one)
+    assert(partDirs() == Set("batch_id=0", "batch_id=4"),
+      s"unexpected layout: ${partDirs()}")
+    assert(store.series(spark).as[(Long, Seq[Double])].collect().toMap ==
+      batchSeries, "compaction changed the series")
+    // replay of the preserved latest batch: still a per-partition
+    // overwrite, still idempotent against the snapshot
+    store.processBatch(rows.filter(_._1 % 5 == 4).toSeq
+      .toDF("event_id", "ts", "user_id", "value"), batchId = 4L)
+    assert(store.series(spark).as[(Long, Seq[Double])].collect().toMap ==
+      batchSeries, "latest-batch replay double-counted after compaction")
+    // re-compacting 2 partitions is a no-op
+    store.compact(spark)
+    assert(partDirs() == Set("batch_id=0", "batch_id=4"))
+    // and the store keeps accepting batches after compaction — an
+    // EMPTY one writes an empty partition the read path tolerates
+    store.processBatch(
+      Seq.empty[(Long, java.sql.Timestamp, Long, Double)]
+        .toDF("event_id", "ts", "user_id", "value"), batchId = 5L)
+    assert(store.series(spark).as[(Long, Seq[Double])].collect().toMap ==
+      batchSeries)
+  }
+
   test("similarity search over the store equals the registered batch query") {
     val events = spark.read.parquet(s"$sf0001/events.parquet")
       .select("event_id", "ts", "user_id", "value")
