@@ -51,19 +51,30 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * with `spark.experimental.extraOptimizations`; disable with
   * `spark.graft.rangeJoin.enabled=false`.
   *
-  * Deliberately NOT extended to the interval-OVERLAP pattern
-  * (`ls ≤ re ∧ rs ≤ le`): the bucketed overlap rewrite
-  * ([[graft.operators.RangeJoin.joinOverlappingIntervals]]) requires
-  * real intervals — it drops `end < start` rows — while the naive
-  * condition matches some INVERTED rows too (ls=5, le=3 against
-  * rs=2, re=6 satisfies both conjuncts). A rule can't assume the
-  * user's columns are well-formed intervals, so the rewrite would
-  * silently change results; the operator method, whose contract
-  * states interval semantics, is the right surface for that case. */
+  * The interval-OVERLAP pattern (`ls ≤ re ∧ rs ≤ le`) is rewritten
+  * ONLY behind the opt-in
+  * `spark.graft.rangeJoin.assumeWellFormedIntervals` (default false):
+  * the bucketed overlap rewrite
+  * ([[graft.operators.RangeJoin.joinOverlappingIntervals]]'s shape —
+  * both sides replicate to their overlapped buckets, equi join on the
+  * bucket, each pair emitted exactly once in its canonical
+  * max-start bucket) requires real intervals — it drops
+  * `end < start` rows — while the naive condition matches some
+  * INVERTED rows too (ls=5, le=3 against rs=2, re=6 satisfies both
+  * conjuncts). A rule can't assume the user's columns are well-formed
+  * intervals, so by default it leaves the plan alone and the operator
+  * method (whose contract states interval semantics) is the surface;
+  * a user who flips the conf asserts the invariant and buys the
+  * rewrite for queries already written as naive conditions.
+  * Inner joins only: an outer/semi preserved side is REPLICATED here
+  * (unlike the containment rewrite's point side), so non-matching
+  * rows would null-extend/emit once per replica. */
 object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.rangeJoin.enabled"
   private val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+  private val WellFormedKey =
+    "spark.graft.rangeJoin.assumeWellFormedIntervals"
 
   /** Axis types the bucket math is EXACT for: integrals, plus
     * timestamps — `Cast(timestamp, long)` (seconds) is a MONOTONE
@@ -219,6 +230,51 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           if orientationOk(p1)
         } yield (p1, lo, hi)).headOption
 
+        // Fan-out guard (review catch): the rule applies to ARBITRARY
+        // user data, and an open-ended interval (a Long.MaxValue
+        // sentinel, epoch-micros at a too-fine width) would make
+        // Sequence build millions of replicas or exceed Spark's array
+        // cap. A silent cap would drop matches, so the guard fails
+        // LOUDLY per offending row with an actionable message instead.
+        // The guard compare runs in DOUBLE: a long subtraction could
+        // itself overflow for full-range sentinel bounds (the exact
+        // case the guard exists for); ±1-bucket double imprecision is
+        // irrelevant against a threshold. The bound is ≥ because the
+        // replica COUNT is hiB−loB+1: a span of exactly maxBuckets+1
+        // buckets has hiB−loB = maxBuckets and must fail too, matching
+        // the "more than maxBuckets" message (the round-11 ADVICE
+        // off-by-one).
+        val maxBuckets = conf.getConfString(
+          "spark.graft.rangeJoin.maxBuckets", "1048576").toLong
+        val msg = s"graft ContainmentJoinRule: an interval spans " +
+          s"more than $maxBuckets buckets at bucketWidth=$width; " +
+          "raise spark.graft.rangeJoin.bucketWidth or " +
+          ".maxBuckets, or set spark.graft.rangeJoin.enabled=false"
+        // One interval side bucketed: drop empty intervals (Sequence
+        // COUNTS DOWN on inverted bounds — the repo lesson), guard the
+        // span, explode one row per overlapped bucket.
+        def bucketed(child: LogicalPlan, lo: Expression, hi: Expression,
+            attrName: String): (LogicalPlan, AttributeReference) = {
+          val nonEmpty = Filter(LessThanOrEqual(
+            toLongAxis(lo), toLongAxis(hi)), child)
+          val loB = floorDiv(lo, width)
+          val hiB = floorDiv(hi, width)
+          val seq0 = Sequence(loB, hiB, None,
+            Option(conf.sessionLocalTimeZone))
+          val seq = If(
+            GreaterThanOrEqual(
+              Subtract(Cast(hiB, DoubleType), Cast(loB, DoubleType)),
+              Literal(maxBuckets.toDouble, DoubleType)),
+            Cast(new RaiseError(Literal.create(msg,
+              org.apache.spark.sql.types.StringType)), seq0.dataType),
+            seq0)
+          val attr = AttributeReference(attrName, LongType,
+            nullable = false)()
+          (Generate(Explode(seq), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None,
+            generatorOutput = Seq(attr), child = nonEmpty), attr)
+        }
+
         pair match {
           case Some((p, lo, hi)) =>
             val pOnLeft = p.references.subsetOf(left.outputSet)
@@ -227,50 +283,65 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             // point side: project the bucket
             val pBkt = Alias(floorDiv(p, width), "__graft_pbkt")()
             val pointProj = Project(pointPlan.output :+ pBkt, pointPlan)
-            // interval side: drop empty intervals, generate buckets
-            val nonEmpty = Filter(LessThanOrEqual(
-              toLongAxis(lo), toLongAxis(hi)), intervalPlan)
-            // Fan-out guard (review catch): the rule applies to
-            // ARBITRARY user data, and an open-ended interval (a
-            // Long.MaxValue sentinel, epoch-micros at a too-fine
-            // width) would make Sequence build millions of replicas or
-            // exceed Spark's array cap. A silent cap would drop
-            // matches, so the guard fails LOUDLY per offending row
-            // with an actionable message instead.
-            val maxBuckets = conf.getConfString(
-              "spark.graft.rangeJoin.maxBuckets", "1048576").toLong
-            val loB = floorDiv(lo, width)
-            val hiB = floorDiv(hi, width)
-            val seq0 = Sequence(loB, hiB, None,
-              Option(conf.sessionLocalTimeZone))
-            val msg = s"graft ContainmentJoinRule: an interval spans " +
-              s"more than $maxBuckets buckets at bucketWidth=$width; " +
-              "raise spark.graft.rangeJoin.bucketWidth or " +
-              ".maxBuckets, or set spark.graft.rangeJoin.enabled=false"
-            // The guard compare runs in DOUBLE: a long subtraction
-            // could itself overflow for full-range sentinel bounds
-            // (the exact case the guard exists for); ±1-bucket double
-            // imprecision is irrelevant against a threshold. The bound
-            // is ≥ because the replica COUNT is hiB−loB+1: a span of
-            // exactly maxBuckets+1 buckets has hiB−loB = maxBuckets
-            // and must fail too, matching the "more than maxBuckets"
-            // message (the round-11 ADVICE off-by-one).
-            val seq = If(
-              GreaterThanOrEqual(
-                Subtract(Cast(hiB, DoubleType), Cast(loB, DoubleType)),
-                Literal(maxBuckets.toDouble, DoubleType)),
-              Cast(new RaiseError(Literal.create(msg,
-                org.apache.spark.sql.types.StringType)), seq0.dataType),
-              seq0)
-            val iBktAttr = AttributeReference("__graft_ibkt", LongType,
-              nullable = false)()
-            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
-              outer = false, qualifier = None,
-              generatorOutput = Seq(iBktAttr), child = nonEmpty)
+            val (gen, iBktAttr) =
+              bucketed(intervalPlan, lo, hi, "__graft_ibkt")
             val (newL, newR) =
               if (pOnLeft) (pointProj, gen) else (gen, pointProj)
             val newCond = And(EqualTo(pBkt.toAttribute, iBktAttr), cond)
             Project(j.output, Join(newL, newR, jt, Some(newCond), hint))
+          case None if jt == Inner && conf.getConfString(
+              WellFormedKey, "false").toBoolean =>
+            // Interval-OVERLAP rewrite, OPT-IN (see the object
+            // scaladoc): find two conjuncts with opposite cross-side
+            // orientations — `ls ≤ re` (left expr ≤ right expr) and
+            // `rs ≤ le` (right expr ≤ left expr). Both sides
+            // replicate to their buckets; each matched pair is
+            // emitted ONLY in its canonical max-start bucket (the
+            // op_interval_overlap exactly-once trick — that bucket
+            // lies in both spans whenever the intervals overlap), so
+            // no downstream dedup is needed. Inverted rows
+            // (end < start) are DROPPED by the non-empty filter —
+            // the divergence the conf's name makes the user assert
+            // away.
+            val ineqs: Seq[(Expression, Expression, Boolean)] =
+              conjuncts.flatMap { c =>
+                def tag(a: Expression, b: Expression)
+                    : Option[(Expression, Expression, Boolean)] = {
+                  val ok = a.references.nonEmpty && b.references.nonEmpty &&
+                    integral(a) && integral(b) &&
+                    a.deterministic && b.deterministic
+                  if (!ok) None
+                  else if (a.references.subsetOf(left.outputSet) &&
+                      b.references.subsetOf(right.outputSet))
+                    Some((a, b, true)) // leftExpr ≤ rightExpr
+                  else if (a.references.subsetOf(right.outputSet) &&
+                      b.references.subsetOf(left.outputSet))
+                    Some((b, a, false)) // rightExpr ≤ leftExpr
+                  else None
+                }
+                c match {
+                  case LessThanOrEqual(a, b) => tag(a, b)
+                  case LessThan(a, b) => tag(a, b)
+                  case GreaterThanOrEqual(a, b) => tag(b, a)
+                  case GreaterThan(a, b) => tag(b, a)
+                  case _ => None
+                }
+              }
+            val ov = (for {
+              (ls, re, t1) <- ineqs if t1
+              (le, rs, t2) <- ineqs if !t2
+            } yield (ls, le, rs, re)).headOption
+            ov match {
+              case Some((ls, le, rs, re)) =>
+                val (lGen, lAttr) = bucketed(left, ls, le, "__graft_lbkt")
+                val (rGen, rAttr) = bucketed(right, rs, re, "__graft_rbkt")
+                val canonical = EqualTo(lAttr,
+                  Greatest(Seq(floorDiv(ls, width), floorDiv(rs, width))))
+                val newCond = And(And(EqualTo(lAttr, rAttr), canonical),
+                  cond)
+                Project(j.output, Join(lGen, rGen, jt, Some(newCond), hint))
+              case None => j
+            }
           case None => j
         }
     }

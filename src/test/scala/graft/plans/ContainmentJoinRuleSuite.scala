@@ -346,6 +346,81 @@ class ContainmentJoinRuleSuite extends SparkSpec {
     }
   }
 
+  private def ovLeft = Seq(
+    (1L, 0L, 10L), (2L, 20L, 30L), (3L, 5L, 25L),
+    (4L, 950L, 1050L), (5L, -2500L, -2400L)).toDF("lid", "ls", "le")
+  private def ovRight = Seq(
+    (11L, 8L, 22L), (12L, 30L, 40L), (13L, 26L, 28L),
+    (14L, 1040L, 2000L), (15L, -2450L, -100L)).toDF("rid", "rs", "re")
+  private def ovCond =
+    col("ls") <= col("re") && col("rs") <= col("le")
+
+  test("interval-overlap rewrite is OPT-IN: untouched by default, " +
+      "bucketed and identical under assumeWellFormedIntervals") {
+    val expected = ovLeft.join(ovRight, ovCond).select("lid", "rid")
+      .as[(Long, Long)].collect().toSet
+    // fixture exercises: boundary touch (le=30 vs rs=30), cross-bucket
+    // spans (950-1050 vs 1040-2000), negatives
+    assert(expected == Set((1L, 11L), (2L, 11L), (3L, 11L), (2L, 12L),
+      (2L, 13L), (4L, 14L), (5L, 15L)), s"fixture assumption: $expected")
+    withRule {
+      // DEFAULT: a rule can't assume well-formed intervals — no fire
+      val off = ovLeft.join(ovRight, ovCond)
+      assert(off.queryExecution.executedPlan.toString()
+        .contains("BroadcastNestedLoopJoin"),
+        "overlap rewrite fired without the opt-in conf")
+      spark.conf.set("spark.graft.rangeJoin.assumeWellFormedIntervals",
+        "true")
+      try {
+        val on = ovLeft.join(ovRight, ovCond)
+        val plan = on.queryExecution.executedPlan.toString()
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"overlap did not rewrite under the conf:\n$plan")
+        assert(collectPairs(on) == expected,
+          "overlap rewrite changed results on well-formed intervals")
+        // exactly-once: no silent duplicate pairs from shared buckets
+        assert(on.count() == expected.size.toLong)
+        // flipped orientations (ge forms) rewrite too
+        val flipped = ovLeft.join(ovRight,
+          col("re") >= col("ls") && col("le") >= col("rs"))
+        assert(!flipped.queryExecution.executedPlan.toString()
+          .contains("BroadcastNestedLoopJoin"))
+        assert(collectPairs(flipped) == expected)
+        // outer joins stay untouched — the preserved side would be
+        // replicated
+        val outer = ovLeft.join(ovRight, ovCond, "left_outer")
+        assert(!outer.queryExecution.executedPlan.toString()
+          .contains("__graft_lbkt"),
+          "outer overlap join rewrote despite replication hazard")
+      } finally spark.conf.unset(
+        "spark.graft.rangeJoin.assumeWellFormedIntervals")
+    }
+  }
+
+  test("overlap divergence-by-design: inverted rows match naively but " +
+      "are dropped under the well-formed assumption") {
+    val lInv = ovLeft.unionByName(Seq((9L, 50L, 30L)).toDF("lid", "ls", "le"))
+    val rOne = Seq((19L, 20L, 60L)).toDF("rid", "rs", "re")
+    // the inverted row satisfies the naive conjuncts: 50 ≤ 60 ∧ 20 ≤ 30
+    val naiveSet = collectPairs(lInv.join(rOne, ovCond))
+    assert(naiveSet.contains((9L, 19L)), "fixture: inverted row must match naively")
+    withRule {
+      spark.conf.set("spark.graft.rangeJoin.assumeWellFormedIntervals",
+        "true")
+      try {
+        val on = lInv.join(rOne, ovCond)
+        assert(!on.queryExecution.executedPlan.toString()
+          .contains("BroadcastNestedLoopJoin"))
+        assert(collectPairs(on) == naiveSet - ((9L, 19L)),
+          "divergence contract: exactly the inverted row drops")
+      } finally spark.conf.unset(
+        "spark.graft.rangeJoin.assumeWellFormedIntervals")
+    }
+  }
+
+  private def collectPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("lid", "rid").as[(Long, Long)].collect().toSet
+
   test("SQL surface: BETWEEN in a spark.sql join rewrites too") {
     // BETWEEN parses to the GreaterThanOrEqual/LessThanOrEqual
     // conjunct pair, so the SQL-writing user gets the same rewrite.
