@@ -1553,6 +1553,39 @@ object LlmQueries {
   def unigramTrainEm(s: SparkSession, dir: String): DataFrame =
     graft.llm.Unigram.trainUnigramEm(docs(s, dir))
 
+  // --- llm_unigram_sample (rows-only: subword-REGULARIZATION sampling
+  // — Kudo 2018's headline: segmentations drawn P(seg)^α/ΣP^α from
+  // the lattice instead of the one best path, the data-augmentation
+  // input to regularized tokenizer training. Native LatticeSampleExpr
+  // (forward-filtering backward-sampling; splitmix64 stream seeded by
+  // seed⊕hash(word) — a PURE function of (word, seed), so the draw is
+  // identical on any partitioning or task retry, and an epoch-keyed
+  // seed gives fresh draws per epoch). Report: per-doc sampled vs
+  // Viterbi piece counts at α=0.5. UnigramSuite pins reconstruction,
+  // Viterbi score dominance, determinism, and the sampling
+  // distribution itself on a hand lattice at α ∈ {0, 1, 5}.) -------------
+  def unigramSample(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.llm.Unigram.trainModel(docs(s, dir))
+    val pcs = model.map(_._1)
+    val lps = model.map(_._3)
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(col("w").isNotNull)
+      .select(col("doc_id"),
+        size(graft.functions.LatticeSampleExpr
+          .lattice_sample(col("w"), pcs, lps, alpha = 0.5, seed = 42L))
+          .as("np"),
+        size(graft.functions.ViterbiSegmentExpr
+          .viterbi_segment(col("w"), pcs, lps)).as("nv"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("np").as("n_pieces_sampled"),
+        sum("nv").as("n_pieces_viterbi"))
+      .withColumn("sampled_over_viterbi",
+        round(col("n_pieces_sampled") / col("n_pieces_viterbi"), 4))
+  }
+
   // --- llm_unigram_encode (rows-only: the apply side — segment the
   // corpus under its OWN trained unigram model and report per-doc
   // fertility (pieces per word token), the number a tokenizer choice
@@ -2730,6 +2763,7 @@ object LlmQueries {
     "llm_bpe_train_batched" -> (bpeTrainBatched _),
     "llm_unigram_train" -> (unigramTrain _),
     "llm_unigram_train_em" -> (unigramTrainEm _),
+    "llm_unigram_sample" -> (unigramSample _),
     "llm_unigram_encode" -> (unigramEncode _),
     "llm_bpe_encode" -> (bpeEncode _),
     "llm_quality_model" -> (qualityModel _),

@@ -129,13 +129,25 @@ final case class StreamingSeriesStore(storeDir: String,
       idCol = keyCol, vecCol = "vec")
   }
 
-  /** Wire onto a streaming DataFrame of events. */
-  def attach(stream: DataFrame, checkpointDir: String)
+  /** Wire onto a streaming DataFrame of events. `compactEvery = n`
+    * folds the log inline every n-th batch (after that batch's write,
+    * before its checkpoint commit): [[compact]] never touches the
+    * max written partition, so the only batch whose commit is still
+    * in flight — the current one — stays replayable, and a replay
+    * after a mid-compaction crash re-runs both the write and the
+    * compaction (both idempotent against the folded state). The
+    * transient-miss caveat for concurrent READERS still applies. */
+  def attach(stream: DataFrame, checkpointDir: String,
+      compactEvery: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId)
+        compactEvery.foreach { n =>
+          if (n > 0 && batchId > 0 && batchId % n == 0)
+            compact(batch.sparkSession)
+        }
       }
       .start()
 }

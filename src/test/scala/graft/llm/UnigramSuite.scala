@@ -213,6 +213,99 @@ class UnigramSuite extends SparkSpec {
     assert(lls.last > lls.head, s"EM never improved: $lls")
   }
 
+  test("subword-regularization sampling: reconstruction, score " +
+      "dominance, determinism, unk handling") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val model = Unigram.trainModel(d)
+    val pcs = model.map(_._1)
+    val lps = model.map(_._3)
+    val lpOf = pcs.zip(lps).toMap
+    val words = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct().limit(300)
+      .select(col("w"),
+        graft.functions.LatticeSampleExpr
+          .lattice_sample(col("w"), pcs, lps, alpha = 0.5, seed = 42L)
+          .as("s"),
+        graft.functions.ViterbiSegmentExpr
+          .viterbi_segment(col("w"), pcs, lps).as("v"))
+      .as[(String, Seq[String], Seq[String])].collect()
+    assert(words.nonEmpty)
+    words.foreach { case (w, s, v) =>
+      assert(s.mkString == w, s"'$w' does not reconstruct: $s")
+      // a sampled path never beats the Viterbi optimum
+      val sScore = s.map(lpOf).sum
+      val vScore = v.map(lpOf).sum
+      assert(sScore <= vScore + 1e-9,
+        s"'$w': sampled $sScore beats viterbi $vScore")
+    }
+    // determinism across partitionings — the (word, seed)-pure RNG
+    // contract (rand() would redraw per partition layout)
+    def sampleMap(df: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+      df.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .select(col("w"), graft.functions.LatticeSampleExpr
+          .lattice_sample(col("w"), pcs, lps, alpha = 0.5, seed = 42L)
+          .as("s"))
+        .as[(String, Seq[String])].collect().toMap
+    assert(sampleMap(d) == sampleMap(d.repartition(7)),
+      "partitioning changed the sampled segmentations")
+    // and the registered report runs
+    assert(LlmQueries.unigramSample(spark, sf0001).count() > 0)
+    // unknown chars take the forced unk edge and still reconstruct
+    val unk = Seq("a!b").toDF("w")
+      .select(graft.functions.LatticeSampleExpr
+        .lattice_sample(col("w"), Seq("a", "b"), Seq(-1.0, -1.0),
+          alpha = 1.0, seed = 7L).as("s"))
+      .as[Seq[String]].head()
+    assert(unk.mkString == "a!b" && unk.contains("!"))
+  }
+
+  test("sampling distribution: hand lattice frequencies track P^alpha; " +
+      "codegen path matches the leaf sampler") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val pcs = Seq("a", "b", "ab")
+    val lps = Seq(math.log(0.5), math.log(0.25), math.log(0.25))
+    def leafOnce(alpha: Double, seed: Long): Seq[String] = {
+      val m = new java.util.HashMap[String, java.lang.Double]()
+      pcs.zip(lps).foreach { case (p, l) => m.put(p, alpha * l) }
+      val out = graft.functions.LatticeSampleExpr
+        .sample("ab", m, 2, alpha, seed)
+      (0 until out.size).map(out.get)
+    }
+    // P([ab]) on "ab": α=1 → .25/(.25+.125) = 2/3; α=0 → uniform 1/2;
+    // α=5 → 32/33 ≈ .97 (→ Viterbi). 600 seeds, ±4σ bounds.
+    def freqAb(alpha: Double): Double =
+      (0 until 600).count(s =>
+        leafOnce(alpha, 1000L + s) == Seq("ab")) / 600.0
+    val f1 = freqAb(1.0)
+    assert(f1 > 0.55 && f1 < 0.78, s"alpha=1 P([ab]) drifted: $f1")
+    val f0 = freqAb(0.0)
+    assert(f0 > 0.42 && f0 < 0.58, s"alpha=0 not uniform: $f0")
+    val f5 = freqAb(5.0)
+    assert(f5 > 0.9, s"alpha=5 should be near-Viterbi: $f5")
+    // codegen ≡ leaf for a handful of seeds (the bitwise-shared-leaf
+    // contract, through GenerateUnsafeProjection which throws where
+    // queries silently fall back)
+    (0 until 5).foreach { s =>
+      val expr = graft.functions.LatticeSampleExpr(
+        BoundReference(0, StringType, nullable = true), pcs, lps,
+        alpha = 1.0, seed = 1000L + s)
+      val proj = GenerateUnsafeProjection.generate(Seq(expr))
+      val arr = proj(InternalRow(UTF8String.fromString("ab"))).getArray(0)
+      val got = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      assert(got == leafOnce(1.0, 1000L + s), s"seed $s: codegen differs")
+    }
+    // null word → null
+    val exprN = graft.functions.LatticeSampleExpr(
+      BoundReference(0, StringType, nullable = true), pcs, lps, 1.0, 1L)
+    val projN = GenerateUnsafeProjection.generate(Seq(exprN))
+    assert(projN(InternalRow(null)).isNullAt(0))
+  }
+
   test("property: random corpora match the EM reference exactly") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -140,6 +140,36 @@ class StreamingSeriesSuite extends SparkSpec {
       batchSeries)
   }
 
+  test("attach with compactEvery folds the log inline; series still " +
+      "equals the batch operator") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "ts", "user_id", "value")
+    val batchSeries = TimeSeries.dailySeries(events, "2024-01-01", 30)
+      .as[(Long, Seq[Double])].collect().toMap
+    val root = Files.createTempDirectory("graft-sstore-auto").toString
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = store.attach(
+      in.toDF().toDF("event_id", "ts", "user_id", "value"),
+      s"$root/ckpt", compactEvery = Some(3))
+    val rows = events
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    (0 until 7).foreach { c =>
+      in.addData(rows.filter(_._1 % 7 == c).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // 7 batches with folds at batch 3 and 6 → far fewer than 7
+    // partitions remain, and the series is untouched
+    val parts = new java.io.File(s"$root/store").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .count(_.startsWith("batch_id="))
+    assert(parts < 7, s"auto-compaction never fired: $parts partitions")
+    assert(store.series(spark).as[(Long, Seq[Double])].collect().toMap ==
+      batchSeries, "auto-compaction changed the series")
+  }
+
   test("similarity search over the store equals the registered batch query") {
     val events = spark.read.parquet(s"$sf0001/events.parquet")
       .select("event_id", "ts", "user_id", "value")
