@@ -33,7 +33,9 @@ final case class SegmentInfo(path: String, index: Long, closedAt: Instant,
   * rotates the file on estimated size/age
   * (/root/reference/duck.go:252-295,431-546). Spark-native: each
   * logical table appends parquet under an epoch-stamped segment dir
-  * `prefix_N_yyyy-MM-dd_HH-mm-ss/` (naming parity: duck.go:227-237);
+  * `prefix_yyyy-MM-dd_HH-mm-ss_s<sinkId>_N/` (naming parity:
+  * duck.go:227-237; the sink token disambiguates restarts — see the
+  * field comment);
   * after each micro-batch the dir size (FileSystem.getContentSummary ≈
   * the reference's pragma_database_size probe, duck.go:564-593) and
   * age decide rotation. On rotation: the segment runner executes its
@@ -58,13 +60,22 @@ final class RotatingSegmentSink(
     .withZone(ZoneOffset.UTC)
   private val segIndex = new AtomicLong(0)
   private val segStartMs = new AtomicLong(System.currentTimeMillis())
+  // JVM-unique sink token in every segment path: a RESTARTED pipeline
+  // builds a fresh sink whose segIndex restarts at 0, and the
+  // timestamp half is second-granular — close-then-restart inside one
+  // second made the new sink APPEND into the old segment dir, so the
+  // manifest listed one path twice and readers double-counted
+  // (caught as a parallel-suite flake, round 12). Concurrent drivers
+  // sharing one outputDir across JVMs remain the caller's contract.
+  private val sinkId = RotatingSegmentSink.nextSinkId()
   private val current = new AtomicReference[String](newSegmentPath())
   private val closedQueue = new ConcurrentLinkedQueue[SegmentInfo]()
   private val tablesWritten =
     scala.collection.mutable.LinkedHashSet[String]()
 
   private def newSegmentPath(): String =
-    s"$baseDir/${prefix}_${segIndex.get}_${fmt.format(Instant.now())}"
+    s"$baseDir/${prefix}_${fmt.format(Instant.now())}_s${sinkId}" +
+      s"_${segIndex.get}"
 
   /** Current open segment directory. */
   def currentSegment: String = current.get()
@@ -149,4 +160,10 @@ final class RotatingSegmentSink(
     current.set(newSegmentPath())
     info
   }
+}
+
+object RotatingSegmentSink {
+  private val sinkIds = new AtomicLong(0)
+  /** Monotone per-JVM sink token — see the segment-path comment. */
+  private def nextSinkId(): Long = sinkIds.incrementAndGet()
 }
