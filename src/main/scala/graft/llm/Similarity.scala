@@ -375,29 +375,41 @@ object Similarity {
       centArrs: Seq[Seq[Double]], nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       assignFn: Option[Column => Column] = None): DataFrame = {
-    val nCentroids = centArrs.length
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       // zero-norm clamp (CLAUDE.md invariant) — see bruteForceTopK
       .withColumn("cn", greatest(norm(col("cv")), lit(1e-12)))
-    val cellScores = cellScoresFn(centArrs)
-
     // Corpus-side cell assignment — the O(n·k) term. Default: flat
     // argmax (array_position finds the FIRST max → lowest cid on
     // ties, matching the old Window (cdot desc, cid asc) tie-break;
     // bindOnce: scores are referenced twice). `assignFn` plugs in
     // [[hierarchicalAssignFn]] when k is large (~2√k dots per row).
-    // The QUERY probe below stays flat regardless: top-nProbe needs
-    // the full score vector, and the query side is tiny.
     val cAssigned = c.withColumn("cid",
       assignFn.getOrElse(flatAssignFn(centArrs))(col("cv")))
+    ivfTopKOnAssigned(queries, cAssigned, k, centArrs, nProbe,
+      idCol, vecCol)
+  }
 
+  /** IVF top-k over a PRE-ASSIGNED corpus frame (columns:
+    * `neighbor_id`, `cv: array<double>`, `cn`, `cid`) — the search
+    * half of [[ivfTopKFrom]], split out for callers whose assignment
+    * happened at INGEST time ([[graft.streaming.StreamingVectorIndex]]
+    * stores `cid` as a partition column and file-prunes unprobed
+    * cells before this search ever runs). Identical semantics given
+    * the same centroids (suite-pinned). */
+  def ivfTopKOnAssigned(queries: DataFrame, cAssigned: DataFrame,
+      k: Int, centArrs: Seq[Seq[Double]], nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nCentroids = centArrs.length
+    val cellScores = cellScoresFn(centArrs)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", greatest(norm(col("qv")), lit(1e-12)))
     // Top-nProbe cells per query: sort (−score, cid) structs ascending
     // — score desc, cid asc — and explode the first nProbe. Still
     // map-only (explode fans out nProbe rows per query, no shuffle).
+    // The QUERY probe is always flat: top-nProbe needs the full score
+    // vector, and the query side is tiny.
     val qProbed = q.withColumn("probe",
         explode(graft.functions.ExprUtils.bindOnce(cellScores(col("qv"))) { sc =>
           slice(sort_array(zip_with(sc,
@@ -417,6 +429,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Distinct cell ids a query set probes at `nProbe` (bounded by
+    * nCentroids) — the file-pruning predicate of the streaming vector
+    * index: filter the stored corpus to these PARTITION values before
+    * searching. */
+  def probedCellIds(queries: DataFrame, centArrs: Seq[Seq[Double]],
+      nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Int] = {
+    val nCentroids = centArrs.length
+    val cellScores = cellScoresFn(centArrs)
+    queries.select(col(vecCol).cast("array<double>").as("qv"))
+      .select(explode(graft.functions.ExprUtils
+        .bindOnce(cellScores(col("qv"))) { sc =>
+          slice(sort_array(zip_with(sc,
+            sequence(lit(0), lit(nCentroids - 1)),
+            (score, i) => struct((-score).as("ns"), i.as("cid")))),
+            1, nProbe) }).as("probe"))
+      .select(col("probe.cid").cast("int").as("cid"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
   }
 
   /** Left-to-right squared L2 distance — the PQ building block; same

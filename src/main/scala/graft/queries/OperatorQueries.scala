@@ -287,6 +287,29 @@ object OperatorQueries {
   /** K1/K2/K4+Q1 — whole-pipeline smoke as a batch query: messages →
     * pipeline (munge, decode, rotate-per-batch, runner) → returns the
     * segment manifest. Not SQL-expressible → rows-only check. */
+  // --- op_vec_index_stream (rows-only: the STREAMING IVF vector
+  // index — embeddings ingested in three chunks through
+  // streaming.StreamingVectorIndex (cell-assigned map-only at ingest,
+  // stored PARTITIONED BY cid so top-k probes file-prune unprobed
+  // cells), then searched with the SAME ivfTopKOnAssigned core the
+  // batch family uses. StreamingVectorIndexSuite pins store search ≡
+  // Similarity.ivfTopKFrom on the batch union, replay idempotency,
+  // MemoryStream attach parity, and the cid partition filter in the
+  // executed scan. Construction builds a temp store per call — the
+  // op_pipeline_sink contract.) ------------------------------------------
+  def vecIndexStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vidx").toString
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val cents = graft.llm.Similarity.lowestIdCentroids(e, 16)
+    val idx = graft.streaming.StreamingVectorIndex(s"$root/store", cents)
+    (0 until 3).foreach { c =>
+      idx.processBatch(e.where(col("vec_id") % 3 === c), batchId = c.toLong)
+    }
+    idx.topK(s, col("neighbor_id") < 10, k = 5, nProbe = 4)
+  }
+
   def pipelineSink(s: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.{Decoders, Pipeline, PipelineConfig}
     import graft.sink.RotationPolicy
@@ -772,6 +795,7 @@ object OperatorQueries {
     "op_proto_decode" -> (protoDecode _),
     "op_proto_repeated" -> (protoRepeated _),
     "op_pipeline_sink" -> (pipelineSink _),
+    "op_vec_index_stream" -> (vecIndexStream _),
     "op_mock_source" -> (mockSource _),
     "op_asof_join" -> (asofJoin _),
     "op_asof_join_tol" -> (asofJoinTol _),
