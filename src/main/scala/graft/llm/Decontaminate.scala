@@ -48,6 +48,59 @@ object Decontaminate {
       .where(col("n_shared") >= minShared)
   }
 
+  /** [[contaminated]] with a BLOOM pre-filter — the benchmark-set
+    * scale remedy, output BYTE-IDENTICAL to the exact path (shares
+    * its DuckDB oracle): [[contaminated]] broadcasts the benchmark's
+    * full distinct-fingerprint set (8 bytes/fp plus hash-set
+    * overhead) to every task; when the "benchmark" is itself large —
+    * a heldout split, a multi-benchmark union, a customer
+    * deny-list — that broadcast becomes the bottleneck. Here the
+    * fingerprint set is folded ONCE into a Bloom filter (Spark's own
+    * `BloomFilterAggregate`, ~10 bits/item at the default 3 % FPP)
+    * which rides the task binary as a LITERAL; the corpus side drops
+    * ~all rows MAP-SIDE through `BloomFilterMightContain` (codegen'd,
+    * no-false-negative), and only the surviving candidates — true
+    * hits plus the FPP sliver — pay the exact semi-join that
+    * restores exactness. False positives die in the exact join;
+    * false negatives are impossible; ergo output ≡ [[contaminated]]
+    * (suite-pinned at both SFs, and `llm_decontaminate_bloom` runs
+    * the SAME oracle text as `llm_decontaminate`).
+    *
+    * Driver-side materialization: one count + one bloom binary
+    * (benchmark-bounded — the dropHotKeys-style documented collect).
+    * The bloom literal makes query construction eager on the
+    * BENCHMARK side only (the bpe_train construction contract). */
+  def contaminatedBloom(docs: DataFrame, benchmark: DataFrame,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val benchFps = benchmark
+      .select(explode_outer(
+        TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .where(col("fp").isNotNull)
+      .distinct()
+    val nBench = math.max(benchFps.count(), 1L)
+    val bloomBytes = benchFps.agg(ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(ColumnBridge.expression(col("fp")), nBench)
+          .toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(col("fp"))))
+    val docFps = docs.select(col(idCol),
+      explode_outer(TextAnalysis.winnowFingerprints(col(textCol), k, w))
+        .as("fp"))
+      .where(col("fp").isNotNull)
+      .where(mightContain) // map-side: ~all corpus rows die here
+    docFps.join(broadcast(benchFps), Seq("fp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Benchmark-side contamination REPORT — the transpose of
     * [[contaminated]]: for every benchmark document, how many
     * training docs share at least `minShared` distinct winnow

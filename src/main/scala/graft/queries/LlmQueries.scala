@@ -1781,6 +1781,20 @@ object LlmQueries {
        |FROM c_fp JOIN b_fp USING (fp)
        |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin
 
+  // --- llm_decontaminate_bloom (FULLY ORACLED — byte-identical to
+  // llm_decontaminate by construction: the Bloom filter only
+  // PRE-FILTERS map-side (no false negatives) and the exact semi-join
+  // kills the FPP sliver, so this query runs the SAME oracle text.
+  // The twin exists for the large-benchmark regime where broadcasting
+  // the full fingerprint set is the bottleneck: ~10 bits/item ride
+  // the task binary instead.) --------------------------------------------
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Decontaminate.contaminatedBloom(
+      docsWithNearDups(s, dir),
+      docs(s, dir).where(col("doc_id") % 13 === 0).select("doc_id", "text"),
+      minShared = 2)
+      .orderBy("doc_id")
+
   // --- llm_contamination_report -------------------------------------------
   /** Benchmark-side contamination report
     * ([[graft.llm.Decontaminate.contaminationReport]]): per benchmark
@@ -2777,6 +2791,7 @@ object LlmQueries {
     "llm_curation" -> (curation _),
     "llm_winnow" -> (winnow _),
     "llm_decontaminate" -> (decontaminate _),
+    "llm_decontaminate_bloom" -> (decontaminateBloom _),
     "llm_contamination_report" -> (contaminationReport _),
     "llm_sample_mix" -> (sampleMix _),
     "llm_sample_score" -> (sampleScore _),
@@ -2832,6 +2847,9 @@ object LlmQueries {
     "llm_curation" -> curationSql,
     "llm_winnow" -> winnowSql,
     "llm_decontaminate" -> decontaminateSql,
+    // the bloom twin is exact by construction — ONE oracle text for
+    // both (fix both or neither)
+    "llm_decontaminate_bloom" -> decontaminateSql,
     "llm_contamination_report" -> contaminationReportSql,
     "llm_sample_mix" -> sampleMixSql,
     "llm_sample_score" -> sampleScoreSql,

@@ -972,6 +972,21 @@ class LlmSuite extends SparkSpec {
     assert(out.length.toLong == keptDistinct)
   }
 
+  test("bloom-prefiltered decontaminate is byte-identical to the exact " +
+      "path at both SFs") {
+    // the Bloom pre-filter has no false negatives and the exact
+    // semi-join kills the FPP sliver — output must EQUAL the exact
+    // operator row-for-row (the shared-oracle contract)
+    Seq(sf0001, sf01).foreach { dir =>
+      val exact = LlmQueries.decontaminate(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      val bloom = LlmQueries.decontaminateBloom(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      assert(exact.nonEmpty && bloom == exact,
+        s"$dir: bloom twin diverged (${bloom.size} vs ${exact.size})")
+    }
+  }
+
   test("decontaminate flags benchmark docs and their planted near-copies") {
     val flagged = LlmQueries.decontaminate(spark, sf0001)
       .select("doc_id").as[Long].collect().toSet
