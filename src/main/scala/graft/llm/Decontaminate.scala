@@ -154,12 +154,19 @@ object Decontaminate {
   def clean(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4, w: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text",
-      flagFrom: Option[DataFrame] = None): DataFrame =
-    docs.join(
-      contaminated(flagFrom.getOrElse(docs), benchmark, k, w, minShared,
-        idCol, textCol)
-        .select(idCol),
-      Seq(idCol), "left_anti")
+      flagFrom: Option[DataFrame] = None,
+      bloom: Boolean = false): DataFrame = {
+    // `bloom = true` swaps the flag stage for [[contaminatedBloom]] —
+    // the large-benchmark regime; flags (and therefore output) are
+    // byte-identical by that method's exactness contract
+    // (suite-pinned), so the choice is purely a cost-model knob.
+    val flag =
+      if (bloom) contaminatedBloom(flagFrom.getOrElse(docs), benchmark,
+        k, w, minShared, idCol, textCol)
+      else contaminated(flagFrom.getOrElse(docs), benchmark, k, w,
+        minShared, idCol, textCol)
+    docs.join(flag.select(idCol), Seq(idCol), "left_anti")
+  }
 
   /** Span-based decontamination — cut, don't drop: excise the
     * benchmark-contaminated PASSAGES from each document and keep its

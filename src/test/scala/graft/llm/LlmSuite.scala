@@ -1008,10 +1008,15 @@ class LlmSuite extends SparkSpec {
       s"near-copies ${caught.size}/${copies.size}")
     // clean() = corpus minus exactly the flagged rows
     val corpus = LlmQueries.docsWithNearDups(spark, sf0001)
-    val clean = Decontaminate.clean(corpus,
-      spark.read.parquet(s"$sf0001/documents.parquet")
-        .where(col("doc_id") % 13 === 0).select("doc_id", "text"))
+    val bench = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 13 === 0).select("doc_id", "text")
+    val clean = Decontaminate.clean(corpus, bench)
     assert(clean.count() == corpus.count() - flagged.size)
+    // the bloom flag stage yields the identical clean corpus
+    val cleanBloom = Decontaminate.clean(corpus, bench, bloom = true)
+    assert(cleanBloom.select("doc_id").as[Long].collect().sorted.toSeq ==
+      clean.select("doc_id").as[Long].collect().sorted.toSeq,
+      "bloom clean() diverged from the exact path")
   }
 
   test("clean with flagFrom superset is row-identical to self-flagging") {
