@@ -198,11 +198,17 @@ object Decontaminate {
   def cutContaminated(docs: DataFrame, benchmark: DataFrame,
       k: Int = 4, w: Int = 4, minShared: Int = 2, spanK: Int = 8,
       minTokens: Int = 16, maxDf: Int = 1000,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val flagged = docs.join(
-      contaminated(docs, benchmark, k, w, minShared, idCol, textCol)
-        .select(idCol),
-      Seq(idCol), "left_semi")
+      idCol: String = "doc_id", textCol: String = "text",
+      bloom: Boolean = false): DataFrame = {
+    // bloom = true swaps the flag stage for [[contaminatedBloom]]
+    // (flags byte-identical by its exactness contract, so the cut
+    // output is too — suite-pinned); the span-locate stage is
+    // unaffected either way.
+    val flag =
+      if (bloom) contaminatedBloom(docs, benchmark, k, w, minShared,
+        idCol, textCol)
+      else contaminated(docs, benchmark, k, w, minShared, idCol, textCol)
+    val flagged = docs.join(flag.select(idCol), Seq(idCol), "left_semi")
     val spans = Dedup.duplicateSpansAgainst(flagged, benchmark,
       idCol, textCol, spanK, minTokens, maxDf)
     Dedup.cutSpans(docs, spans, idCol, textCol)

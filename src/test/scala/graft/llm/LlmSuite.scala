@@ -190,6 +190,16 @@ class LlmSuite extends SparkSpec {
       .select("doc_id", "text_cut", "n_removed")
       .as[(Long, String, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
+    // the bloom flag stage yields the identical cut corpus
+    val bench0 = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 13 === 0).select("doc_id", "text")
+    val outBloom = Decontaminate.cutContaminated(
+        LlmQueries.docsWithContamTwins(spark, sf0001), bench0,
+        bloom = true)
+      .select("doc_id", "text_cut", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(outBloom == out, "bloom cutContaminated diverged")
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val benchTokens = docs.where(col("doc_id") % 13 === 0)
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n"))
