@@ -327,10 +327,22 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                   case _ => None
                 }
               }
-            val ov = (for {
-              (ls, re, t1) <- ineqs if t1
-              (le, rs, t2) <- ineqs if !t2
-            } yield (ls, le, rs, re)).headOption
+            // Pairing safety (round-12 ADVICE): with MORE than one
+            // inequality per orientation (a 2D box intersection:
+            // l.xlo≤r.xhi ∧ r.xlo≤l.xhi ∧ l.ylo≤r.yhi ∧ r.ylo≤l.yhi)
+            // a first-match pairing can couple the x low-bound with
+            // the y high-bound; the derived [ls,le]/[rs,re] intervals
+            // then mix axes, the non-empty filter compares bounds of
+            // unrelated axes, and genuinely matching rows drop — wrong
+            // results even on well-formed intervals. The condition
+            // gives no way to know which bounds form an axis, so the
+            // rewrite fires ONLY when the pairing is unambiguous:
+            // exactly one cross-side inequality of each orientation.
+            val ov = (ineqs.filter(_._3), ineqs.filterNot(_._3)) match {
+              case (Seq((ls, re, _)), Seq((le, rs, _))) =>
+                Some((ls, le, rs, re))
+              case _ => None
+            }
             ov match {
               case Some((ls, le, rs, re)) =>
                 val (lGen, lAttr) = bucketed(left, ls, le, "__graft_lbkt")

@@ -421,6 +421,55 @@ class ContainmentJoinRuleSuite extends SparkSpec {
   private def collectPairs(df: DataFrame): Set[(Long, Long)] =
     df.select("lid", "rid").as[(Long, Long)].collect().toSet
 
+  test("overlap pairing ambiguity: 2D box intersection bails instead of " +
+      "mixing axes (round-12 ADVICE)") {
+    // Two overlap patterns in ONE inner join — a 2D box intersection.
+    // With interleaved conjunct order, first-match pairing coupled the
+    // x low-bound with the y high-bound: the derived intervals mixed
+    // axes and the non-empty filter silently dropped every genuinely
+    // matching box, even though each real interval IS well-formed.
+    // The fix fires only on exactly one inequality per orientation, so
+    // this plan must stay untouched and the results exact.
+    val boxesL = Seq(
+      (1L, 0L, 10L, 0L, 10L),      // overlaps rid=11 in both axes
+      (2L, 20L, 30L, 100L, 200L),  // x overlaps 11, y only 12
+      (3L, -50L, -40L, 5L, 8L))    // x misses both
+      .toDF("lid", "xlo", "xhi", "ylo", "yhi")
+    val boxesR = Seq(
+      (11L, 5L, 25L, 2L, 12L),
+      (12L, 18L, 60L, 150L, 260L))
+      .toDF("rid", "rxlo", "rxhi", "rylo", "ryhi")
+    // interleaved order — the exact shape from the ADVICE finding
+    val cond = col("xlo") <= col("rxhi") && col("rylo") <= col("yhi") &&
+      col("rxlo") <= col("xhi") && col("ylo") <= col("ryhi")
+    val expected = boxesL.join(boxesR, cond).select("lid", "rid")
+      .as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 11L), (2L, 12L)),
+      s"fixture assumption: $expected")
+    withRule {
+      spark.conf.set("spark.graft.rangeJoin.assumeWellFormedIntervals",
+        "true")
+      try {
+        val df = boxesL.join(boxesR, cond)
+        val plan = df.queryExecution.executedPlan.toString()
+        assert(!plan.contains("__graft_lbkt"),
+          s"ambiguous 2-axis overlap must not rewrite:\n$plan")
+        assert(df.select("lid", "rid").as[(Long, Long)].collect().toSet ==
+          expected, "2D box join results changed")
+        // consistent conjunct order is equally ambiguous to the rule —
+        // it cannot know which bounds form an axis — so it bails too
+        val ordered = boxesL.join(boxesR,
+          col("xlo") <= col("rxhi") && col("rxlo") <= col("xhi") &&
+            col("ylo") <= col("ryhi") && col("rylo") <= col("yhi"))
+        assert(!ordered.queryExecution.executedPlan.toString()
+          .contains("__graft_lbkt"))
+        assert(ordered.select("lid", "rid").as[(Long, Long)]
+          .collect().toSet == expected)
+      } finally spark.conf.unset(
+        "spark.graft.rangeJoin.assumeWellFormedIntervals")
+    }
+  }
+
   test("SQL surface: BETWEEN in a spark.sql join rewrites too") {
     // BETWEEN parses to the GreaterThanOrEqual/LessThanOrEqual
     // conjunct pair, so the SQL-writing user gets the same rewrite.
