@@ -60,11 +60,20 @@ object Decontaminate {
     * which rides the task binary as a LITERAL; the corpus side drops
     * ~all rows MAP-SIDE through `BloomFilterMightContain` (codegen'd,
     * no-false-negative), and only the surviving candidates — true
-    * hits plus the FPP sliver — pay the exact semi-join that
-    * restores exactness. False positives die in the exact join;
-    * false negatives are impossible; ergo output ≡ [[contaminated]]
+    * hits plus the FPP sliver — pay the exact join that restores
+    * exactness. False positives die in the exact join; false
+    * negatives are impossible; ergo output ≡ [[contaminated]]
     * (suite-pinned at both SFs, and `llm_decontaminate_bloom` runs
     * the SAME oracle text as `llm_decontaminate`).
+    *
+    * The exactness join carries NO broadcast hint (round-12 ADVICE:
+    * hinting `benchFps` would re-broadcast the very set the bloom
+    * exists to avoid shipping) — after the map-side cull the
+    * SURVIVING corpus side is the small relation, so AQE broadcasts
+    * that side in the large-benchmark regime and either side at
+    * fixture scale; both produce identical rows. The bloom's win is
+    * the map-side probe reduction plus freeing the join's build side
+    * to be whichever relation is actually smaller.
     *
     * Driver-side materialization: one count + one bloom binary
     * (benchmark-bounded — the dropHotKeys-style documented collect).
@@ -95,7 +104,7 @@ object Decontaminate {
         .as("fp"))
       .where(col("fp").isNotNull)
       .where(mightContain) // map-side: ~all corpus rows die here
-    docFps.join(broadcast(benchFps), Seq("fp"))
+    docFps.join(benchFps, Seq("fp"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

@@ -116,9 +116,8 @@ final case class StreamingSeriesStore(storeDir: String,
       .agg(sum("__v").as("__v"))
     val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
     summed.write.mode("overwrite").parquet(tmp.toString)
-    fold.foreach { case (p, _) => fs.delete(p, true) }
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
-    ()
+    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
+      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
   }
 
   /** Top-k correlated entities over the CURRENT store state. */

@@ -122,9 +122,8 @@ final case class StreamingVectorIndex(storeDir: String,
     val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
     folded.write.mode("overwrite").partitionBy("cid")
       .parquet(tmp.toString)
-    fold.foreach { case (p, _) => fs.delete(p, true) }
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
-    ()
+    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
+      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
   }
 
   /** Wire onto a streaming DataFrame of (id, vector) rows. */

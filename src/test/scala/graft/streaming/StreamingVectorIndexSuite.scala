@@ -105,6 +105,42 @@ class StreamingVectorIndexSuite extends SparkSpec {
     assert(replayed == before)
   }
 
+  test("CompactSwap checks filesystem booleans: stale target cleared, " +
+      "rename-false surfaces instead of losing the snapshot") {
+    // round-12 ADVICE: fs.delete/rename report failure by RETURN VALUE
+    // — HDFS rename returns false when the destination exists, and the
+    // old swallow lost the folded snapshot silently.
+    import org.apache.hadoop.fs.Path
+    val root = new Path(
+      Files.createTempDirectory("graft-swap").toString)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def mkDirWithMarker(name: String, marker: String): Path = {
+      val p = new Path(root, name)
+      fs.mkdirs(p)
+      fs.create(new Path(p, marker)).close()
+      p
+    }
+    val tmp = mkDirWithMarker(".compact_tmp", "snapshot_file")
+    val folded = mkDirWithMarker("batch_id=0", "old_part")
+    // a stale target from a previous partially-failed compaction — the
+    // exact HDFS rename-returns-false trigger
+    val dest = mkDirWithMarker("batch_id=0_stale_twin", "stale_file")
+    CompactSwap.swap(fs, Seq(folded), tmp, dest)
+    assert(!fs.exists(folded), "folded partition not deleted")
+    assert(fs.exists(new Path(dest, "snapshot_file")),
+      "snapshot did not land at the target")
+    assert(!fs.exists(new Path(dest, "stale_file")),
+      "stale target content survived the swap")
+    assert(!fs.exists(tmp), "staging dir left behind after a clean swap")
+    // rename failure (missing staging dir) must throw with the staging
+    // path, never return silently
+    val err = intercept[java.io.IOException](
+      CompactSwap.swap(fs, Nil, new Path(root, ".missing_tmp"),
+        new Path(root, "batch_id=9")))
+    assert(err.getMessage.contains(".missing_tmp"),
+      s"unactionable message: ${err.getMessage}")
+  }
+
   test("attach: MemoryStream ingest equals the batch operator") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>")
