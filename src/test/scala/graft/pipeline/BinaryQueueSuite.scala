@@ -14,6 +14,14 @@ import graft.sources.{BinaryQueue, BinaryQueueSource}
   * the full pipeline, offsets resuming across restart from the
   * checkpoint, maxOffsetsPerTrigger admission, and torn-tail-frame
   * tolerance. */
+/** A local filesystem under a scheme NO default Configuration knows —
+  * resolvable only where the session's `spark.hadoop.fs.graftq.impl`
+  * arrives (the Spark test-suite fake-scheme idiom). */
+class GraftqTestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftq"
+  override def getUri: java.net.URI = java.net.URI.create("graftq:///")
+}
+
 class BinaryQueueSuite extends SparkSpec {
   import spark.implicits._
 
@@ -111,6 +119,101 @@ class BinaryQueueSuite extends SparkSpec {
     assert(seen.length == 1)
     assert(seen.head._1.toSeq == msg(7L)._1.toSeq, "payload bytes differ")
     assert(seen.head._2.getTime == 1700000000007L, "timestamp differs")
+  }
+
+  test("sidecar frame index: latestOffset walks only the suffix past " +
+      "the checkpoint; torn frames and stale sidecars stay exact") {
+    // round-12 verdict task: the full frame-walk was the codebase's
+    // one driver-side O(data-size) loop. The corrupt-the-prefix trick
+    // PROVES suffix-only reads: bytes before the checkpoint become
+    // garbage a full walk would misparse, so a correct count is only
+    // reachable by seeking past them.
+    val root = Files.createTempDirectory("graft-binq-idx").toString
+    val dir = s"$root/queue"
+    BinaryQueue.append(dir, 0, (0L until 200L).map(msg))
+    val log = new org.apache.hadoop.fs.Path(s"$dir/p0.log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val len1 = fs.getFileStatus(log).getLen
+    // below the refresh threshold: full walk, no sidecar written
+    assert(BinaryQueue.countFrames(fs, log, len1, Long.MaxValue) == 200L)
+    assert(!fs.exists(BinaryQueue.indexPath(log)))
+    // threshold 1 byte: the walk checkpoints the tail
+    assert(BinaryQueue.countFrames(fs, log, len1, 1L) == 200L)
+    val (n0, pos0) = BinaryQueue.readIndex(fs, log, len1)
+    assert(n0 == 200L && pos0 == len1, s"bad checkpoint ($n0, $pos0)")
+    // new frames + a torn tail AFTER the index point
+    BinaryQueue.append(dir, 0, (200L until 250L).map(msg))
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(
+      new java.io.File(s"$dir/p0.log"), true))
+    out.writeInt(100); out.writeLong(123L); out.write(Array[Byte](1, 2))
+    out.close()
+    val len2 = fs.getFileStatus(log).getLen
+    // indexed count ≡ the full walk (sidecar deleted) on intact bytes
+    assert(BinaryQueue.countFrames(fs, log, len2) == 250L)
+    fs.delete(BinaryQueue.indexPath(log), false)
+    assert(BinaryQueue.countFrames(fs, log, len2) == 250L,
+      "indexed and full walks disagree")
+    // re-checkpoint at 250 whole frames, then corrupt every byte
+    // BEFORE the checkpoint — only a suffix-only walk stays correct
+    assert(BinaryQueue.countFrames(fs, log, len2, 1L) == 250L)
+    val (n1, pos1) = BinaryQueue.readIndex(fs, log, len2)
+    val raf = new java.io.RandomAccessFile(s"$dir/p0.log", "rw")
+    raf.write(Array.fill[Byte](pos1.toInt)(-1))
+    raf.close()
+    assert(BinaryQueue.countFrames(fs, log, len2) == 250L,
+      "count read bytes before the checkpoint")
+    // a garbage sidecar must fall back to the full walk, not corrupt
+    // counts (fresh partition with intact bytes)
+    BinaryQueue.append(dir, 1, (0L until 7L).map(msg))
+    val log1 = new org.apache.hadoop.fs.Path(s"$dir/p1.log")
+    val g = fs.create(BinaryQueue.indexPath(log1), true)
+    g.write(Array[Byte](9, 9, 9)); g.close()
+    val len3 = fs.getFileStatus(log1).getLen
+    assert(BinaryQueue.countFrames(fs, log1, len3) == 7L,
+      "torn sidecar corrupted the count")
+    // a checkpoint beyond the file length (structurally impossible on
+    // an append-only log) is rejected, not trusted
+    val b = fs.create(BinaryQueue.indexPath(log1), true)
+    b.writeLong(999L); b.writeLong(len3 + 1000L); b.close()
+    assert(BinaryQueue.countFrames(fs, log1, len3) == 7L,
+      "stale-ahead sidecar corrupted the count")
+  }
+
+  test("session Hadoop conf reaches the executor-side readers: a " +
+      "custom fs.<scheme>.impl set ONLY on the session resolves") {
+    // round-12 verdict finding: readers built `new Configuration()` on
+    // the executor, so session-set Hadoop options (s3a credentials,
+    // endpoints, custom schemes) silently never reached the read path.
+    // The graftq: scheme below exists ONLY in the session conf — the
+    // negative control proves a default Configuration cannot resolve
+    // it, so the stream completing pins the SerializableConfiguration
+    // propagation end-to-end (driver listing AND executor read).
+    val root = Files.createTempDirectory("graft-binq-conf").toString
+    val dir = s"$root/queue"
+    BinaryQueue.append(dir, 0, (0L until 6L).map(msg))
+    intercept[Exception](new org.apache.hadoop.fs.Path(s"graftq:$dir")
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .exists(new org.apache.hadoop.fs.Path(s"graftq:$dir")))
+    // runtime session confs are copied VERBATIM into newHadoopConf(),
+    // so the raw hadoop key is the session-scoped knob (the Spark
+    // test-suite idiom; spark.hadoop.* is the STATIC SparkConf prefix)
+    spark.conf.set("fs.graftq.impl",
+      classOf[GraftqTestFileSystem].getName)
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val df = spark.readStream.format("graft-binqueue")
+        .option("path", s"graftq:$dir").load()
+      val q = df.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= Seq(b.count())
+          ()
+        }.start()
+      q.processAllAvailable()
+      q.stop()
+      assert(seen.sum == 6,
+        s"session-conf scheme read the wrong record count: $seen")
+    } finally spark.conf.unset("fs.graftq.impl")
   }
 
   test("short-name registration and torn tail frames: only whole " +
