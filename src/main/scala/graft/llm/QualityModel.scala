@@ -102,64 +102,105 @@ object QualityModel {
     lmFeaturesFrom(df, lmCounts(lm, textCol), idCol, textCol)
 
   /** The trained LM as count tables — built once, consumed by every
-    * [[lmFeaturesFrom]] evaluation. Deliberately NOT persisted:
-    * the fused fit references these identical subtrees from both class
-    * branches of one plan, and Spark's exchange reuse already dedupes
-    * them there — caching them instead MEASURED SLOWER (sf0.1 fit 6.5
-    * → 7.9 s, FuseCostProbe: the InMemoryRelation adds materialization
-    * barriers and buys nothing the reused exchange wasn't providing). */
-  private[llm] final case class LmCounts(tf: DataFrame, tTot: DataFrame,
-      c2: DataFrame, c1: DataFrame, bTot: DataFrame)
+    * [[lmFeaturesFrom]] evaluation.
+    *
+    * Round-13 tokenize-once restructure (the round-12 verdict's open
+    * lever): unigram and bigram counts come from ONE tagged-term pass
+    * (`all`: kind 0 = token, 1 = bigram), not separate token/bigram
+    * explodes — the expensive tokenization runs once per text pass
+    * instead of twice (final plan: 12 shuffle stages → 7, LmPlanProbe)
+    * — and `c1`/`totals` derive from `all`'s aggregate WITHOUT a kind
+    * filter (a filter on the grouping column would push below the
+    * aggregate and re-run the explode). `c1` therefore also carries
+    * kind-0 "context" sums — harmless rows the per-kind conditional
+    * aggregation never reads.
+    *
+    * Materialization is CALLER-CHOSEN (`materialize` on [[lmCounts]]):
+    * column pruning specializes each of `all`'s three consumers, so
+    * NO exchange/stage reuse fires between them (measured, LmPlanProbe
+    * — revising the round-10 "exchange reuse already dedupes" claim)
+    * and a lazy `all` recomputes its explode per consumer. The fused
+    * FIT evaluates the LM side ~3× (two class branches + scoring), so
+    * [[fitFused]]/[[trainScoreFused]] pass `materialize = true`: an
+    * eager `localCheckpoint` (vocab-sized, ContextCleaner-managed — no
+    * unpersist hook exists for the lazily-scored output) runs the
+    * explode once. Measured at sf0.1 (LmCacheProbe, same-session
+    * arms): trainScoreFused ~9.7 → ~6.9 s; the round-10 InMemoryRelation
+    * persist of the OLD two-table layout stays retired (it measured
+    * slower then; plain persist also loses to ckpt here, 7.9 vs 6.9).
+    * Single-evaluation paths ([[lmFeatures]], [[scoreWithFused]]) stay
+    * lazy — the eager job costs more than it saves there (1.7 → 2.2
+    * s measured). */
+  private[llm] final case class LmCounts(all: DataFrame, c1: DataFrame,
+      totals: DataFrame)
 
-  private def toks(d: DataFrame, textCol: String, idCols: Seq[Column]) =
-    d.select(idCols :+ explode_outer(
-        TextAnalysis.tokens(col(textCol))).as("tok"): _*)
-      .where(col("tok").isNotNull)
-
-  private def bigrams(d: DataFrame, textCol: String, idCols: Seq[Column]) =
+  /** One row per token occurrence (kind 0) AND bigram occurrence
+    * (kind 1) — the single text pass both LM feature families derive
+    * from. */
+  private def taggedTerms(d: DataFrame, textCol: String,
+      idCols: Seq[Column]) =
     d.select(idCols :+ explode_outer(graft.functions.ExprUtils.bindOnce(
         TextAnalysis.tokens(col(textCol))) { t =>
-        when(size(t) >= 2,
+        val tokStructs = transform(t,
+          x => struct(lit(0).as("kind"), x.as("term")))
+        val bgStructs = when(size(t) >= 2,
           zip_with(slice(t, lit(1), size(t) - 1),
             slice(t, lit(2), size(t) - 1),
-            (a, b) => concat(a, lit(" "), b)))
-      }).as("bg"): _*)
-      .where(col("bg").isNotNull)
+            (a, b) => struct(lit(1).as("kind"),
+              concat(a, lit(" "), b).as("term"))))
+        // coalesce to an EMPTY array of the same struct type (concat
+        // with a null array nulls the whole result, dropping the
+        // doc's tokens with it)
+        concat(tokStructs, coalesce(bgStructs,
+          slice(tokStructs, lit(1), lit(0))))
+      }).as("kt"): _*)
+      .where(col("kt").isNotNull)
+      .select(idCols :+ col("kt.kind").as("kind") :+
+        col("kt.term").as("term"): _*)
 
-  private[llm] def lmCounts(lm: DataFrame, textCol: String = "text")
-      : LmCounts = {
-    val tf = toks(lm, textCol, Nil).groupBy("tok")
-      .agg(count(lit(1)).as("tf"))
-    val c2 = bigrams(lm, textCol, Nil).groupBy("bg")
-      .agg(count(lit(1)).as("c2"))
-    val c1 = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
-      .groupBy("ctx").agg(sum("c2").as("c1"))
-    LmCounts(tf, tf.agg(sum("tf").cast("double").as("t_total")),
-      c2, c1, c2.agg(sum("c2").cast("double").as("b_total")))
+  private[llm] def lmCounts(lm: DataFrame, textCol: String = "text",
+      materialize: Boolean = false): LmCounts = {
+    val all0 = taggedTerms(lm, textCol, Nil).groupBy("kind", "term")
+      .agg(count(lit(1)).as("lm_cnt"))
+    // materialize ⇒ one eager construction-time job (the bpe_train /
+    // dropHotKeys contract — the fused fit is construction-eager
+    // anyway, so this adds no new caller obligation)
+    val all = if (materialize) all0.localCheckpoint(true) else all0
+    // no kind filter anywhere below `all` — see the LmCounts scaladoc
+    val c1 = all
+      .withColumn("ctx", substring_index(col("term"), " ", 1))
+      .groupBy("kind", "ctx").agg(sum("lm_cnt").as("c1"))
+    val totals = all.groupBy("kind")
+      .agg(sum("lm_cnt").cast("double").as("tot"))
+    LmCounts(all, c1, totals)
   }
 
   private[llm] def lmFeaturesFrom(df: DataFrame, lm: LmCounts,
       idCol: String, textCol: String): DataFrame = {
-    val uni = toks(df, textCol, Seq(col(idCol)))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-      .join(lm.tf, Seq("tok"), "left")
-      .crossJoin(broadcast(lm.tTot))
+    // one doc-side pass: per-(doc, kind, term) counts join the LM
+    // tables on (kind, …), then ONE groupBy(id) computes both
+    // features via per-kind conditional sums. A single-token doc has
+    // no kind-1 rows, so its bigram sums aggregate to null and floor
+    // below — same as the old missing-row left join.
+    val lp = taggedTerms(df, textCol, Seq(col(idCol)))
+      .groupBy(col(idCol), col("kind"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(lm.all, Seq("kind", "term"), "left")
+      .withColumn("ctx", substring_index(col("term"), " ", 1))
+      .join(lm.c1, Seq("kind", "ctx"), "left")
+      .join(broadcast(lm.totals), Seq("kind"), "left")
       .groupBy(col(idCol))
-      .agg(round(
-        sum(col("cnt") * log(coalesce(col("tf").cast("double"), lit(0.5))
-          / col("t_total"))) / sum(col("cnt")), 4).as("unigram_lp"))
-    val bi = bigrams(df, textCol, Seq(col(idCol)))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
-      .withColumn("ctx", substring_index(col("bg"), " ", 1))
-      .join(lm.c2, Seq("bg"), "left").join(lm.c1, Seq("ctx"), "left")
-      .crossJoin(broadcast(lm.bTot))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("cnt") *
-          when(col("c2").isNull, log(lit(0.5) / col("b_total")))
-            .otherwise(log(col("c2").cast("double") / col("c1"))))
-        / sum(col("cnt")), 4).as("bigram_lp"))
+      .agg(
+        round(sum(when(col("kind") === 0, col("cnt") *
+            log(coalesce(col("lm_cnt").cast("double"), lit(0.5))
+              / col("tot"))))
+          / sum(when(col("kind") === 0, col("cnt"))), 4).as("unigram_lp"),
+        round(sum(when(col("kind") === 1, col("cnt") *
+            when(col("lm_cnt").isNull, log(lit(0.5) / col("tot")))
+              .otherwise(log(col("lm_cnt").cast("double") / col("c1")))))
+          / sum(when(col("kind") === 1, col("cnt"))), 4).as("bigram_lp"))
     df.select(col(idCol))
-      .join(uni, Seq(idCol), "left").join(bi, Seq(idCol), "left")
+      .join(lp, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("unigram_lp"), lit(LmFloor)).as("unigram_lp"),
         coalesce(col("bigram_lp"), lit(LmFloor)).as("bigram_lp"))
@@ -196,7 +237,8 @@ object QualityModel {
   def fitFused(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       corruptFn: Column => Column = corrupt): Model =
-    fitFusedWith(df, lmCounts(df.select(col(textCol)), textCol),
+    fitFusedWith(df,
+      lmCounts(df.select(col(textCol)), textCol, materialize = true),
       idCol, textCol, corruptFn)
 
   private def fitFusedWith(df: DataFrame, lm: LmCounts, idCol: String,
@@ -269,7 +311,8 @@ object QualityModel {
   /** [[trainScore]] with the fused (base + corpus-LM) feature family. */
   def trainScoreFused(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val lm = lmCounts(df.select(col(textCol)), textCol)
+    val lm = lmCounts(df.select(col(textCol)), textCol,
+      materialize = true)
     val model = fitFusedWith(df, lm, idCol, textCol, corrupt)
     scoreWithFusedFrom(df, lm, model, idCol, textCol)
   }

@@ -55,15 +55,17 @@ class PlanQualitySuite extends SparkSpec {
     // so the corpus never shuffles.
     // llm_pagerank's final mean-1 normalization crosses the one-row
     // vertex-count aggregate into the rank vector — the same shape.
-    // llm_quality_model_lm's TWO nested loops are both scalar-subquery
-    // shapes: the LM features cross the one-row token total and the
-    // one-row bigram total into pre-collapsed count rows.
+    // llm_quality_model_lm lost its whitelist slot in round 13: the
+    // tokenize-once LM restructure joins the per-kind totals as a
+    // broadcast equi-join on `kind` (a 2-row table) instead of
+    // crossing two one-row totals, so the plan has no nested loop to
+    // exempt any more.
     // op_ts_topk is bruteForceTopK over per-user series — the ANN
     // shape with user_id as the tiny filtered query side.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
-      "llm_ann_pq", "llm_pagerank", "llm_quality_model_lm", "op_ts_topk")
-    val maxLoops = Map("llm_quality_model_lm" -> 2).withDefaultValue(1)
+      "llm_ann_pq", "llm_pagerank", "op_ts_topk")
+    val maxLoops = Map[String, Int]().withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
