@@ -49,6 +49,12 @@ object Unigram {
     * never hits it (every dictionary character is in the seed). */
   val UnkLp: Double = -1e4
 
+  /** EM rounds actually run by the last [[trainModelEm]] call on this
+    * thread's driver — test instrumentation for the convergence stop
+    * (UnigramSuite pins fewer-than-cap rounds on a fast-converging
+    * corpus). Not part of the API contract. */
+  @volatile private[graft] var lastEmRounds: Int = 0
+
   /** The trained model driver-side: (piece, count, logprob), ordered
     * (count desc, piece asc) — the form the encode path consumes. */
   def trainModel(df: DataFrame, vocabSize: Int = 60, seedSize: Int = 500,
@@ -179,9 +185,12 @@ object Unigram {
     *    characters (coverage, never prunable — a char's removal can
     *    make words unsegmentable, loss = ∞).
     *
-    * Seeding, the character floor, refresh semantics, nIter and the
-    * final count-pass-under-the-pruned-model all match [[trainModel]],
-    * so the two trainers differ EXACTLY in the two restored steps.
+    * Seeding, the character floor, refresh semantics, the nIter CAP
+    * and the final count-pass-under-the-pruned-model all match
+    * [[trainModel]], so the two trainers differ EXACTLY in the two
+    * restored steps — plus a free convergence stop: the loop ends
+    * early at an EXACT count fixpoint (see the loop comment), which
+    * by construction cannot change the returned model.
     * Zero-count floor: a never-used piece is charged half a count in
     * the CURRENT count unit (0.5 × unit — seed counts are raw units,
     * post-E-step counts are micro-units; the ratio to total is what
@@ -249,14 +258,31 @@ object Unigram {
         }
       }
 
+    // Convergence stop (round-13): the E-step is deterministic and its
+    // expected counts are QUANTIZED LONGS already on the driver, so an
+    // exact fixpoint is detectable for free — if a round reproduces
+    // the previous round's vocab (same counts, same count unit), every
+    // remaining round is a bit-identical no-op and the loop stops.
+    // Stopping at the exact fixpoint cannot change the output (the
+    // skipped rounds would have produced the same model), so the
+    // bitwise reference pins hold with no tolerance knob; nIter stays
+    // the cap. Corpus LL delta was considered and rejected as the
+    // criterion: lnZ needs a second aggregation job per round, while
+    // count stationarity is exactly LL stationarity here (same
+    // parameters ⇒ same marginals) at zero cost.
     var it = 0
-    while (it < nIter) {
+    var converged = false
+    while (it < nIter && !converged) {
       val counts = marginalPass(vocab)
+      val prev = vocab
+      val prevUnit = unit
       vocab = refresh(counts, vocab)
       unit = graft.functions.LatticeMarginalsExpr.QuantScale
       total = vocab.iterator.map(_._2).sum
+      converged = prevUnit == unit && vocab == prev
       it += 1
     }
+    lastEmRounds = it
 
     // Likelihood-loss prune (driver-side: the vocabulary is ≤ seed
     // size). Singles are exempt — coverage overrides the cap.

@@ -169,6 +169,30 @@ class UnigramSuite extends SparkSpec {
     assert(projN(InternalRow(null)).isNullAt(0))
   }
 
+  test("EM convergence stop: exact count fixpoint ends the loop below " +
+      "the nIter cap, model identical to the full budget") {
+    // a corpus of single-character words has exactly one segmentation
+    // per word: round 1 converts seed counts to micro-units with the
+    // same probabilities, round 2 reproduces round 1's counts exactly
+    // — the fixpoint detector must stop there regardless of the cap,
+    // and stopping must be output-invisible (skipped rounds are
+    // bit-identical no-ops by the determinism contract).
+    val fast = Seq.fill(40)("a b a c").toDF("text")
+    val capped = Unigram.trainModelEm(fast, nIter = 2, maxPieceLen = 2)
+    assert(Unigram.lastEmRounds == 2)
+    val converged = Unigram.trainModelEm(fast, nIter = 25, maxPieceLen = 2)
+    val rounds = Unigram.lastEmRounds
+    assert(rounds < 25, s"convergence stop never fired ($rounds rounds)")
+    assert(converged == capped,
+      "early stop changed the model vs the equivalent fixed budget")
+    // an ambiguous corpus still moving at the cap must run every round
+    val amb = (Seq.fill(100)("ab") ++ Seq.fill(10)("a") ++
+      Seq.fill(10)("b")).toDF("text")
+    Unigram.trainModelEm(amb, nIter = 3, maxPieceLen = 2)
+    assert(Unigram.lastEmRounds == 3,
+      "moving counts mistaken for a fixpoint")
+  }
+
   test("EM model dominates the Viterbi model on corpus marginal " +
       "likelihood (what the full E-step buys)") {
     def corpusLL(dict: Seq[(String, Long)],
