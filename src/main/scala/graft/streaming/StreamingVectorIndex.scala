@@ -126,6 +126,49 @@ final case class StreamingVectorIndex(storeDir: String,
       new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
   }
 
+  /** Offline re-quantization — the remedy for the frozen-centroid
+    * contract: re-assign EVERY stored vector under `newCentroids` and
+    * collapse the store to one fresh snapshot partition (staged and
+    * swapped via [[CompactSwap]], like [[compact]]), returning the new
+    * index instance bound to the new centroids on the same dir.
+    * Results then equal a batch index built from scratch on the same
+    * vectors with the new centroids (suite-pinned) — without
+    * re-ingesting the corpus from its source.
+    *
+    * STRICTLY offline maintenance, one step beyond [[compact]]'s
+    * no-concurrent-readers caveat: stop the stream first, and resume
+    * by attaching the RETURNED instance with a FRESH checkpoint — a
+    * restart of the old query would replay its last micro-batch
+    * through the old instance's centroids, planting old-quantizer
+    * rows next to the rebuilt snapshot. (The fold includes the latest
+    * batch for exactly that reason: after a rebuild there is no
+    * replay-eligible partition by contract.) */
+  def rebuild(spark: SparkSession, newCentroids: Seq[Seq[Double]])
+      : StreamingVectorIndex = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) {
+      val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id="))
+      if (parts.nonEmpty) {
+        val snapId = parts.map(
+          _.getPath.getName.stripPrefix("batch_id=").toLong).min
+        val reassigned = spark.read
+          .option("basePath", storeDir)
+          .parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)
+          .select(col("neighbor_id"), col("cv"))
+          .withColumn("cid",
+            Similarity.flatAssignFn(newCentroids)(col("cv")))
+        val tmp = new org.apache.hadoop.fs.Path(root, ".rebuild_tmp")
+        reassigned.write.mode("overwrite").partitionBy("cid")
+          .parquet(tmp.toString)
+        CompactSwap.swap(fs, parts.map(_.getPath).toIndexedSeq, tmp,
+          new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
+      }
+    }
+    copy(centArrs = newCentroids)
+  }
+
   /** Wire onto a streaming DataFrame of (id, vector) rows. */
   def attach(stream: DataFrame, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =

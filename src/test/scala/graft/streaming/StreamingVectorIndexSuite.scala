@@ -105,6 +105,45 @@ class StreamingVectorIndexSuite extends SparkSpec {
     assert(replayed == before)
   }
 
+  test("rebuild re-quantizes the folded store: search equals a fresh " +
+      "batch index under the new centroids; one snapshot partition") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val centsOld = Similarity.lowestIdCentroids(e, nCent)
+    // a genuinely different quantizer: centroids drawn from a shifted
+    // id range, so old cids are wrong for it
+    val centsNew = Similarity.lowestIdCentroids(
+      e.where(col("vec_id") >= 20), nCent)
+    assert(centsNew != centsOld, "fixture: quantizers must differ")
+    val root = Files.createTempDirectory("graft-vindex-rebuild").toString
+    val idx = StreamingVectorIndex(s"$root/store", centsOld)
+    (0 until 3).foreach { c =>
+      idx.processBatch(e.where(col("vec_id") % 3 === c), batchId = c.toLong)
+    }
+    val rebuilt = idx.rebuild(spark, centsNew)
+    assert(rebuilt.centArrs == centsNew && rebuilt.storeDir == idx.storeDir)
+    // store collapsed to ONE snapshot partition at the lowest id
+    val dirs = new java.io.File(s"$root/store").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+    assert(dirs == Set("batch_id=0"), s"unexpected layout: $dirs")
+    val fromRebuilt = rebuilt.topK(spark, col("neighbor_id") < 10, k, nProbe)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // ground truth: a fresh batch index on the same vectors + centroids
+    val fresh = StreamingVectorIndex(s"$root/fresh", centsNew)
+    fresh.processBatch(e, batchId = 0L)
+    val fromFresh = fresh.topK(spark, col("neighbor_id") < 10, k, nProbe)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(fromRebuilt == fromFresh,
+      "rebuilt store search differs from a fresh index")
+    // and the old quantizer would NOT have produced this (the rebuild
+    // actually re-assigned, not just re-labeled)
+    assert(fromRebuilt == Similarity.ivfTopKFrom(
+        e.where(col("vec_id") < 10), e, k, centsNew, nProbe)
+      .as[(Long, Long, Int, Double)].collect().toSet)
+  }
+
   test("CompactSwap checks filesystem booleans: stale target cleared, " +
       "rename-false surfaces instead of losing the snapshot") {
     // round-12 ADVICE: fs.delete/rename report failure by RETURN VALUE
