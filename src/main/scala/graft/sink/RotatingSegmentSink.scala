@@ -92,6 +92,13 @@ final class RotatingSegmentSink(
     out.toSeq
   }
 
+  /** Bookkeeping for rows an EXTERNAL writer placed into the open
+    * segment (the DSv2 streaming write path,
+    * [[SegmentWriteProvider]]) — [[append]]'s table tracking without
+    * the write itself, so rotation announces the right tables. */
+  def noteExternalAppend(table: String): Unit =
+    tablesWritten.synchronized { tablesWritten += table }
+
   /** Append one logical table's micro-batch into the open segment. */
   def append(table: String, df: DataFrame): Long = {
     val n = df.count()
