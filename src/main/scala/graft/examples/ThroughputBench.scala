@@ -11,7 +11,7 @@ import graft.ops.Stages
 import graft.pipeline.{Decoders, Pipeline, PipelineConfig, ProtoCodec,
   ProtoRecord, WireCodec, WireRecord, WireSite}
 import graft.sink.RotationPolicy
-import graft.sources.DataFrameSource
+import graft.sources.{BinaryQueueSource, DataFrameSource, FileBinarySource, MessageSource}
 
 /** Ingest-throughput measurement comparable in character to the
   * reference's published run (BASELINE.md: 398k records/s decode,
@@ -85,13 +85,72 @@ object ThroughputBench {
     recsPerSec
   }
 
+  /** SOURCE-inclusive sustained throughput: the full STREAMING path
+    * (trigger planning → source read → munge → decode → ingest) over
+    * multiple micro-batches — the shape of the reference's published
+    * 398k rec/s, which is a consume-from-source number
+    * (/root/reference/kafka.go:90-167), where [[runMode]] starts from
+    * an already-read DataFrame. `binqueue` exercises the DSv2
+    * `graft-binqueue` source (admission control + per-trigger
+    * latestOffset) vs `file-stream`'s FileStreamSource over the SAME
+    * frames. */
+  private def runStreamMode(spark: SparkSession, root: String,
+      mode: String, source: MessageSource,
+      decode: DataFrame => DataFrame, n: Long): Double = {
+    val pipe = Pipeline(spark, PipelineConfig(
+      source = source,
+      outputDir = s"$root/out_$mode",
+      destTable = "msgs",
+      munger = Some(Stages.confluentStrip),
+      decode = decode,
+      normalizer = Some(NormalizerSpec(
+        Seq("id", "site.id", "site.kind", "score"),
+        Seq("id", "site", "kind", "score"))),
+      rotation = RotationPolicy(thresholdMB = 100000, durationSec = 100000,
+        clamp = false),
+      checkpointDir = Some(s"$root/ckpt_$mode")))
+    val t0 = System.nanoTime()
+    val q = pipe.run()
+    q.processAllAvailable()
+    pipe.close()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val m = pipe.metrics
+    val recsPerSec = m.recordsProcessed.get / secs
+    println(f"[$mode] messages=$n wall=$secs%.1f s " +
+      s"maxBatchRows=${m.maxBatchRows.get}")
+    println(f"[$mode] decode+ingest records/s: $recsPerSec%.0f")
+    println(s"[$mode] conservation=${m.conservationHolds}")
+    recsPerSec
+  }
+
+  /** Stage the binary wire frames as a partitioned BinaryQueue log —
+    * executor-parallel, one task per queue partition file. */
+  private def stageQueue(wire: DataFrame, dir: String, parts: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    wire.select("value").repartition(parts).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+            new java.io.File(dir, s"p$pid.log"), true), 1 << 20))
+        try it.foreach { r =>
+          val b = r.getAs[Array[Byte]](0)
+          out.writeInt(b.length)
+          out.writeLong(1700000000000L)
+          out.write(b)
+        } finally out.close()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val mode = args.drop(1).headOption.getOrElse("all")
     require(Set("all", "json", "binary", "binary-columnar", "proto",
-      "proto-columnar", "proto-columnar-slim")(mode),
+      "proto-columnar", "proto-columnar-slim", "binqueue",
+      "file-stream")(mode),
       s"unknown mode '$mode' (json | binary | binary-columnar | proto " +
-        "| proto-columnar | proto-columnar-slim | all)")
+        "| proto-columnar | proto-columnar-slim | binqueue | " +
+        "file-stream | all)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -153,6 +212,23 @@ object ThroughputBench {
         df => ProtoCodec.decodeColumnar(df)
           .select("id", "site", "score", "flag", "timestamp", "_corrupt"),
         n)
+    // source-inclusive STREAMING arms over the same frames + the same
+    // (fastest) columnar decode, ~8 triggers each, so the source layer
+    // is the only variable between them
+    if (mode == "all" || mode == "binqueue") {
+      val qDir = s"$root/binqueue"
+      stageQueue(binWire, qDir, parts = 8)
+      results("binqueue") = runStreamMode(spark, root, "binqueue",
+        BinaryQueueSource(qDir, maxOffsetsPerTrigger = Some(n / 8)),
+        WireCodec.decodeColumnar, n)
+    }
+    if (mode == "all" || mode == "file-stream") {
+      binWire.count() // force the lazy staging of msgs_bin
+      results("file-stream") = runStreamMode(spark, root, "file-stream",
+        FileBinarySource(s"$root/msgs_bin",
+          maxFilesPerTrigger = Some(4)),
+        WireCodec.decodeColumnar, n)
+    }
 
     if (results.size > 1) {
       val base = results.getOrElse("json", results.values.head)
