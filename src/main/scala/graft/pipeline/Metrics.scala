@@ -39,6 +39,12 @@ final class PipelineMetrics(
   // is the queue" is per-trigger input volume and trigger latency
   // from StreamingQueryProgress) ----
   val maxBatchRows = new AtomicLong // maxMChanLen analog
+  // queue-depth high-water from sources that report `behindRecords`
+  // through ReportsSourceMetrics (graft-binqueue; the Kafka connector
+  // reports its own lag family) — the reference's channel-depth
+  // high-water (metrics.go:127-135) observed at the source boundary
+  val maxQueueBehind = new AtomicLong(-1L) // -1 = never observed
+  private var lastQueueBehind: Long = -1
   private var lastBatchId: Long = -1
   private var lastBatchDurMs: Long = -1
   private var lastInputRps: Double = 0.0
@@ -51,9 +57,16 @@ final class PipelineMetrics(
     * and an out-of-order listener delivery cannot roll "last"
     * backwards. Synchronized: listener bus and close() both write. */
   def recordProgress(
-      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit =
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
     recordBatch(p.batchId, p.numInputRows, p.batchDuration,
       p.inputRowsPerSecond, p.processedRowsPerSecond)
+    p.sources.headOption
+      .flatMap(s => Option(s.metrics.get("behindRecords")))
+      .map(_.toLong).foreach { b =>
+        maxQueueBehind.getAndUpdate(c => math.max(c, b))
+        synchronized { if (p.batchId >= lastBatchId) lastQueueBehind = b }
+      }
+  }
 
   private[pipeline] def recordBatch(batchId: Long, numInputRows: Long,
       durationMs: Long, inputRps: Double,
@@ -153,6 +166,11 @@ final class PipelineMetrics(
             ("\"" + groupUnderscore(lastInputRps) + "\""),
           "last_batch_processed_rps" ->
             ("\"" + groupUnderscore(lastProcRps) + "\""))
+      } ++ synchronized {
+        if (lastQueueBehind < 0) Nil
+        else Seq(
+          "max_queue_behind_records" -> maxQueueBehind.get.toString,
+          "last_queue_behind_records" -> lastQueueBehind.toString)
       } ++ {
         val ds = {
           val it = fileDurationsMs.iterator(); var n = 0; var sum = 0L
@@ -214,9 +232,11 @@ final class PipelineMetrics(
       decodeErrors, catchUpSkips, lastProcessed, lastRows, lastBytes,
       maxBatchRows)
       .foreach(_.set(0))
+    maxQueueBehind.set(-1L)
     synchronized {
       lastBatchId = -1; lastBatchDurMs = -1
       lastInputRps = 0.0; lastProcRps = 0.0
+      lastQueueBehind = -1
     }
     samples.clear()
   }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, ReportsSourceMetrics, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -106,7 +106,8 @@ private[sources] object BinQueueOffset {
 
 private[sources] class BinQueueMicroBatchStream(dir: String,
     maxPerTrigger: Option[Long])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with ReportsSourceMetrics {
 
   // Captured ONCE at stream construction (driver side) and shipped to
   // the partition readers via createReaderFactory — the built-in file
@@ -144,11 +145,45 @@ private[sources] class BinQueueMicroBatchStream(dir: String,
       "latestOffset(Offset, ReadLimit) should be called instead " +
         "(SupportsAdmissionControl)") // the Kafka source's convention
 
+  // Snapshot of the last admission decision, for ReportsSourceMetrics
+  // — progress reporting must not re-walk the log (metrics() runs per
+  // trigger on the driver); it reads what latestOffset already knew.
+  @volatile private var lastAvailTotal: Long = 0L
+  @volatile private var lastTriggerAvailable: Long = 0L
+  @volatile private var lastTriggerAllotted: Long = 0L
+
+  /** Rate/lag telemetry through the REAL connector metrics API (the
+    * Kafka source's `ReportsSourceMetrics` — surfaced per trigger in
+    * `StreamingQueryProgress.sources[].metrics`): how far the queue is
+    * ahead of the committed position (the reference's channel-depth
+    * telemetry, /root/reference/metrics.go:127-135) and what the last
+    * admission decision allotted vs what was available. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val consumed =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[BinQueueOffset]
+          .counts.values.sum
+      else 0L
+    val m = new java.util.HashMap[String, String]()
+    m.put("behindRecords",
+      math.max(0L, lastAvailTotal - consumed).toString)
+    m.put("lastTriggerAvailableRecords", lastTriggerAvailable.toString)
+    m.put("lastTriggerAllottedRecords", lastTriggerAllotted.toString)
+    m
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[BinQueueOffset].counts
     val avail = available()
     val newPer = avail.map { case (p, n) =>
       p -> math.max(0L, n - from.getOrElse(p, 0L)) }
+    lastAvailTotal = avail.values.sum
+    lastTriggerAvailable = newPer.values.sum
+    lastTriggerAllotted = limit match {
+      case mr: ReadMaxRows => math.min(lastTriggerAvailable, mr.maxRows)
+      case _ => lastTriggerAvailable
+    }
     limit match {
       case mr: ReadMaxRows if newPer.values.sum > mr.maxRows =>
         // proportional allotment, remainder one-by-one in partition-id

@@ -62,6 +62,21 @@ class BinaryQueueSuite extends SparkSpec {
     val pipe = pipelineFor(dir, root, maxPerTrigger = Some(16))
     val q = pipe.run()
     q.processAllAvailable()
+    // rate telemetry (ReportsSourceMetrics → per-trigger source
+    // metrics): the throttled run must have REPORTED falling behind —
+    // 65 available at a 16-record cap leaves 49 behind after batch 0 —
+    // and be fully caught up by the end
+    val behinds = q.recentProgress.toSeq
+      .flatMap(p => p.sources.headOption)
+      .flatMap(s => Option(s.metrics.get("behindRecords")).map(_.toLong))
+    assert(behinds.nonEmpty && behinds.max > 0,
+      s"throttled run never reported lag: $behinds")
+    val allotted = q.recentProgress.toSeq
+      .flatMap(p => p.sources.headOption)
+      .flatMap(s =>
+        Option(s.metrics.get("lastTriggerAllottedRecords")).map(_.toLong))
+    assert(allotted.forall(_ <= 16),
+      s"admission telemetry exceeded the cap: $allotted")
     pipe.close()
     assert(pipe.error.isEmpty)
     assert(pipe.metrics.messagesConsumed.get == 65)
@@ -69,6 +84,11 @@ class BinaryQueueSuite extends SparkSpec {
     // micro-batches, each within the cap
     assert(pipe.metrics.maxBatchRows.get <= 16,
       s"a batch exceeded the admission cap: ${pipe.metrics.maxBatchRows.get}")
+    // and the lag telemetry folded into the pipeline metrics report
+    assert(pipe.metrics.maxQueueBehind.get > 0,
+      "queue-depth high-water missing from PipelineMetrics")
+    assert(pipe.metrics.report().contains("max_queue_behind_records"),
+      "report missing the queue-depth field")
 
     def rawRows(): Seq[Long] = {
       val manifest = spark.read.parquet(s"$root/out/_manifest")
