@@ -42,7 +42,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * whole-frame checkpoint `(frameCount, bytePos)`, refreshed (atomic
   * tmp+rename, best-effort) whenever a trigger walks ≥ 1 MB past it,
   * so a trigger seeks to the checkpoint and frame-walks only the
-  * suffix (kafka.go's O(1) position lookup, paid as a small cache).
+  * suffix (kafka.go's O(1) position lookup, paid as a small cache),
+  * and partition READERS seek to the greatest checkpoint at or below
+  * their start offset instead of frame-walking the log prefix per
+  * task.
   * A missing/torn/stale sidecar degrades to a longer suffix walk,
   * never a wrong count — entries are only ever whole-frame boundaries
   * of an append-only log. The read path itself streams each
@@ -222,10 +225,10 @@ private[sources] class BinQueueMicroBatchStream(dir: String,
   override def stop(): Unit = ()
 }
 
-private[sources] case class BinQueuePartition(path: String,
+private[graft] case class BinQueuePartition(path: String,
     start: Long, end: Long) extends InputPartition
 
-private[sources] class BinQueueReaderFactory(
+private[graft] class BinQueueReaderFactory(
     confSer: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
@@ -236,10 +239,20 @@ private[sources] class BinQueueReaderFactory(
       // serialized into this factory — session-set credentials,
       // endpoints and custom fs.<scheme>.impl reach the read path
       private val fsPath = new org.apache.hadoop.fs.Path(p.path)
+      private val fs = fsPath.getFileSystem(confSer.value)
+      // Seek to the greatest sidecar checkpoint ≤ the start offset
+      // instead of frame-walking the whole prefix: a tail read of a
+      // long-lived partition log is O(refreshBytes) from the nearest
+      // checkpoint, not O(log bytes) per task per trigger. A missing
+      // or behind index degrades to a longer walk, never wrong rows.
+      private val ckpt = BinaryQueue
+        .readIndexEntries(fs, fsPath, fs.getFileStatus(fsPath).getLen)
+        .takeWhile(_._1 <= p.start).lastOption.getOrElse((0L, 0L))
+      private val raw = fs.open(fsPath)
+      if (ckpt._2 > 0) raw.seek(ckpt._2)
       private val in = new java.io.DataInputStream(
-        new java.io.BufferedInputStream(
-          fsPath.getFileSystem(confSer.value).open(fsPath), 1 << 16))
-      private var skipped = 0L
+        new java.io.BufferedInputStream(raw, 1 << 16))
+      private var skipped = ckpt._1
       private var emitted = 0L
       private var row: InternalRow = _
       override def next(): Boolean = {
@@ -293,44 +306,69 @@ object BinaryQueue {
     new org.apache.hadoop.fs.Path(log.getParent,
       log.getName.stripSuffix(".log") + ".idx")
 
-  /** Last checkpoint `(wholeFrames, bytePos)` from the sidecar, or
-    * (0, 0). Structurally validated — a torn/garbage sidecar or one
-    * ahead of the current file length (should not happen on an
-    * append-only log, but a cache must never corrupt counts) falls
-    * back to the full walk. */
-  private[graft] def readIndex(fs: org.apache.hadoop.fs.FileSystem,
-      log: org.apache.hadoop.fs.Path, fileLen: Long): (Long, Long) =
+  /** ALL valid checkpoints `(wholeFrames, bytePos)` from the sidecar,
+    * ascending (one every ~refreshBytes of log). Structurally
+    * validated: entries must be strictly increasing in both fields,
+    * respect the ≥ 12 bytes/frame bound, and not point past the
+    * current file length (should not happen on an append-only log,
+    * but a cache must never corrupt counts) — parsing stops at the
+    * first malformed or stale entry, degrading toward a longer walk,
+    * never a wrong count. A torn trailing entry (a crashed rewrite)
+    * is likewise dropped. */
+  private[graft] def readIndexEntries(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path, fileLen: Long): Seq[(Long, Long)] =
     try {
       val p = indexPath(log)
-      if (!fs.exists(p)) (0L, 0L)
+      if (!fs.exists(p)) Nil
       else {
-        val in = new java.io.DataInputStream(fs.open(p))
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(p)))
         try {
-          val frames = in.readLong()
-          val pos = in.readLong()
-          // every frame is ≥ 12 bytes, so frames·12 ≤ pos is the
-          // cheap structural sanity bound
-          if (frames >= 0 && pos >= frames * 12 && pos <= fileLen)
-            (frames, pos)
-          else (0L, 0L)
+          val out = Vector.newBuilder[(Long, Long)]
+          var prev = (0L, 0L)
+          var done = false
+          while (!done) {
+            val e =
+              try Some((in.readLong(), in.readLong()))
+              catch { case _: java.io.EOFException => None }
+            e match {
+              case Some((frames, pos))
+                  if frames > prev._1 && pos > prev._2 &&
+                    pos >= frames * 12 && pos <= fileLen =>
+                out += ((frames, pos)); prev = (frames, pos)
+              case _ => done = true
+            }
+          }
+          out.result()
         } finally in.close()
       }
-    } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
 
-  /** Best-effort atomic sidecar rewrite (tmp + rename). The index is a
-    * CACHE: any failure — append-less filesystems, a concurrent
-    * trigger's rename racing this one — leaves the previous (still
-    * valid) checkpoint in place, so errors are deliberately
-    * swallowed. */
+  /** Latest usable checkpoint, or (0, 0) — the `latestOffset` seek
+    * point. */
+  private[graft] def readIndex(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path, fileLen: Long): (Long, Long) =
+    readIndexEntries(fs, log, fileLen).lastOption.getOrElse((0L, 0L))
+
+  /** Best-effort atomic sidecar rewrite (tmp + rename) with the FULL
+    * checkpoint list. The index is a CACHE: any failure — append-less
+    * filesystems, a concurrent trigger's rename racing this one —
+    * leaves the previous (still valid) checkpoints in place, so
+    * errors are deliberately swallowed. The file stays tiny:
+    * 16 bytes per ~refreshBytes of log (16 KB of index per GB). */
   private[graft] def writeIndex(fs: org.apache.hadoop.fs.FileSystem,
-      log: org.apache.hadoop.fs.Path, frames: Long, pos: Long): Unit =
+      log: org.apache.hadoop.fs.Path,
+      entries: Seq[(Long, Long)]): Unit =
     try {
       val p = indexPath(log)
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
         p.getName + ".tmp")
-      val out = fs.create(tmp, true)
-      out.writeLong(frames)
-      out.writeLong(pos)
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(fs.create(tmp, true)))
+      entries.foreach { case (frames, pos) =>
+        out.writeLong(frames)
+        out.writeLong(pos)
+      }
       out.close()
       if (fs.exists(p)) fs.delete(p, false)
       fs.rename(tmp, p)
@@ -339,13 +377,17 @@ object BinaryQueue {
 
   /** Count WHOLE frames in a log file — a torn tail frame (len header
     * present, bytes incomplete) is excluded until its bytes land.
-    * Seeks to the sidecar checkpoint and walks ONLY the suffix; bytes
-    * before the checkpoint are never read (suite-pinned by corrupting
-    * them). Refreshes the sidecar after a ≥ `refreshBytes` walk. */
+    * Seeks to the last sidecar checkpoint and walks ONLY the suffix;
+    * bytes before it are never read (suite-pinned by corrupting
+    * them). The walk drops a NEW checkpoint every `refreshBytes` it
+    * advances — so one pass over a huge fresh log leaves a full
+    * ladder of seek points for the partition readers, not just a tail
+    * mark — and rewrites the sidecar once at the end. */
   private[graft] def countFrames(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, fileLen: Long,
       refreshBytes: Long = IndexRefreshBytes): Long = {
-    val (n0, pos0) = readIndex(fs, path, fileLen)
+    val entries = readIndexEntries(fs, path, fileLen)
+    val (n0, pos0) = entries.lastOption.getOrElse((0L, 0L))
     val raw = fs.open(path)
     if (pos0 > 0) raw.seek(pos0)
     val in = new java.io.DataInputStream(
@@ -354,6 +396,8 @@ object BinaryQueue {
       var pos = pos0
       var n = 0L
       var done = false
+      val fresh = Vector.newBuilder[(Long, Long)]
+      var lastCkptPos = pos0
       while (!done) {
         if (pos + 12 > fileLen) done = true
         else {
@@ -363,10 +407,16 @@ object BinaryQueue {
             in.skipNBytes(8L + len)
             pos += 12L + len
             n += 1
+            if (pos - lastCkptPos >= refreshBytes) {
+              fresh += ((n0 + n, pos))
+              lastCkptPos = pos
+            }
           }
         }
       }
-      if (pos - pos0 >= refreshBytes) writeIndex(fs, path, n0 + n, pos)
+      val freshEntries = fresh.result()
+      if (freshEntries.nonEmpty)
+        writeIndex(fs, path, entries ++ freshEntries)
       n0 + n
     } finally in.close()
   }

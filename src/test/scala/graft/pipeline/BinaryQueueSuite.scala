@@ -199,6 +199,52 @@ class BinaryQueueSuite extends SparkSpec {
       "stale-ahead sidecar corrupted the count")
   }
 
+  test("partition readers seek to the nearest checkpoint at or below " +
+      "their start offset — the log prefix is never re-walked") {
+    // A tail read of a long-lived partition log must not frame-walk
+    // the whole prefix per task per trigger. Proof by corruption
+    // again: with a checkpoint ladder in place, every byte below the
+    // greatest checkpoint ≤ start becomes garbage — a reader that
+    // still produces the right rows provably sought past it.
+    import graft.sources.{BinaryQueue, BinQueuePartition, BinQueueReaderFactory}
+    val root = Files.createTempDirectory("graft-binq-seek").toString
+    val dir = s"$root/queue"
+    BinaryQueue.append(dir, 0, (0L until 300L).map(msg))
+    val log = new org.apache.hadoop.fs.Path(s"$dir/p0.log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val len = fs.getFileStatus(log).getLen
+    // refresh every ~5 frames → a LADDER of checkpoints from one walk
+    val frameBytes = len / 300
+    assert(BinaryQueue.countFrames(fs, log, len, frameBytes * 5) == 300L)
+    val entries = BinaryQueue.readIndexEntries(fs, log, len)
+    assert(entries.length > 10,
+      s"expected a checkpoint ladder, got ${entries.length}")
+    assert(entries == entries.sorted, "ladder not ascending")
+    // read frames [150, 160): the seek point is the greatest
+    // checkpoint ≤ 150 — corrupt everything below it
+    val ckpt = entries.takeWhile(_._1 <= 150L).last
+    assert(ckpt._1 > 0, "fixture: need a nonzero checkpoint below 150")
+    val raf = new java.io.RandomAccessFile(s"$dir/p0.log", "rw")
+    raf.write(Array.fill[Byte](ckpt._2.toInt)(-1))
+    raf.close()
+    val factory = new BinQueueReaderFactory(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val reader = factory.createReader(
+      BinQueuePartition(s"$dir/p0.log", 150L, 160L))
+    val got = scala.collection.mutable.Buffer[Long]()
+    while (reader.next()) {
+      val r = reader.get()
+      val payload = r.getBinary(0)
+      val json = new String(payload.drop(6), "UTF-8")
+      got += """"event_id":(\d+)""".r.findFirstMatchIn(json)
+        .get.group(1).toLong
+    }
+    reader.close()
+    assert(got.toSeq == (150L until 160L).toSeq,
+      s"reader rows wrong after prefix corruption: $got")
+  }
+
   test("session Hadoop conf reaches the executor-side readers: a " +
       "custom fs.<scheme>.impl set ONLY on the session resolves") {
     // round-12 verdict finding: readers built `new Configuration()` on
