@@ -735,6 +735,75 @@ object OperatorQueries {
       |    AS valid_to
       |FROM s""".stripMargin
 
+  // --- op_merge_upsert: keyed MERGE of a change set into the customer
+  // snapshot (operators/MergeUpsert.scala — the lakehouse MERGE INTO
+  // shape: one full-outer key join, presence-flag matching, deletes
+  // dropped). Change set derived deterministically from orders:
+  // customers with open orders UPDATE (name tag + open-order balance),
+  // every 7th of those also INSERTS a twin at key+1,500,000 (disjoint
+  // from real keys at any SF), closed-only customers DELETE. Change
+  // keys are unique by construction (groupBy + disjoint branches) —
+  // the operator's standard MERGE precondition. ------------------------
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val agg = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(
+        round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))
+          .otherwise(lit(0.0))), 2).as("open_bal"),
+        max(when(col("o_orderstatus") === "O", 1).otherwise(0))
+          .as("has_open"),
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0))
+          .as("has_f"))
+    val updates = agg.where(col("has_open") === 1).select(
+      col("o_custkey").as("c_custkey"),
+      concat(lit("U_"), col("o_custkey")).as("c_name"),
+      col("open_bal").as("c_acctbal"),
+      lit(false).as("is_delete"))
+    val inserts = agg.where(col("has_open") === 1 &&
+        col("o_custkey") % 7 === 0).select(
+      (col("o_custkey") + 1500000L).as("c_custkey"),
+      concat(lit("I_"), col("o_custkey")).as("c_name"),
+      lit(0.0).as("c_acctbal"),
+      lit(false).as("is_delete"))
+    val deletes = agg.where(col("has_open") === 0 && col("has_f") === 1)
+      .select(
+        col("o_custkey").as("c_custkey"),
+        lit(null).cast("string").as("c_name"),
+        lit(null).cast("double").as("c_acctbal"),
+        lit(true).as("is_delete"))
+    graft.operators.MergeUpsert.merge(cust,
+      updates.unionByName(inserts).unionByName(deletes),
+      Seq("c_custkey"), deleteCol = Some("is_delete"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH agg AS (
+      |  SELECT o_custkey,
+      |    round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+      |      ELSE 0 END), 2) AS open_bal,
+      |    max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS has_open,
+      |    max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_f
+      |  FROM orders GROUP BY 1),
+      |changes AS (
+      |  SELECT o_custkey AS c_custkey, 'U_' || o_custkey AS c_name,
+      |    open_bal AS c_acctbal, false AS is_delete
+      |  FROM agg WHERE has_open = 1
+      |  UNION ALL
+      |  SELECT o_custkey + 1500000, 'I_' || o_custkey, 0.0, false
+      |  FROM agg WHERE has_open = 1 AND o_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_custkey, NULL, NULL, true
+      |  FROM agg WHERE has_open = 0 AND has_f = 1)
+      |SELECT coalesce(c.c_custkey, s.c_custkey) AS c_custkey,
+      |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+      |    ELSE s.c_name END AS c_name,
+      |  CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal
+      |    ELSE s.c_acctbal END AS c_acctbal
+      |FROM customer s FULL JOIN changes c ON s.c_custkey = c.c_custkey
+      |WHERE NOT coalesce(c.is_delete, false)""".stripMargin
+
   // --- op_ts_topk: time-series similarity search — per-user daily
   // value series over the fixture's 30-day window, CENTERED, ranked
   // by cosine = Pearson correlation of the raw series (the
@@ -791,6 +860,7 @@ object OperatorQueries {
     "op_ts_topk" -> (tsTopK _),
     "op_sessionize" -> (sessionize _),
     "op_scd2" -> (scd2 _),
+    "op_merge_upsert" -> (mergeUpsert _),
     "op_munge_decode" -> (mungeDecode _),
     "op_proto_decode" -> (protoDecode _),
     "op_proto_repeated" -> (protoRepeated _),
@@ -813,6 +883,7 @@ object OperatorQueries {
     "op_ts_topk" -> tsTopKSql,
     "op_sessionize" -> sessionizeSql,
     "op_scd2" -> scd2Sql,
+    "op_merge_upsert" -> mergeUpsertSql,
     "op_munge_decode" -> mungeDecodeSql,
     "op_proto_decode" -> protoDecodeSql,
     "op_proto_repeated" -> protoRepeatedSql,
