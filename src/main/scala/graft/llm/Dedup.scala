@@ -740,6 +740,43 @@ object Dedup {
     labels.withColumnRenamed("rep", "cluster_rep")
   }
 
+  /** Quality-weighted representative selection: keep each near-dup
+    * cluster's HIGHEST-scoring member (ties → lowest id) instead of
+    * the lowest-id convention the e2e pipelines use — the choice a
+    * production dedup actually wants, since the lowest id is an
+    * arbitrary member while the score can encode length, quality, or
+    * recency. `scored` is (idCol, scoreCol) per document; `pairs` is
+    * any near-dup pair table (id_a, id_b) — minhash, ngram, simhash,
+    * embedding. Docs absent from `pairs` are singleton clusters and
+    * keep themselves.
+    *
+    * Output: one row per cluster — (idCol = winner id, scoreCol =
+    * winner score, cluster_size).
+    *
+    * Scale shape: cluster labels come from [[dedupClusters]] (pointer
+    * jumping, one job per iteration); the winner is ONE
+    * partial-aggregated groupBy on the cluster rep — max of a
+    * (score, −id) struct, NEVER a window (the dedupLines lesson: a
+    * rank-1 window moves whole clusters into single tasks; the
+    * struct-max combines map-side). Score must be non-null. */
+  def dedupBest(scored: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "q_score"): DataFrame = {
+    val labels = dedupClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_rep"))
+    scored.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col(idCol)))
+      .groupBy("cluster_rep")
+      .agg(
+        // argmax with a deterministic tie-break: max over the
+        // (score, −id) struct picks highest score then LOWEST id
+        // (ids are non-negative longs, so negation is exact)
+        max(struct(col(scoreCol).as("q"),
+          (-col(idCol)).cast("long").as("nid"))).as("w"),
+        count(lit(1)).as("cluster_size"))
+      .select((-col("w.nid")).as(idCol), col("w.q").as(scoreCol),
+        col("cluster_size"))
+  }
+
   /** 64-bit SimHash from pre-computed token hashes: each output bit is
     * the sign of the per-bit vote sum across tokens. */
   def simhashFromHashes(hs: Column): Column = {

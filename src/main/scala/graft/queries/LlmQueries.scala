@@ -1318,6 +1318,62 @@ object LlmQueries {
        |cc_labels AS (
        |  SELECT id, min(v) AS cluster_rep FROM cc_reach GROUP BY id)""".stripMargin
 
+  // --- llm_dedup_best: quality-weighted representative selection —
+  // keep each near-dup cluster's HIGHEST-scoring member (ties →
+  // lowest id), Dedup.dedupBest over the ngram pair table. The score
+  // is llm_quality's mean_word_len (4dp-rounded, cross-engine exact):
+  // the planted 4-word tail pulls each copy's mean toward its own
+  // ~4.25, so copies WIN the clusters whose originals average shorter
+  // words and LOSE the rest — winners are data-driven, not id-driven
+  // (both directions pinned in LlmSuite). Winner selection is a
+  // partial-aggregated struct-max — plan-guarded no-window. ----------
+  def dedupBest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(corpus,
+      threshold = 0.5, maxDf = 1000000)
+    val scored = TextAnalysis.qualitySignals(corpus)
+      .select(col("doc_id"), col("mean_word_len").as("q_score"))
+    Dedup.dedupBest(scored, pairs)
+  }
+
+  val dedupBestSql: String =
+    s"""WITH RECURSIVE corpus AS ($corpusNearSql),
+       |tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM corpus),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3 THEN
+       |    list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |    ELSE [] END) AS sh
+       |  FROM tok),
+       |inv AS (
+       |  SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sets),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+       |  HAVING round(count(*) / (a.sz + b.sz - count(*)), 4) >= 0.5),
+       |${ccLabelsCtes("pairs")},
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(length(regexp_replace(text, '\\s+', '', 'g')) /
+       |      greatest(len(regexp_extract_all(text, '\\S+')), 1), 4)
+       |      AS q_score
+       |  FROM corpus),
+       |labeled AS (
+       |  SELECT s.doc_id, s.q_score,
+       |    coalesce(l.cluster_rep, s.doc_id) AS rep
+       |  FROM scored s LEFT JOIN cc_labels l ON l.id = s.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, q_score, rep,
+       |    row_number() OVER (PARTITION BY rep
+       |      ORDER BY q_score DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY rep) AS cluster_size
+       |  FROM labeled)
+       |SELECT doc_id, q_score, cluster_size FROM ranked
+       |WHERE rn = 1""".stripMargin
+
   /** Cross-engine oracle: the near-dup pair table (string-shingle
     * Jaccard, same as the ngram oracle) feeds the shared
     * connected-components chain. */
@@ -2766,6 +2822,7 @@ object LlmQueries {
     "llm_ann_ivfpq_res64" -> (annIvfPqRes64 _),
     "llm_ann_ivfpq_res_t" -> (annIvfPqResTrained _),
     "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_dedup_best" -> (dedupBest _),
     "llm_pagerank" -> (pagerank _),
     "llm_embed_dup_clusters" -> (embedDupClusters _),
     "llm_semdedup" -> (semDedup _),
@@ -2823,6 +2880,7 @@ object LlmQueries {
     "llm_dup_spans" -> dupSpansSql,
     "llm_cut_spans" -> cutSpansSql,
     "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_dedup_best" -> dedupBestSql,
     "llm_pagerank" -> pagerankSql,
     "llm_embed_dup_clusters" -> embedDupClustersSql,
     "llm_semdedup" -> semDedupSql,

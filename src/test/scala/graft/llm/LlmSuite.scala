@@ -51,6 +51,34 @@ class LlmSuite extends SparkSpec {
         "sort onto one reducer")
   }
 
+  test("dedupBest keeps the highest-scoring cluster member, not the " +
+      "lowest id; winner selection is aggregated, never a window") {
+    // hand graph: cluster {1,2,3} (3 scores highest), {5,6} tie on
+    // score (lowest id 5 wins), singleton 9 keeps itself
+    val scored = Seq((1L, 0.1), (2L, 0.9), (3L, 0.95), (5L, 0.4),
+      (6L, 0.4), (9L, 0.2)).toDF("doc_id", "q_score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupBest(scored, pairs)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(out == Set((3L, 0.95, 3L), (5L, 0.4, 2L), (9L, 0.2, 1L)))
+    // the registered query scores by mean_word_len: the planted
+    // 4-word tail pulls each copy's mean toward ~4.25, so copies win
+    // SOME clusters and originals win others — both directions must
+    // occur, proving selection is score-driven, not the lowest-id
+    // convention (which could never pick a +1000000 copy)
+    val q = LlmQueries.dedupBest(spark, sf0001)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Window"),
+      "dedupBest plans a window — a hot cluster would sort onto one " +
+        "reducer")
+    val dupWinners = q.where(col("cluster_size") >= 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dupWinners.exists(_ >= 1000000L),
+      "no planted copy ever outscored its original — selection looks " +
+        "id-driven")
+    assert(dupWinners.exists(_ < 1000000L),
+      "no original ever won — score fixture degenerate")
+  }
+
   test("dropHotKeys: literal, local-relation, and shuffle-fallback " +
       "forms drop exactly the over-cap keys") {
     // key "a" appears 3×, "b" 2×, "c" 1× — cap 2 drops exactly the
