@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event funnel analysis — the ClickHouse `windowFunnel` shape: per
+  * entity, how deep into an ordered step sequence did it get, with
+  * every later step inside a horizon measured from the FIRST step's
+  * occurrence, and when did the earliest full completion land.
+  *
+  * Semantics are EXISTS-chains, not greedy-from-first-event: depth ≥ k
+  * iff SOME chain step1 < step2 < … < stepk exists with
+  * stepk.ts ≤ step1.ts + horizon — a user whose first step1 never
+  * converts but whose later step1 does still counts (greedy
+  * first-occurrence scans miss exactly those).
+  *
+  * Output: one row per entity with ≥ 1 step-1 event —
+  * (entity, first_step = min step-1 ts, depth ∈ 1..k,
+  * completed_at = min final-step ts over full chains, NULL below
+  * full depth).
+  *
+  * Scale shape: k−1 equi joins on the entity key with the time
+  * residual folded into each join condition, then ONE
+  * partial-aggregated groupBy — no window, no per-entity sort. Chain
+  * candidates per entity are |step1|×|step2|×… WITHIN THE HORIZON —
+  * bounded for real traffic by the horizon itself; an adversarially
+  * hot entity is the sessionize caveat, and [[graft.llm.Sampling]]'s
+  * capPerKey / [[graft.llm.Dedup.dropHotKeys]] are the upstream
+  * remedies. The min-aggregations keep only (entity, ts) pairs
+  * flowing between stages — no payloads replicate. */
+object Funnel {
+
+  def windowFunnel(events: DataFrame, steps: Seq[String],
+      horizon: Column, entityCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    def of(step: String, as: String) =
+      events.where(col(typeCol) === step)
+        .select(col(entityCol), col(tsCol).as(as))
+    val s1 = of(steps.head, "t1")
+    // chains(k): (entity, t1 = chain start, tk = step-k+1 ts) — each
+    // stage joins the next step in with (later than the previous
+    // step, inside the horizon from step 1) and projects only the two
+    // timestamps, so nothing wider ever shuffles
+    val chains = steps.tail.scanLeft(s1.withColumn("tk", col("t1"))) {
+      (prev, step) =>
+        prev.join(of(step, "tn"), Seq(entityCol))
+          .where(col("tn") > col("tk") &&
+            col("tn") <= col("t1") + horizon)
+          .select(col(entityCol), col("t1"), col("tn").as("tk"))
+    }.toIndexedSeq
+    // depth-k marker per entity: the earliest step-k completion time
+    // of any chain (k = full depth also yields completed_at)
+    val base = s1.groupBy(entityCol)
+      .agg(min(col("t1")).as("first_step"))
+    val marks = (2 to steps.size).map { k =>
+      chains(k - 1).groupBy(entityCol)
+        .agg(min(col("tk")).as(s"__m$k"))
+    }
+    val joined = marks.foldLeft(base)((d, m) =>
+      d.join(m, Seq(entityCol), "left"))
+    // ascending fold so the DEEPEST mark is the outermost when —
+    // folded descending, a non-null __m2 would shadow __m3
+    val depth = (2 to steps.size).foldLeft(lit(1)) {
+      case (els, k) => when(col(s"__m$k").isNotNull, lit(k)).otherwise(els)
+    }
+    joined.select(col(entityCol), col("first_step"),
+      depth.as("depth"),
+      col(s"__m${steps.size}").as("completed_at"))
+  }
+}

@@ -735,6 +735,41 @@ object OperatorQueries {
       |    AS valid_to
       |FROM s""".stripMargin
 
+  // --- op_funnel: windowFunnel over the event stream — per user, how
+  // deep into view → click → purchase within 24 h of the chain's
+  // FIRST view, and the earliest full completion. EXISTS-chain
+  // semantics (operators/Funnel.scala): a user whose first view never
+  // converts but whose later view does still counts — greedy
+  // first-occurrence scans miss exactly those. ------------------------
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.windowFunnel(
+      Tables.load(s, dir, "events"),
+      steps = Seq("view", "click", "purchase"),
+      horizon = expr("INTERVAL 24 HOURS"))
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+      |c2 AS (
+      |  SELECT v.user_id, v.t1, c.ts AS tk
+      |  FROM v JOIN events c ON c.user_id = v.user_id
+      |    AND c.event_type = 'click' AND c.ts > v.t1
+      |    AND c.ts <= v.t1 + INTERVAL 24 HOUR),
+      |c3 AS (
+      |  SELECT c2.user_id, c2.t1, p.ts AS tk
+      |  FROM c2 JOIN events p ON p.user_id = c2.user_id
+      |    AND p.event_type = 'purchase' AND p.ts > c2.tk
+      |    AND p.ts <= c2.t1 + INTERVAL 24 HOUR),
+      |base AS (SELECT user_id, min(t1) AS first_step FROM v GROUP BY 1),
+      |m2 AS (SELECT user_id, min(tk) AS m2 FROM c2 GROUP BY 1),
+      |m3 AS (SELECT user_id, min(tk) AS m3 FROM c3 GROUP BY 1)
+      |SELECT b.user_id, b.first_step,
+      |  CASE WHEN m3.m3 IS NOT NULL THEN 3
+      |       WHEN m2.m2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
+      |  m3.m3 AS completed_at
+      |FROM base b LEFT JOIN m2 ON m2.user_id = b.user_id
+      |LEFT JOIN m3 ON m3.user_id = b.user_id""".stripMargin
+
   // --- op_merge_upsert: keyed MERGE of a change set into the customer
   // snapshot (operators/MergeUpsert.scala — the lakehouse MERGE INTO
   // shape: one full-outer key join, presence-flag matching, deletes
@@ -861,6 +896,7 @@ object OperatorQueries {
     "op_sessionize" -> (sessionize _),
     "op_scd2" -> (scd2 _),
     "op_merge_upsert" -> (mergeUpsert _),
+    "op_funnel" -> (funnel _),
     "op_munge_decode" -> (mungeDecode _),
     "op_proto_decode" -> (protoDecode _),
     "op_proto_repeated" -> (protoRepeated _),
@@ -884,6 +920,7 @@ object OperatorQueries {
     "op_sessionize" -> sessionizeSql,
     "op_scd2" -> scd2Sql,
     "op_merge_upsert" -> mergeUpsertSql,
+    "op_funnel" -> funnelSql,
     "op_munge_decode" -> mungeDecodeSql,
     "op_proto_decode" -> protoDecodeSql,
     "op_proto_repeated" -> protoRepeatedSql,
