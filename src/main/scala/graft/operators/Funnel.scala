@@ -68,4 +68,40 @@ object Funnel {
       depth.as("depth"),
       col(s"__m${steps.size}").as("completed_at"))
   }
+
+  /** Cohort retention matrix — the companion report: entities cohort
+    * by the DATE of their first event matching `cohortPred` (the
+    * acquisition event — signup, first purchase, …; entities that
+    * never fire it are out of scope), and for each cohort date, how
+    * many were active (ANY event) k days later. Output: one row per
+    * cohort date — (cohort, n_users, d1..d<maxDays>) with `n_users`
+    * the cohort size (= day-0 activity, since the acquisition event
+    * itself is activity) and `dk` the distinct entities active on
+    * day k.
+    *
+    * Scale shape: one groupBy for acquisition dates, one for distinct
+    * (entity, date) activity, one entity-keyed join, a distinct on
+    * (cohort, entity, k) — all partial-aggregated — then one tiny
+    * cohort-keyed agg of conditional counts. No windows, no distinct
+    * aggregates (the pre-dedup replaces count(DISTINCT …) so the
+    * final agg needs no Expand fan-out). */
+  def retention(events: DataFrame, cohortPred: Column,
+      maxDays: Int = 3, entityCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(maxDays >= 1, s"maxDays must be >= 1, got $maxDays")
+    val firsts = events.where(cohortPred).groupBy(col(entityCol))
+      .agg(min(to_date(col(tsCol))).as("cohort"))
+    val active = events
+      .select(col(entityCol), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val marked = active.join(firsts, Seq(entityCol))
+      .withColumn("k", datediff(col("d"), col("cohort")))
+      .where(col("k") >= 0 && col("k") <= maxDays)
+      .select(col("cohort"), col(entityCol), col("k"))
+      .distinct()
+    val aggs = count(when(col("k") === 0, 1)).as("n_users") +:
+      (1 to maxDays).map(k =>
+        count(when(col("k") === k, 1)).as(s"d$k"))
+    marked.groupBy(col("cohort")).agg(aggs.head, aggs.tail: _*)
+  }
 }

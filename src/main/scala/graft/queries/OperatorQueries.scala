@@ -770,6 +770,37 @@ object OperatorQueries {
       |FROM base b LEFT JOIN m2 ON m2.user_id = b.user_id
       |LEFT JOIN m3 ON m3.user_id = b.user_id""".stripMargin
 
+  // --- op_retention: cohort retention matrix over the event stream —
+  // entities cohort by the DATE of their first 'signup' (the
+  // acquisition event; first signups spread over the fixture's early
+  // days, so the matrix has real rows), dk = distinct cohort entities
+  // with ANY event k days later. The pre-dedup on (cohort, entity, k)
+  // stands in for count(DISTINCT …), so the final agg has no Expand
+  // fan-out. ---------------------------------------------------------
+  def retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retention(
+      Tables.load(s, dir, "events"),
+      cohortPred = col("event_type") === "signup", maxDays = 3)
+
+  val retentionSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |marked AS (
+      |  SELECT DISTINCT f.cohort, a.user_id,
+      |    date_diff('day', f.cohort, a.d) AS k
+      |  FROM active a JOIN firsts f ON f.user_id = a.user_id
+      |  WHERE date_diff('day', f.cohort, a.d) BETWEEN 0 AND 3)
+      |SELECT cohort,
+      |  count(CASE WHEN k = 0 THEN 1 END) AS n_users,
+      |  count(CASE WHEN k = 1 THEN 1 END) AS d1,
+      |  count(CASE WHEN k = 2 THEN 1 END) AS d2,
+      |  count(CASE WHEN k = 3 THEN 1 END) AS d3
+      |FROM marked GROUP BY cohort""".stripMargin
+
   // --- op_merge_upsert: keyed MERGE of a change set into the customer
   // snapshot (operators/MergeUpsert.scala — the lakehouse MERGE INTO
   // shape: one full-outer key join, presence-flag matching, deletes
@@ -897,6 +928,7 @@ object OperatorQueries {
     "op_scd2" -> (scd2 _),
     "op_merge_upsert" -> (mergeUpsert _),
     "op_funnel" -> (funnel _),
+    "op_retention" -> (retention _),
     "op_munge_decode" -> (mungeDecode _),
     "op_proto_decode" -> (protoDecode _),
     "op_proto_repeated" -> (protoRepeated _),
@@ -921,6 +953,7 @@ object OperatorQueries {
     "op_scd2" -> scd2Sql,
     "op_merge_upsert" -> mergeUpsertSql,
     "op_funnel" -> funnelSql,
+    "op_retention" -> retentionSql,
     "op_munge_decode" -> mungeDecodeSql,
     "op_proto_decode" -> protoDecodeSql,
     "op_proto_repeated" -> protoRepeatedSql,

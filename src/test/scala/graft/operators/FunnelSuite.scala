@@ -61,4 +61,36 @@ class FunnelSuite extends SparkSpec {
       (7L, "2024-01-01 02:00:00", "purchase")))
     assert(multi(7L)._3 == Some(ts("2024-01-01 02:00:00")))
   }
+
+  test("retention: acquisition-event cohorts, day-k distinct activity, " +
+      "non-acquired entities out of scope") {
+    val events = Seq(
+      // user 1: signup Jan 1, active days 0/1/3 (two events day 1
+      // must count once)
+      (1L, "2024-01-01 08:00:00", "signup"),
+      (1L, "2024-01-02 09:00:00", "click"),
+      (1L, "2024-01-02 10:00:00", "view"),
+      (1L, "2024-01-04 09:00:00", "click"),
+      // user 2: activity BEFORE signup (ignored, k < 0), signup Jan 1,
+      // then active day 2 only... and a day-9 event beyond maxDays
+      (2L, "2023-12-30 09:00:00", "view"),
+      (2L, "2024-01-01 09:00:00", "signup"),
+      (2L, "2024-01-03 09:00:00", "purchase"),
+      (2L, "2024-01-10 09:00:00", "view"),
+      // user 3: signup Jan 2 — its own cohort row
+      (3L, "2024-01-02 12:00:00", "signup"),
+      (3L, "2024-01-03 12:00:00", "click"),
+      // user 4: never signs up — out of scope entirely
+      (4L, "2024-01-01 09:00:00", "view"))
+      .map { case (u, t, e) => (u, ts(t), e) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.retention(events,
+        cohortPred = col("event_type") === "signup", maxDays = 3)
+      .as[(java.sql.Date, Long, Long, Long, Long)]
+      .collect().map(r => r._1.toString -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 1L, 1L, 1L)), // d1: u1; d2: u2; d3: u1
+      "2024-01-02" -> ((1L, 1L, 0L, 0L))))
+  }
 }
