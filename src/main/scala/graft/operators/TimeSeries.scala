@@ -100,4 +100,43 @@ object TimeSeries {
     Similarity.bruteForceTopK(series.where(queryPred), series, k,
       idCol = keyCol, vecCol = "vec")
   }
+
+  /** Time-weighted average per entity over IRREGULAR samples — the
+    * TSDB staple a plain avg() gets wrong (it over-weights bursts):
+    * step interpolation holds each sample's value until the next
+    * sample, so twa = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t₁) over the entity's
+    * observed span. A single-sample entity has zero span and reads
+    * its own value. Ties on the timestamp break by a deterministic
+    * order on the value column (equal-ts samples have no defined
+    * duration anyway — zero-width steps contribute nothing; the order
+    * key only keeps the LAST-value choice stable cross-engine).
+    *
+    * Output: (keyCol, n_samples, span_sec, twa — 4dp).
+    * Scale shape: one per-entity window (lead) + one partial-agg
+    * groupBy — bounded by a single entity's history, the
+    * sessionize/scd2 caveat for adversarially hot entities. */
+  def timeWeightedAvg(events: DataFrame,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(valCol))
+    // unix_micros rejects TIMESTAMP_NTZ; the cast to TIMESTAMP reads
+    // the wall clock in the session zone, and dt is a DIFFERENCE, so
+    // any fixed zone cancels (UTC sessions are the repo convention)
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val stepped = events
+      .select(col(keyCol), col(tsCol), col(valCol))
+      .withColumn("__dt",
+        (unix_micros(lead(col(tsCol), 1).over(w).cast("timestamp")) -
+          micros) / 1e6)
+    stepped.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        round(sum(coalesce(col("__dt"), lit(0.0))), 4).as("span_sec"),
+        round(
+          when(sum(coalesce(col("__dt"), lit(0.0))) > 0,
+            sum(col(valCol) * coalesce(col("__dt"), lit(0.0))) /
+              sum(coalesce(col("__dt"), lit(0.0))))
+            .otherwise(max(col(valCol))), 4).as("twa"))
+  }
 }

@@ -921,6 +921,30 @@ object OperatorQueries {
       |SELECT query_id, neighbor_id, rank, sim FROM ranked
       |WHERE rank <= 5""".stripMargin
 
+  // --- op_time_weighted_avg: TSDB-style time-weighted average per
+  // user over irregular samples — step interpolation, span-normalized
+  // (operators/TimeSeries.timeWeightedAvg). Tie order (ts, value)
+  // keeps zero-width steps deterministic cross-engine; the per-user
+  // double sums divide out, so 4dp rounding is far beyond the
+  // order-sensitivity noise. ------------------------------------------
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.timeWeightedAvg(
+      Tables.load(s, dir, "events"))
+
+  val timeWeightedAvgSql: String =
+    """WITH stepped AS (
+      |  SELECT user_id, value,
+      |    date_diff('microsecond', ts,
+      |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value))
+      |      / 1e6 AS dt
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_samples,
+      |  round(sum(coalesce(dt, 0)), 4) AS span_sec,
+      |  round(CASE WHEN sum(coalesce(dt, 0)) > 0
+      |    THEN sum(value * coalesce(dt, 0)) / sum(coalesce(dt, 0))
+      |    ELSE max(value) END, 4) AS twa
+      |FROM stepped GROUP BY user_id""".stripMargin
+
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
     "op_ts_topk" -> (tsTopK _),
@@ -929,6 +953,7 @@ object OperatorQueries {
     "op_merge_upsert" -> (mergeUpsert _),
     "op_funnel" -> (funnel _),
     "op_retention" -> (retention _),
+    "op_time_weighted_avg" -> (timeWeightedAvg _),
     "op_munge_decode" -> (mungeDecode _),
     "op_proto_decode" -> (protoDecode _),
     "op_proto_repeated" -> (protoRepeated _),
@@ -954,6 +979,7 @@ object OperatorQueries {
     "op_merge_upsert" -> mergeUpsertSql,
     "op_funnel" -> funnelSql,
     "op_retention" -> retentionSql,
+    "op_time_weighted_avg" -> timeWeightedAvgSql,
     "op_munge_decode" -> mungeDecodeSql,
     "op_proto_decode" -> protoDecodeSql,
     "op_proto_repeated" -> protoRepeatedSql,

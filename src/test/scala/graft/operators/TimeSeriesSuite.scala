@@ -97,4 +97,41 @@ class TimeSeriesSuite extends SparkSpec {
     assert(out.forall(r => r._4 >= -1.0 - 1e-9 && r._4 <= 1.0 + 1e-9),
       "a correlation left [-1, 1]")
   }
+
+  test("timeWeightedAvg: step interpolation de-weights bursts; " +
+      "single samples and same-ts ties stay deterministic") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val rows = Seq(
+      // u1: value 100 held for 1 h, then a 10-sample burst of 0s over
+      // 10 s, then 0 held for 1 h — a plain avg reads ~8.3 (12 rows,
+      // one is 100); the twa must read ~50 (half the span at 100)
+      (1L, "2024-01-01 00:00:00.0", 100.0),
+      (1L, "2024-01-01 01:00:00.0", 0.0),
+      (1L, "2024-01-01 01:00:01.0", 0.0),
+      (1L, "2024-01-01 01:00:02.0", 0.0),
+      (1L, "2024-01-01 01:00:03.0", 0.0),
+      (1L, "2024-01-01 01:00:04.0", 0.0),
+      (1L, "2024-01-01 01:00:05.0", 0.0),
+      (1L, "2024-01-01 01:00:06.0", 0.0),
+      (1L, "2024-01-01 01:00:07.0", 0.0),
+      (1L, "2024-01-01 01:00:08.0", 0.0),
+      (1L, "2024-01-01 01:00:09.0", 0.0),
+      (1L, "2024-01-01 02:00:09.0", 0.0),
+      // u2: one sample — zero span, twa = its own value
+      (2L, "2024-01-01 00:00:00.0", 7.5),
+      // u3: two samples at the SAME ts — zero span, twa = max (the
+      // deterministic last-by-(ts, value) choice)
+      (3L, "2024-01-01 00:00:00.0", 3.0),
+      (3L, "2024-01-01 00:00:00.0", 9.0))
+      .map { case (u, t, v) => (u, ts(t), v) }
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.timeWeightedAvg(rows)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // u1: 100 for 3600 s + 0 for 3609 s over 7209 s = 49.9376
+    assert(out(1L) == ((12L, 7209.0, 49.9376)), s"u1: ${out(1L)}")
+    assert(out(2L) == ((1L, 0.0, 7.5)))
+    assert(out(3L) == ((2L, 0.0, 9.0)))
+  }
 }
