@@ -491,4 +491,36 @@ object TextAnalysis {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array().cast("array<string>"))
+
+  /** Per-document Shannon entropies — the Gopher-family gibberish
+    * signal the ratio features miss: keyboard-mash and repeated-char
+    * junk reads LOW character entropy while base64/hex blobs read
+    * HIGH; template spam reads LOW token entropy at normal char
+    * entropy. Output: (idCol, char_entropy, token_entropy), natural
+    * log, 4dp, empty docs read 0.0.
+    *
+    * Shape: the typicality playbook — explode, per-(doc, unit)
+    * partial-aggregated counts, one groupBy(doc) with the
+    * H = ln n − Σ cnt·ln cnt / n identity (one pass, no per-doc
+    * probability materialization), join the two unit families back on
+    * the id. Everything is doc-bounded; no windows. */
+  def entropySignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def entropyOf(unit: Column, outCol: String): DataFrame =
+      df.select(col(idCol), explode_outer(unit).as("u"))
+        .where(col("u").isNotNull && col("u") =!= "")
+        .groupBy(col(idCol), col("u")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idCol))
+        .agg(round(
+          log(sum("cnt")) - sum(col("cnt") * log(col("cnt"))) / sum("cnt"),
+          4).as(outCol))
+    val chars = entropyOf(split(col(textCol), ""), "char_entropy")
+    val toks = entropyOf(tokens(col(textCol)), "token_entropy")
+    df.select(col(idCol))
+      .join(chars, Seq(idCol), "left")
+      .join(toks, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"),
+        coalesce(col("token_entropy"), lit(0.0)).as("token_entropy"))
+  }
 }

@@ -1737,6 +1737,42 @@ object LlmQueries {
       |    THEN 'keep' ELSE 'drop' END AS verdict
       |FROM sig""".stripMargin
 
+  // --- llm_entropy: per-doc character/token Shannon entropy — the
+  // Gopher-family gibberish signal (TextAnalysis.entropySignals).
+  // Both engines split chars with the empty separator (newlines
+  // included — a '.' regex would drop them) and use the one-pass
+  // H = ln n − Σ cnt·ln cnt / n identity. --------------------------------
+  def entropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.entropySignals(docs(s, dir))
+
+  val entropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, u, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(split(text, '')) AS u FROM documents)
+      |  WHERE u IS NOT NULL AND u <> '' GROUP BY 1, 2),
+      |che AS (
+      |  SELECT doc_id,
+      |    round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 4)
+      |      AS char_entropy
+      |  FROM ch GROUP BY 1),
+      |tk AS (
+      |  SELECT doc_id, u, count(*) AS cnt FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u
+      |    FROM documents)
+      |  WHERE u IS NOT NULL AND u <> '' GROUP BY 1, 2),
+      |tke AS (
+      |  SELECT doc_id,
+      |    round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 4)
+      |      AS token_entropy
+      |  FROM tk GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(che.char_entropy, 0.0) AS char_entropy,
+      |  coalesce(tke.token_entropy, 0.0) AS token_entropy
+      |FROM documents d
+      |LEFT JOIN che ON che.doc_id = d.doc_id
+      |LEFT JOIN tke ON tke.doc_id = d.doc_id""".stripMargin
+
   // --- llm_token_count ----------------------------------------------------
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -2843,6 +2879,7 @@ object LlmQueries {
     "llm_tfidf" -> (tfidf _),
     "llm_drift" -> (drift _),
     "llm_quality" -> (quality _),
+    "llm_entropy" -> (entropy _),
     "llm_token_count" -> (tokenCount _),
     "llm_fingerprint" -> (fingerprint _),
     "llm_curation" -> (curation _),
@@ -2900,6 +2937,7 @@ object LlmQueries {
     "llm_tfidf" -> tfidfSql,
     "llm_drift" -> driftSql,
     "llm_quality" -> qualitySql,
+    "llm_entropy" -> entropySql,
     "llm_token_count" -> tokenCountSql,
     "llm_fingerprint" -> fingerprintSql,
     "llm_curation" -> curationSql,

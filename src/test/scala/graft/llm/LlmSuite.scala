@@ -51,6 +51,31 @@ class LlmSuite extends SparkSpec {
         "sort onto one reducer")
   }
 
+  test("entropySignals: hand-computable H, gibberish discrimination, " +
+      "empty and degenerate docs") {
+    val docs = Seq(
+      (1L, "aaaa"),            // one symbol → char H = 0
+      (2L, "abcd"),            // uniform 4 → char H = ln 4
+      (3L, ""),                // empty → 0.0 both
+      (4L, "go go go go"),     // one repeated token → token H = 0
+      (5L, "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away home tonight"),   // prose
+      (6L, "asdfgh qwerty asdfgh qwerty asdfgh qwerty asdfgh " +
+        "qwerty asdfgh qwerty asdfgh qwerty")) // keyboard-mash template
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.entropySignals(docs)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 0.0)
+    assert(math.abs(out(2L)._1 - math.log(4.0)) < 1e-3, s"${out(2L)}")
+    assert(out(3L) == ((0.0, 0.0)))
+    assert(out(4L)._2 == 0.0, s"repeated token entropy: ${out(4L)}")
+    // the signal's point: template spam reads LOWER token entropy
+    // than prose of similar length
+    assert(out(6L)._2 < out(5L)._2,
+      s"template ${out(6L)._2} not below prose ${out(5L)._2}")
+  }
+
   test("dedupBest keeps the highest-scoring cluster member, not the " +
       "lowest id; winner selection is aggregated, never a window") {
     // hand graph: cluster {1,2,3} (3 scores highest), {5,6} tie on
