@@ -20,6 +20,22 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("l_extendedprice"), "projection not pruned")
   }
 
+  test("op_funnel: step filters reach the parquet scan; op_retention " +
+      "has no Expand (pre-dedup replaced count(DISTINCT))") {
+    val f = plan("op_funnel")
+    // each step leg must scan WITH its event_type pushed — an
+    // unfiltered scan replicated per leg reads the log k times over
+    assert(f.contains("EqualTo(event_type,view)") &&
+      f.contains("EqualTo(event_type,click)") &&
+      f.contains("EqualTo(event_type,purchase)"),
+      s"step filters not pushed:\n${f.take(1500)}")
+    assert(!f.contains("Window"), "funnel plans a window")
+    val r = plan("op_retention")
+    assert(!r.contains("Expand"),
+      "retention plans Expand — a count(DISTINCT) slipped back in")
+    assert(!r.contains("Window"), "retention plans a window")
+  }
+
   test("q3/q13: dimension joins broadcast — no fact-table shuffle join") {
     Seq("q3_join_agg", "q13_star_join").foreach { q =>
       val p = plan(q)
