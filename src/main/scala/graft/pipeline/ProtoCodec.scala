@@ -63,6 +63,27 @@ object ProtoWire {
   final class Malformed(val msg: String)
     extends Exception(msg, null, false, false)
 
+  /** Strict UTF-8 slice validation for `string` fields — proto3
+    * conformance: invalid UTF-8 in a string field is MALFORMED wire
+    * data, rejected like any truncation (parsers must not silently
+    * repair it). This is also what keeps the typed and columnar
+    * readers byte-agreed: `new String` would smuggle U+FFFD
+    * replacements in where `UTF8String` preserves the raw slice —
+    * the round-13 differential fuzz caught exactly that divergence on
+    * bit-flipped payloads. The wrap is zero-copy; `isValid` is one
+    * linear scan of an already-touched slice. */
+  def utf8Slice(bytes: Array[Byte], pos: Int,
+      len: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val s = org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(bytes, pos, len)
+    if (!s.isValid) throw new Malformed("invalid UTF-8 in string field")
+    s
+  }
+
+  /** [[utf8Slice]] materialized for the typed reader. */
+  def utf8Strict(bytes: Array[Byte], pos: Int, len: Int): String =
+    utf8Slice(bytes, pos, len).toString
+
   /** Mutable read cursor; every read throws [[Malformed]] rather than
     * over-running `end` (which doubles as the nested-message limit). */
   final class Cursor(val bytes: Array[Byte], var pos: Int, val end: Int) {
@@ -263,10 +284,10 @@ object ProtoCodec {
       if (field == 0) throw new Malformed("field number 0")
       if (field == 1 && wt == 2) {
         val l = c.readLen()
-        id = new String(c.bytes, c.pos, l, UTF_8); c.pos += l
+        id = ProtoWire.utf8Strict(c.bytes, c.pos, l); c.pos += l
       } else if (field == 2 && wt == 2) {
         val l = c.readLen()
-        kind = new String(c.bytes, c.pos, l, UTF_8); c.pos += l
+        kind = ProtoWire.utf8Strict(c.bytes, c.pos, l); c.pos += l
       } else c.skip(wt)
     }
     WireSite(id, kind)
@@ -330,7 +351,7 @@ object ProtoCodec {
             if (f2 == 0) throw new Malformed("field number 0")
             if (f2 == 1 && w2 == 2) {
               val kl = sub.readLen()
-              k = new String(sub.bytes, sub.pos, kl, UTF_8); sub.pos += kl
+              k = ProtoWire.utf8Strict(sub.bytes, sub.pos, kl); sub.pos += kl
             } else if (f2 == 2 && w2 == 0) v = sub.readVarint()
             else sub.skip(w2)
           }
@@ -423,10 +444,10 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
       if (field == 0) throw new Malformed("field number 0")
       if (field == 1 && wt == 2) {
         val l = c.readLen()
-        id = UTF8String.fromBytes(bytes, c.pos, l); c.pos += l
+        id = ProtoWire.utf8Slice(bytes, c.pos, l); c.pos += l
       } else if (field == 2 && wt == 2) {
         val l = c.readLen()
-        kind = UTF8String.fromBytes(bytes, c.pos, l); c.pos += l
+        kind = ProtoWire.utf8Slice(bytes, c.pos, l); c.pos += l
       } else c.skip(wt)
     }
     new GenericInternalRow(Array[Any](id, kind))
@@ -483,7 +504,7 @@ case class ProtoParseExpr(child: Expression) extends UnaryExpression {
           if (f2 == 0) throw new Malformed("field number 0")
           if (f2 == 1 && w2 == 2) {
             val kl = sub.readLen()
-            k = UTF8String.fromBytes(bytes, sub.pos, kl); sub.pos += kl
+            k = ProtoWire.utf8Slice(bytes, sub.pos, kl); sub.pos += kl
           } else if (f2 == 2 && w2 == 0) v = sub.readVarint()
           else sub.skip(w2)
         }

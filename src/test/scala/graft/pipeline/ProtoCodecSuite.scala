@@ -428,4 +428,60 @@ class ProtoCodecSuite extends SparkSpec {
     assert(typed.where(col("_corrupt").isNotNull).count() == bad.size)
     assert(columnar.where(col("_corrupt").isNotNull).count() == bad.size)
   }
+
+  test("differential fuzz: arbitrary garbage never crashes either " +
+      "reader, and typed/columnar agree on every verdict") {
+    // 1,500 seeded random buffers (plus truncations of VALID wire
+    // bytes — the adversarial middle ground): the typed reader must
+    // return Ok/Failed without throwing, and the columnar
+    // ProtoParseExpr must reach the same corrupt/ok verdict on every
+    // buffer AND the same decoded row wherever both say ok.
+    implicit val benc = ExpressionEncoder[Array[Byte]]()
+    val rnd = new scala.util.Random(20260815L)
+    val random = (1 to 1000).map { _ =>
+      Array.fill[Byte](rnd.nextInt(48))(rnd.nextInt().toByte)
+    }
+    val valid = ProtoCodec.encode(ProtoRecord(7L, WireSite("s", "web"),
+      1.5, flag = true, -3L, tags = Seq(1L, -2L),
+      attrs = Map("a" -> 1L), stores = Seq(WireSite("x", "y"))))
+    val truncs = (0 until valid.length).map(valid.take)
+    val flips = (1 to 500).map { _ =>
+      val b = valid.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt().toByte
+      b
+    }
+    val corpus = random ++ truncs ++ flips
+    val typedVerdicts = corpus.map { b =>
+      ProtoCodec.decode(b) match { // must never throw
+        case graft.pipeline.DecodeResult.Ok(_) => true
+        case _ => false
+      }
+    }
+    val df = corpus.toDF("value")
+      .withColumn("timestamp", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val columnar = ProtoCodec.decodeColumnar(df)
+    val colVerdicts = columnar.select(col("_corrupt").isNull)
+      .as[Boolean].collect()
+    assert(colVerdicts.length == corpus.length)
+    val disagreements = typedVerdicts.zip(colVerdicts).zipWithIndex
+      .collect { case ((t, c), i) if t != c => (i, t, c) }
+    assert(disagreements.isEmpty,
+      s"typed/columnar verdicts diverge at ${disagreements.take(5)} " +
+        s"(buffer hex: ${disagreements.take(1).map { case (i, _, _) =>
+          corpus(i).map("%02x".format(_)).mkString }})")
+    // some garbage MUST decode Ok (empty buffer = all-defaults proto3)
+    // and most must fail — both verdict classes exercised
+    assert(typedVerdicts.exists(identity) && typedVerdicts.exists(!_))
+    // row agreement where both decode: reuse the sorted-entry compare
+    val key = Seq(col("id"), col("site"), col("score"), col("flag"),
+      col("ts"), col("tags"),
+      array_sort(map_entries(col("attrs"))).as("attrs_e"),
+      col("stores"))
+    val typed = Decoders.typed[ProtoRecord](ProtoCodec.decode).apply(df)
+    val tOk = typed.where(col("_corrupt").isNull).select(key: _*)
+    val cOk = columnar.where(col("_corrupt").isNull).select(key: _*)
+    assert(cOk.exceptAll(tOk).count() == 0 &&
+      tOk.exceptAll(cOk).count() == 0,
+      "decoded rows diverge on fuzz-surviving buffers")
+  }
 }
