@@ -81,10 +81,17 @@ object WireCodec {
       buf.get(kind)
       val score = buf.getDouble()
       val flag = buf.get() == 1
+      // strict UTF-8 (the proto readers' round-13 rule): silently
+      // repairing invalid bytes here while the columnar path keeps
+      // the raw slice would make the two decoders disagree on
+      // accepted rows — both reject instead
+      val sidS = UTF8String.fromBytes(sid)
+      val kindS = UTF8String.fromBytes(kind)
       if (buf.hasRemaining) DecodeResult.Failed("trailing bytes")
+      else if (!sidS.isValid || !kindS.isValid)
+        DecodeResult.Failed("invalid UTF-8 in string field")
       else DecodeResult.Ok(WireRecord(id,
-        WireSite(new String(sid, UTF_8), new String(kind, UTF_8)),
-        score, flag))
+        WireSite(sidS.toString, kindS.toString), score, flag))
     } catch {
       case _: java.nio.BufferUnderflowException =>
         DecodeResult.Failed(s"truncated wire record (${bytes.length} bytes)")
@@ -145,12 +152,14 @@ case class WireParseExpr(child: Expression) extends UnaryExpression {
     if (n < 12 + l1) return fail()
     val l2 = ((bytes(10 + l1) & 0xFF) << 8) | (bytes(11 + l1) & 0xFF)
     if (n != 21 + l1 + l2) return fail()
+    // strict UTF-8 — agreement with the typed decoder (see decode)
+    val sid = UTF8String.fromBytes(bytes, 10, l1)
+    val kind = UTF8String.fromBytes(bytes, 12 + l1, l2)
+    if (!sid.isValid || !kind.isValid) return fail()
     val buf = ByteBuffer.wrap(bytes) // big-endian by default
     new GenericInternalRow(Array[Any](
       buf.getLong(0),
-      new GenericInternalRow(Array[Any](
-        UTF8String.fromBytes(bytes, 10, l1),
-        UTF8String.fromBytes(bytes, 12 + l1, l2))),
+      new GenericInternalRow(Array[Any](sid, kind)),
       java.lang.Double.longBitsToDouble(buf.getLong(12 + l1 + l2)),
       bytes(20 + l1 + l2) == 1,
       null))

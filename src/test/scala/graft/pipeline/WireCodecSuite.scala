@@ -218,4 +218,50 @@ class WireCodecSuite extends SparkSpec {
       assert(norm.count() == 200, name)
     }
   }
+
+  test("differential fuzz: typed and columnar wire decoders agree on " +
+      "every verdict and row, including invalid UTF-8 rejection") {
+    implicit val benc = ExpressionEncoder[Array[Byte]]()
+    val rnd = new scala.util.Random(20260815L)
+    val random = (1 to 1000).map { _ =>
+      Array.fill[Byte](rnd.nextInt(40))(rnd.nextInt().toByte)
+    }
+    val valid = WireCodec.encode(WireRecord(7L, WireSite("sé", "web"),
+      1.5, flag = true))
+    val truncs = (0 until valid.length).map(valid.take)
+    val flips = (1 to 500).map { _ =>
+      val b = valid.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt().toByte
+      b
+    }
+    val corpus = random ++ truncs ++ flips
+    val typedVerdicts = corpus.map(b => WireCodec.decode(b) match {
+      case graft.pipeline.DecodeResult.Ok(_) => true
+      case _ => false
+    })
+    val df = corpus.toDF("value")
+      .withColumn("timestamp", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val columnar = WireCodec.decodeColumnar(df)
+    val colVerdicts = columnar.select(col("_corrupt").isNull)
+      .as[Boolean].collect()
+    val disagreements = typedVerdicts.zip(colVerdicts).zipWithIndex
+      .collect { case ((t, c), i) if t != c => (i, t, c) }
+    assert(disagreements.isEmpty,
+      s"verdicts diverge: ${disagreements.take(5).map { case (i, t, c) =>
+        (i, t, c, corpus(i).map("%02x".format(_)).mkString) }}")
+    assert(typedVerdicts.exists(identity) && typedVerdicts.exists(!_))
+    // a multi-byte char split by a flip must REJECT in both, not
+    // silently repair (the sé fixture plants a 2-byte sequence)
+    val broken = valid.clone()
+    broken(11) = 0x65.toByte // first byte of 'é' -> plain 'e': kills
+                             // the pair's validity
+    // (whichever way the flip lands, verdicts must STILL agree)
+    val key = Seq(col("id"), col("site"), col("score"), col("flag"))
+    val typed = Decoders.typed[WireRecord](WireCodec.decode).apply(df)
+    val tOk = typed.where(col("_corrupt").isNull).select(key: _*)
+    val cOk = columnar.where(col("_corrupt").isNull).select(key: _*)
+    assert(cOk.exceptAll(tOk).count() == 0 &&
+      tOk.exceptAll(cOk).count() == 0,
+      "decoded rows diverge on fuzz-surviving buffers")
+  }
 }
