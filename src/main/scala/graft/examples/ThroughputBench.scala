@@ -130,9 +130,13 @@ object ThroughputBench {
     wire.select("value").repartition(parts).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        // append=false: a retried/speculative task OVERWRITES its own
+        // partition file instead of appending a second copy (review
+        // finding — duplicated frames would inflate rec/s and break
+        // conservation)
         val out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(new java.io.FileOutputStream(
-            new java.io.File(dir, s"p$pid.log"), true), 1 << 20))
+            new java.io.File(dir, s"p$pid.log"), false), 1 << 20))
         try it.foreach { r =>
           val b = r.getAs[Array[Byte]](0)
           out.writeInt(b.length)

@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   * full depth).
   *
   * Scale shape: k−1 equi joins on the entity key with the time
-  * residual folded into each join condition, then ONE
-  * partial-aggregated groupBy — no window, no per-entity sort. Chain
-  * candidates per entity are |step1|×|step2|×… WITHIN THE HORIZON —
-  * bounded for real traffic by the horizon itself; an adversarially
-  * hot entity is the sessionize caveat, and [[graft.llm.Sampling]]'s
-  * capPerKey / [[graft.llm.Dedup.dropHotKeys]] are the upstream
-  * remedies. The min-aggregations keep only (entity, ts) pairs
-  * flowing between stages — no payloads replicate. */
+  * residual folded into each join condition, each stage REDUCED to
+  * the earliest reachable step time per (entity, chain start) — no
+  * window, no per-entity sort, and stage cardinality is bounded at
+  * one row per (entity, step-1 occurrence) instead of the
+  * |step1|×|step2|×… product (the reduction is output-identical
+  * under EXISTS semantics — see the inline proof). Each stage's JOIN
+  * input is still |chains| × |step-k events| per entity within the
+  * horizon; an adversarially hot entity is the sessionize caveat,
+  * and [[graft.llm.Sampling]]'s capPerKey /
+  * [[graft.llm.Dedup.dropHotKeys]] are the upstream remedies. Only
+  * (entity, ts) pairs flow between stages — no payloads replicate. */
 object Funnel {
 
   def windowFunnel(events: DataFrame, steps: Seq[String],
@@ -38,16 +41,25 @@ object Funnel {
       events.where(col(typeCol) === step)
         .select(col(entityCol), col(tsCol).as(as))
     val s1 = of(steps.head, "t1")
-    // chains(k): (entity, t1 = chain start, tk = step-k+1 ts) — each
-    // stage joins the next step in with (later than the previous
-    // step, inside the horizon from step 1) and projects only the two
-    // timestamps, so nothing wider ever shuffles
+    // chains(k): (entity, t1 = chain start, tk = EARLIEST step-k+1 ts
+    // reachable from t1). Each stage joins the next step in (later
+    // than the previous step, inside the horizon from step 1) and
+    // REDUCES to min(tn) per (entity, t1) — output-identical under
+    // EXISTS-chain semantics (any tn extending some tk also extends
+    // min(tk), since tn > tk ≥ min(tk); conversely chains built on
+    // min(tk) are real chains), and it bounds every stage at one row
+    // per (entity, chain start) instead of the product of per-step
+    // multiplicities (m^k for an entity with m events per step —
+    // round-13 review finding). The reduction is a
+    // partial-aggregated groupBy, so the map side collapses before
+    // the shuffle.
     val chains = steps.tail.scanLeft(s1.withColumn("tk", col("t1"))) {
       (prev, step) =>
         prev.join(of(step, "tn"), Seq(entityCol))
           .where(col("tn") > col("tk") &&
             col("tn") <= col("t1") + horizon)
-          .select(col(entityCol), col("t1"), col("tn").as("tk"))
+          .groupBy(col(entityCol), col("t1"))
+          .agg(min(col("tn")).as("tk"))
     }.toIndexedSeq
     // depth-k marker per entity: the earliest step-k completion time
     // of any chain (k = full depth also yields completed_at)

@@ -60,12 +60,18 @@ final class PipelineMetrics(
       p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
     recordBatch(p.batchId, p.numInputRows, p.batchDuration,
       p.inputRowsPerSecond, p.processedRowsPerSecond)
-    p.sources.headOption
+    // ALL sources, not just the first (review finding: in a union
+    // query the binqueue source may not be sources[0]); multiple
+    // reporting sources fold as a SUM — total records the query is
+    // behind across its inputs
+    val behinds = p.sources.toSeq
       .flatMap(s => Option(s.metrics.get("behindRecords")))
-      .map(_.toLong).foreach { b =>
-        maxQueueBehind.getAndUpdate(c => math.max(c, b))
-        synchronized { if (p.batchId >= lastBatchId) lastQueueBehind = b }
-      }
+      .map(_.toLong)
+    if (behinds.nonEmpty) {
+      val b = behinds.sum
+      maxQueueBehind.getAndUpdate(c => math.max(c, b))
+      synchronized { if (p.batchId >= lastBatchId) lastQueueBehind = b }
+    }
   }
 
   private[pipeline] def recordBatch(batchId: Long, numInputRows: Long,

@@ -101,6 +101,44 @@ private[sink] class SegmentWriteTable(baseDir: String,
 private[sink] case class SegmentCommitMessage(partitionId: Int,
     stagedPath: String, rows: Long) extends WriterCommitMessage
 
+/** Driver-side handle registry for the DSv2 segment sink: Spark
+  * constructs [[SegmentStreamingWrite]] internally (inside
+  * `newWriteBuilder`), so without this no caller could reach the
+  * instance to close the LAST open segment — data below the rotation
+  * threshold at `query.stop()` would exist on disk but never reach
+  * the manifest, invisible under the documented manifest read
+  * contract (round-13 review finding). After stopping the query,
+  * call `SegmentWrites.finalRotate(baseDir)` — the DSv2 twin of
+  * [[graft.pipeline.Pipeline.close]]'s final partial-segment emit.
+  * Keyed by base dir, latest write wins (a restarted query's fresh
+  * instance owns the open segment). */
+object SegmentWrites {
+  // ALL instances per dir: the engine may construct the StreamingWrite
+  // more than once per query (planning vs execution), and only the
+  // instance that actually received commits holds the open segment —
+  // a last-wins slot could point at an inert twin
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[SegmentStreamingWrite]]()
+
+  private[sink] def register(baseDir: String,
+      w: SegmentStreamingWrite): Unit = {
+    registry.computeIfAbsent(baseDir,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet()).add(w)
+    ()
+  }
+
+  /** Close and announce the open segment of the (stopped) streaming
+    * write on `baseDir`, if any registered instance has pending
+    * data. */
+  def finalRotate(baseDir: String): Option[SegmentInfo] = {
+    import scala.jdk.CollectionConverters._
+    Option(registry.get(baseDir)).toSeq
+      .flatMap(_.asScala.toSeq)
+      .flatMap(_.finalRotate())
+      .headOption
+  }
+}
+
 private[sink] class SegmentStreamingWrite(baseDir: String,
     schema: StructType, table: String, prefix: String,
     policy: RotationPolicy, writeManifest: Boolean)
@@ -111,6 +149,7 @@ private[sink] class SegmentStreamingWrite(baseDir: String,
   private val spark = SparkSession.active
   private val sink = new RotatingSegmentSink(spark, baseDir,
     prefix = prefix, policy = policy, writeManifest = writeManifest)
+  SegmentWrites.register(baseDir, this)
   private val confSer = new SerializableConfiguration(
     spark.sessionState.newHadoopConf())
 

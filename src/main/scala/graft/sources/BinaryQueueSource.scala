@@ -155,6 +155,19 @@ private[sources] class BinQueueMicroBatchStream(dir: String,
   @volatile private var lastTriggerAvailable: Long = 0L
   @volatile private var lastTriggerAllotted: Long = 0L
 
+  /** Offsets handed to `metrics()` can arrive as raw
+    * checkpoint-restored wrappers, not this source's class — after a
+    * restart with no new data, the committed offset is a
+    * `SerializedOffset` straight off the offset log, and a direct
+    * cast crashes the stream thread (the Kafka connector re-parses
+    * for exactly this reason; round-13 review finding). The canonical
+    * JSON is the contract, so parse it whenever the instance is not
+    * already ours. */
+  private def asBinQueue(o: Offset): BinQueueOffset = o match {
+    case b: BinQueueOffset => b
+    case other => BinQueueOffset.fromJson(other.json())
+  }
+
   /** Rate/lag telemetry through the REAL connector metrics API (the
     * Kafka source's `ReportsSourceMetrics` — surfaced per trigger in
     * `StreamingQueryProgress.sources[].metrics`): how far the queue is
@@ -165,8 +178,7 @@ private[sources] class BinQueueMicroBatchStream(dir: String,
       : java.util.Map[String, String] = {
     val consumed =
       if (latestConsumedOffset.isPresent)
-        latestConsumedOffset.get.asInstanceOf[BinQueueOffset]
-          .counts.values.sum
+        asBinQueue(latestConsumedOffset.get).counts.values.sum
       else 0L
     val m = new java.util.HashMap[String, String]()
     m.put("behindRecords",
@@ -177,7 +189,7 @@ private[sources] class BinQueueMicroBatchStream(dir: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[BinQueueOffset].counts
+    val from = asBinQueue(start).counts
     val avail = available()
     val newPer = avail.map { case (p, n) =>
       p -> math.max(0L, n - from.getOrElse(p, 0L)) }
@@ -209,7 +221,7 @@ private[sources] class BinQueueMicroBatchStream(dir: String,
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val from = start.asInstanceOf[BinQueueOffset].counts
+    val from = asBinQueue(start).counts
     val to = end.asInstanceOf[BinQueueOffset].counts
     to.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
       val lo = from.getOrElse(p, 0L)

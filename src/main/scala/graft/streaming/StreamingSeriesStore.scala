@@ -99,6 +99,10 @@ final case class StreamingSeriesStore(storeDir: String,
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
+    // resolve any crashed previous swap BEFORE listing partitions —
+    // recovery can change the set (CompactSwap scaladoc)
+    CompactSwap.recoverStaleStaging(fs,
+      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
     val parts = fs.listStatus(root).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("batch_id="))
     if (parts.length <= 2) return

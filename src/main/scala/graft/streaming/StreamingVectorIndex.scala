@@ -107,6 +107,10 @@ final case class StreamingVectorIndex(storeDir: String,
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
+    // resolve any crashed previous swap BEFORE listing partitions —
+    // recovery can change the set (CompactSwap scaladoc)
+    CompactSwap.recoverStaleStaging(fs,
+      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
     val parts = fs.listStatus(root).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("batch_id="))
     if (parts.length <= 2) return
@@ -142,17 +146,29 @@ final case class StreamingVectorIndex(storeDir: String,
     * through the old instance's centroids, planting old-quantizer
     * rows next to the rebuilt snapshot. (The fold includes the latest
     * batch for exactly that reason: after a rebuild there is no
-    * replay-eligible partition by contract.) */
+    * replay-eligible partition by contract.)
+    *
+    * The snapshot lands at `batch_id=-1` — an id NO micro-batch can
+    * ever write (engine batch ids start at 0): the mandated fresh
+    * checkpoint restarts ids at 0, so a non-negative snapshot id
+    * (compact's lowest-folded-id convention) would be OVERWRITTEN by
+    * the resumed stream's very first batch, silently destroying the
+    * rebuilt index (round-13 review finding). compact() keeps its
+    * convention safely because it requires the SAME checkpoint, whose
+    * ids only grow past the folded range. */
   def rebuild(spark: SparkSession, newCentroids: Seq[Seq[Double]])
       : StreamingVectorIndex = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root)) {
+      CompactSwap.recoverStaleStaging(fs,
+        new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
+      CompactSwap.recoverStaleStaging(fs,
+        new org.apache.hadoop.fs.Path(root, ".rebuild_tmp"))
       val parts = fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("batch_id="))
       if (parts.nonEmpty) {
-        val snapId = parts.map(
-          _.getPath.getName.stripPrefix("batch_id=").toLong).min
+        val snapId = -1L
         val reassigned = spark.read
           .option("basePath", storeDir)
           .parquet(parts.map(_.getPath.toString).toIndexedSeq: _*)

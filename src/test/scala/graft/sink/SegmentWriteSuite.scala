@@ -95,6 +95,46 @@ class SegmentWriteSuite extends SparkSpec {
       "staging dirs left behind")
   }
 
+  test("finalRotate reaches the engine-constructed write: the tail " +
+      "segment below threshold gets announced after query.stop()") {
+    // review finding: Spark builds SegmentStreamingWrite internally,
+    // so without the registry no caller could close the last open
+    // segment — sub-threshold tail data existed on disk but never
+    // reached the manifest (the documented read contract).
+    val root = Files.createTempDirectory("graft-dsv2tail").toString
+    val msgDir = s"$root/messages"
+    val out = s"$root/out"
+    val n = writeMessages(msgDir)
+    val q = Stages.decodeJson(payloadSchema)(
+        Stages.munge(Stages.confluentStrip)(
+          FileBinarySource(msgDir).stream(spark)))
+      .where(col("_corrupt").isNull)
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream
+      .format("graft-binsegment")
+      .option("path", out)
+      .option("table", "events_raw")
+      .option("thresholdMB", "100000") // never rotates on its own
+      .option("durationSec", "100000")
+      .option("clamp", "false")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // nothing announced yet — the data is invisible per the contract
+    assert(!new java.io.File(s"$out/_manifest").exists(),
+      "sub-threshold segment rotated prematurely")
+    val info = SegmentWrites.finalRotate(out)
+    assert(info.nonEmpty, "finalRotate found no registered write")
+    val manifest = spark.read.parquet(s"$out/_manifest")
+    val segs = manifest.select("path").as[String].collect().toSeq
+    assert(segs.size == 1)
+    val got = spark.read.parquet(s"${segs.head}/events_raw")
+    assert(got.count() == n, "tail segment missing rows")
+    // idempotent: nothing pending → no second announcement
+    assert(SegmentWrites.finalRotate(out).isEmpty)
+  }
+
   test("epoch replay hits the marker and is discarded; rename failures " +
       "surface instead of losing the epoch") {
     val root = Files.createTempDirectory("graft-dsv2replay").toString

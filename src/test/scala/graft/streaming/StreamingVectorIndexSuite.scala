@@ -123,11 +123,14 @@ class StreamingVectorIndexSuite extends SparkSpec {
     }
     val rebuilt = idx.rebuild(spark, centsNew)
     assert(rebuilt.centArrs == centsNew && rebuilt.storeDir == idx.storeDir)
-    // store collapsed to ONE snapshot partition at the lowest id
+    // store collapsed to ONE snapshot partition at batch_id=-1: an id
+    // the mandated fresh-checkpoint resume (whose engine batch ids
+    // restart at 0) can NEVER overwrite — a non-negative snapshot id
+    // would be destroyed by the resumed stream's first micro-batch
     val dirs = new java.io.File(s"$root/store").listFiles()
       .filter(_.isDirectory).map(_.getName)
       .filter(_.startsWith("batch_id=")).toSet
-    assert(dirs == Set("batch_id=0"), s"unexpected layout: $dirs")
+    assert(dirs == Set("batch_id=-1"), s"unexpected layout: $dirs")
     val fromRebuilt = rebuilt.topK(spark, col("neighbor_id") < 10, k, nProbe)
       .as[(Long, Long, Int, Double)].collect().toSet
     // ground truth: a fresh batch index on the same vectors + centroids
@@ -142,6 +145,15 @@ class StreamingVectorIndexSuite extends SparkSpec {
     assert(fromRebuilt == Similarity.ivfTopKFrom(
         e.where(col("vec_id") < 10), e, k, centsNew, nProbe)
       .as[(Long, Long, Int, Double)].collect().toSet)
+    // the overwrite trap itself, pinned: a fresh-checkpoint resume's
+    // first batch (batchId=0) must ADD to the rebuilt store, not
+    // replace the snapshot (review finding: the snapshot used to land
+    // at batch_id=0 — exactly the id the resumed stream writes first)
+    rebuilt.processBatch(
+      e.where(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 100000L), batchId = 0L)
+    assert(rebuilt.vectors(spark).count() == e.count() + 5,
+      "fresh-checkpoint batch 0 clobbered the snapshot")
   }
 
   test("CompactSwap checks filesystem booleans: stale target cleared, " +
@@ -171,13 +183,39 @@ class StreamingVectorIndexSuite extends SparkSpec {
     assert(!fs.exists(new Path(dest, "stale_file")),
       "stale target content survived the swap")
     assert(!fs.exists(tmp), "staging dir left behind after a clean swap")
-    // rename failure (missing staging dir) must throw with the staging
-    // path, never return silently
-    val err = intercept[java.io.IOException](
-      CompactSwap.swap(fs, Nil, new Path(root, ".missing_tmp"),
-        new Path(root, "batch_id=9")))
-    assert(err.getMessage.contains(".missing_tmp"),
-      s"unactionable message: ${err.getMessage}")
+
+    // --- recovery ruleset (round-13 review finding) ---
+    // (a) manifest-less staging dir = the staging WRITE crashed;
+    // originals intact → discarded, nothing else touched
+    val t1 = mkDirWithMarker(".compact_tmp", "half_written")
+    val f1 = mkDirWithMarker("batch_id=1", "orig_1")
+    CompactSwap.recoverStaleStaging(fs, t1)
+    assert(!fs.exists(t1) && fs.exists(f1),
+      "incomplete staging not discarded cleanly")
+    // (b) manifest present, every recorded partition alive = crash
+    // BEFORE any delete → staging discarded, originals intact (the
+    // attach(compactEvery) replay contract)
+    val t2 = mkDirWithMarker(".compact_tmp", "staged_2")
+    val d2 = new Path(root, "batch_id=1")
+    val m2 = fs.create(new Path(t2, "_graft_swap"), true)
+    m2.write(s"$d2\n$f1".getBytes("UTF-8")); m2.close()
+    CompactSwap.recoverStaleStaging(fs, t2)
+    assert(!fs.exists(t2) && fs.exists(new Path(f1, "orig_1")),
+      "pre-delete staging not discarded / originals touched")
+    // (c) manifest present, a recorded partition GONE = interrupted
+    // swap; the staging dir is the only copy → recovery COMPLETES the
+    // swap: survivors deleted, staging lands at the recorded dest
+    val t3 = mkDirWithMarker(".compact_tmp", "staged_3")
+    val f3a = mkDirWithMarker("batch_id=5", "orig_5")
+    val f3gone = new Path(root, "batch_id=6") // recorded but deleted
+    val d3 = new Path(root, "batch_id=5")
+    val m3 = fs.create(new Path(t3, "_graft_swap"), true)
+    m3.write(s"$d3\n$f3a\n$f3gone".getBytes("UTF-8")); m3.close()
+    CompactSwap.recoverStaleStaging(fs, t3)
+    assert(!fs.exists(t3), "interrupted swap left staging behind")
+    assert(fs.exists(new Path(d3, "staged_3")) &&
+      !fs.exists(new Path(d3, "orig_5")),
+      "interrupted swap not completed into the recorded dest")
   }
 
   test("attach: MemoryStream ingest equals the batch operator") {
