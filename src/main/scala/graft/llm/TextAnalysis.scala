@@ -189,6 +189,77 @@ object TextAnalysis {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  /** Interpolated Kneser–Ney bigram log-probability per document — the
+    * smoothing the actual CCNet/KenLM filter uses, one rung up from
+    * [[bigramLogprob]]'s raw MLE. With fixed discount D (Chen &
+    * Goodman's KN-fix, default 0.75):
+    *
+    *   P(b|a) = ( (c(ab) − D) + D·N₁₊(a·) · N₁₊(·b)/N₁₊(··) ) / c(a·)
+    *
+    * where N₁₊(a·)/N₁₊(·b) are the distinct right/left continuation
+    * type counts and N₁₊(··) the distinct bigram types: the discount
+    * mass a context gives up is redistributed by how many distinct
+    * contexts a word FOLLOWS (the "San Francisco" argument — "francisco"
+    * is frequent but predictable, so its continuation weight is low).
+    * Per context the smoothed P(·|a) still sums to exactly 1 (the
+    * first terms give (c(a·) − D·N₁₊(a·))/c(a·), the backoff term
+    * restores D·N₁₊(a·)/c(a·) — pinned in LlmSuite). Trained and
+    * scored on the corpus itself, so every scored bigram has
+    * c(ab) ≥ 1 and the numerator (c − D) stays positive: no max(·,0)
+    * clamp and no zero denominators.
+    *
+    * Same skew-safe shape as [[bigramLogprob]]: all type/total counts
+    * derive from the PRE-COLLAPSED per-(doc, bigram) table (partial
+    * aggregation collapses hot bigrams before their shuffle; the
+    * distinct-type counts are plain `count(*)` over the already-
+    * distinct bigram table — no count(DISTINCT) Expand anywhere), the
+    * joins are AQE-splittable equi joins on bigram/token keys, the
+    * N₁₊(··) scalar rides a broadcast one-row crossJoin, and no
+    * window touches an unbounded key. The arithmetic is written with
+    * the same association and explicit double casts as the DuckDB
+    * oracle so both engines evaluate bit-identical IEEE expressions
+    * before the (1-ulp) ln and the 4-dp round. */
+  def knBigramLogprob(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    val bigr = df.select(col(idCol),
+      explode_outer(graft.functions.ExprUtils.bindOnce(
+        tokens(col(textCol))) { t =>
+        when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+      }).as("bg"))
+      .where(col("bg").isNotNull)
+    val docBg = bigr.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val c2 = docBg.groupBy("bg").agg(sum("cnt").as("c2"))
+    // per-context totals AND distinct-continuation types in one pass
+    // over the distinct-bigram table (its rows are the types)
+    val ctxTab = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .groupBy("ctx").agg(sum(col("c2")).as("c1"),
+        count(lit(1)).as("n1f"))
+    val contTab = c2
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nAll = c2.agg(count(lit(1)).cast("double").as("n_all"))
+    val d = lit(discount)
+    val num = (col("c2").cast("double") - d) +
+      (d * col("n1f").cast("double")) *
+        (col("n1b").cast("double") / col("n_all"))
+    val p = num / col("c1").cast("double")
+    val perDoc = docBg.join(c2, "bg")
+      .withColumn("ctx", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ctxTab, "ctx")
+      .join(contTab, "w2")
+      .crossJoin(broadcast(nAll))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(col("cnt") * log(p)) / sum(col("cnt")), 4)
+          .as("kn_logprob"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** Canonical content fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key. trim runs AFTER the \s+
     * collapse: trim strips only spaces, so trimming first left a

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MgSummary, MisraGriesAgg}
+
+/** EXACT frequent-items ("heavy hitters") above a 1/m frequency
+  * threshold, without ever shuffling the long tail — the two-pass
+  * sketch-then-verify pattern that replaces a full
+  * `GROUP BY key HAVING count(*) ≥ n/m` at 100 TB:
+  *
+  *  1. one map-only pass folds every partition into a Misra–Gries
+  *     summary of k ≥ m counters ([[graft.functions.MisraGriesAgg]];
+  *     merged summary ≤ k candidate keys + the exact total n). The MG
+  *     guarantee (undercount ≤ n/(k+1) < n/m) means the candidate set
+  *     provably contains EVERY item with true count ≥ n/m — recall 1.0
+  *     by construction, whatever the partitioning;
+  *  2. a second pass filters the input to the ≤ k candidates with a
+  *     literal hash-set (`isin` → InSet, fused into the scan — rows
+  *     outside the candidate set die map-side, so the exact count's
+  *     shuffle carries at most k distinct keys instead of the full key
+  *     domain) and counts those exactly; `cnt · m ≥ n` then drops the
+  *     sketch's false positives.
+  *
+  * The output is therefore EXACT and partitioning-independent even
+  * though the intermediate sketch is neither: sketch nondeterminism
+  * only varies which sub-threshold extras get exactly counted and then
+  * filtered out. Contrast with the plain groupBy: partial aggregation
+  * still shuffles one row per distinct key per partition — on a
+  * heavy-tailed 100 TB key domain that is the dominant cost, and it is
+  * exactly the traffic pass 2's InSet avoids.
+  *
+  * Like [[graft.llm.Dedup.dropHotKeys]], the sketch pass is an eager
+  * job at plan-construction time (the candidate literals must exist
+  * before the second pass can be planned), memoized per canonicalized
+  * input plan so repeated constructions of the same query pay it once
+  * per JVM. NULL items are ignored (excluded from both n and the
+  * output). Driver memory is bounded by k entries (~item bytes + 8).
+  *
+  * `m` is the threshold denominator (report items with frequency
+  * ≥ 1/m); `k` is the sketch width, k ≥ m required for the recall
+  * guarantee, larger k = fewer exactly-counted false positives.
+  */
+object HeavyHitters {
+
+  private val sketchCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    MgSummary]()
+
+  /** Exact items of `itemCol` with count · m ≥ total, as
+    * (term, cnt). */
+  def frequentItems(df: DataFrame, itemCol: String, m: Int,
+      k: Int = 0): DataFrame = {
+    val kk = if (k > 0) k else 2 * m
+    require(kk >= m,
+      s"sketch width k=$kk must be >= threshold denominator m=$m " +
+        "(the n/(k+1) undercount bound must sit below the n/m threshold)")
+    val items = df.select(col(itemCol).cast("string").as("item"))
+    if (sketchCache.size > 64) sketchCache.clear()
+    val summary = sketchCache.computeIfAbsent(
+      (items.queryExecution.analyzed.canonicalized, kk),
+      _ => items.select(MisraGriesAgg.mg_sketch(col("item"), kk).as("s"))
+        .selectExpr("s.n AS n", "s.entries AS entries")
+        .as[MgSummary](org.apache.spark.sql.Encoders.product[MgSummary])
+        .head())
+    // Candidates with est · m + n/(k+1) < n cannot reach the exact
+    // threshold (est ≥ true − n/(k+1)) — but keeping the prune purely
+    // in pass 2 keeps pass 1's result reusable across thresholds, and
+    // the InSet is O(k) either way; pass every surviving counter.
+    val cands = summary.entries.map(_.item)
+    val spark = df.sparkSession
+    if (cands.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+        StructType(Seq(StructField("term", StringType),
+          StructField("cnt", LongType))))
+    } else {
+      items.where(col("item").isin(cands: _*))
+        .groupBy(col("item").as("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * lit(m.toLong) >= lit(summary.n))
+    }
+  }
+}

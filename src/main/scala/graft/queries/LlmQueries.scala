@@ -2351,6 +2351,53 @@ object LlmQueries {
       |SELECT d.doc_id, p.n_bigrams, p.bigram_logprob
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
+  // --- llm_kn_lm ----------------------------------------------------------
+  def knLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knBigramLogprob(docs(s, dir))
+
+  /** Kneser–Ney twin of [[bigramLmSql]]: the continuation-type tables
+    * are plain count(*) over the already-distinct c2 CTE, and the
+    * probability expression is WRITTEN with the operator's exact
+    * association and explicit DOUBLE casts (0.75 as a bare literal
+    * would be DECIMAL in DuckDB — the reservoir lesson — and a
+    * different association would evaluate a different IEEE value
+    * before the 4-dp round). */
+  val knLmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i + 1])) AS bg
+      |  FROM tok),
+      |counts AS (
+      |  SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT bg, CAST(sum(cnt) AS BIGINT) AS c2 FROM counts GROUP BY 1),
+      |ctx_tab AS (
+      |  SELECT split_part(bg, ' ', 1) AS ctx,
+      |    CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+      |  FROM c2 GROUP BY 1),
+      |cont_tab AS (
+      |  SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1b
+      |  FROM c2 GROUP BY 1),
+      |n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM c2),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |    round(sum(cnt * ln(
+      |      ((CAST(c2 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |        + (CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE))
+      |          * (CAST(n1b AS DOUBLE) / n_all))
+      |      / CAST(c1 AS DOUBLE))) / sum(cnt), 4) AS kn_logprob
+      |  FROM counts
+      |  JOIN c2 USING (bg)
+      |  JOIN ctx_tab ON ctx_tab.ctx = split_part(counts.bg, ' ', 1)
+      |  JOIN cont_tab ON cont_tab.w2 = split_part(counts.bg, ' ', 2)
+      |  CROSS JOIN n_all
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, p.n_bigrams, p.kn_logprob
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
   // --- llm_pack -----------------------------------------------------------
   /** Sequence packing manifest: ctx 64, 8 shards over `documents`. */
   def pack(s: SparkSession, dir: String): DataFrame =
@@ -2865,6 +2912,7 @@ object LlmQueries {
     "llm_lang_id" -> (langId _),
     "llm_corpus_stats" -> (corpusStats _),
     "llm_bigram_lm" -> (bigramLm _),
+    "llm_kn_lm" -> (knLm _),
     "llm_vocab" -> (vocab _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_train_batched" -> (bpeTrainBatched _),
@@ -2933,6 +2981,7 @@ object LlmQueries {
     "llm_lang_id" -> langIdSql,
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,
+    "llm_kn_lm" -> knLmSql,
     "llm_vocab" -> vocabSql,
     "llm_tfidf" -> tfidfSql,
     "llm_drift" -> driftSql,

@@ -945,8 +945,38 @@ object OperatorQueries {
       |    ELSE max(value) END, 4) AS twa
       |FROM stepped GROUP BY user_id""".stripMargin
 
+  // --- op_heavy_hitters: exact frequent tokens above a 1% threshold
+  // via the two-pass Misra-Gries pattern (operators/HeavyHitters.scala)
+  // — the sketch pass bounds the exact pass's shuffle to ≤ k candidate
+  // keys, and the exact threshold filter makes the OUTPUT
+  // partitioning-independent even though the sketch is not. Like
+  // dropHotKeys, plan construction runs one eager (memoized) sketch
+  // job. The fixture's token vocabulary (31) sits below the sketch
+  // width, so the registered point exercises the plumbing with an
+  // exact sketch; the decrements/merge-subtraction math is pinned on
+  // controlled Zipf and adversarial streams in HeavyHittersSuite. ------
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode_outer(
+        graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+    graft.operators.HeavyHitters.frequentItems(toks, "tok",
+      m = 100, k = 128)
+  }
+
+  val heavyHittersSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |    AS term
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tok)
+      |SELECT term, count(*) AS cnt FROM tok
+      |GROUP BY 1
+      |HAVING count(*) * 100 >= (SELECT n FROM tot)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "op_normalize" -> (normalize _),
+    "op_heavy_hitters" -> (heavyHitters _),
     "op_ts_topk" -> (tsTopK _),
     "op_sessionize" -> (sessionize _),
     "op_scd2" -> (scd2 _),
@@ -973,6 +1003,7 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
+    "op_heavy_hitters" -> heavyHittersSql,
     "op_ts_topk" -> tsTopKSql,
     "op_sessionize" -> sessionizeSql,
     "op_scd2" -> scd2Sql,

@@ -1436,6 +1436,100 @@ class LlmSuite extends SparkSpec {
     assert(out(90L).get < -1.0, out(90L).toString)
   }
 
+  /** Single-threaded interpolated-KN reference for the pin below:
+    * the exact formula, independently implemented (same association
+    * so the comparison is at rounding precision, not fp-luck). */
+  private def knRef(docs: Seq[(Long, String)], d: Double = 0.75)
+      : Map[Long, Option[(Long, Double)]] = {
+    def toks(t: String) =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    val docBgs = docs.map { case (id, t) =>
+      id -> toks(t).sliding(2).filter(_.size == 2)
+        .map(p => (p.head, p(1))).toSeq
+    }
+    val c2 = docBgs.flatMap(_._2).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1f = c2.groupBy(_._1._1).map { case (a, m) => a -> m.size }
+    val n1b = c2.groupBy(_._1._2).map { case (b, m) => b -> m.size }
+    val nAll = c2.size.toDouble
+    def p(bg: (String, String)): Double =
+      ((c2(bg) - d) + (d * n1f(bg._1)) * (n1b(bg._2) / nAll)) /
+        c1(bg._1)
+    docBgs.map { case (id, bgs) =>
+      id -> (if (bgs.isEmpty) None
+             else Some((bgs.size.toLong,
+               bgs.map(b => math.log(p(b))).sum / bgs.size)))
+    }.toMap
+  }
+
+  test("KN bigram LM: operator ≡ single-threaded reference at rounding " +
+      "precision; smoothed P(·|ctx) sums to exactly 1 per context") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sleeps and the dog jumps"),
+      (3L, "a quick dog jumps over a brown fox and a cat"),
+      (4L, "san francisco san francisco san francisco weather"),
+      (5L, "the weather in san francisco stays brown"),
+      (6L, "word"), (7L, ""))
+    val got = graft.llm.TextAnalysis
+      .knBigramLogprob(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getAs[Long]("n_bigrams"),
+           r.getAs[Double]("kn_logprob"))))).toMap
+    val ref = knRef(corpus)
+    assert(got.keySet == ref.keySet)
+    corpus.foreach { case (id, _) =>
+      (got(id), ref(id)) match {
+        case (None, None) => // sub-bigram docs NULL in both
+        case (Some((gn, gs)), Some((rn, rs))) =>
+          assert(gn == rn, s"doc $id n_bigrams $gn vs $rn")
+          assert(math.abs(gs - rs) <= 6e-5,
+            s"doc $id score $gs vs reference $rs")
+        case other => fail(s"doc $id: $other")
+      }
+    }
+    // normalization: for every context, the discounted seen mass plus
+    // the continuation-weighted backoff mass restores exactly 1 over
+    // the continuation vocabulary (the KN redistribution identity the
+    // operator's formula encodes)
+    def toks(t: String) = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    val bgs = corpus.flatMap(c => toks(c._2).sliding(2)
+      .filter(_.size == 2).map(p => (p.head, p(1))))
+    val c2 = bgs.groupBy(identity).map { case (b, x) => b -> x.size }
+    val c1 = c2.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1f = c2.groupBy(_._1._1).map { case (a, m) => a -> m.size }
+    val n1b = c2.groupBy(_._1._2).map { case (b, m) => b -> m.size }
+    val vocab2 = n1b.keys.toSeq
+    val nAll = c2.size.toDouble
+    val d = 0.75
+    c1.keys.foreach { a =>
+      val mass = vocab2.map { b =>
+        val disc = math.max(c2.getOrElse((a, b), 0) - d, 0.0)
+        (disc + (d * n1f(a)) * (n1b(b) / nAll)) / c1(a)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"ctx $a sums to $mass")
+    }
+  }
+
+  test("KN bigram LM: corpus-typical text outscores rare-continuation " +
+      "gibberish (the CCNet filter direction survives smoothing)") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i =>
+      (i.toLong, "the quick brown fox jumps the quick brown fox")) ++
+      Seq((90L, "the zxq brown wvu"), (91L, "word")))
+      .toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis.knBigramLogprob(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(2)) None
+         else Some(r.getAs[Double]("kn_logprob")))).toMap
+    assert(out(91L).isEmpty)
+    assert(out(1L).get > out(90L).get,
+      s"common=${out(1L).get} gibberish=${out(90L).get}")
+  }
+
   test("corpus stats: doc mass conserves across languages, percentiles " +
       "ordered, aggregation partial") {
     val nDocs = graft.Tables.load(spark, sf0001, "documents").count()

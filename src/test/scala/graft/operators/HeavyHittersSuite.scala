@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{MgSummary, MisraGriesAgg, MisraGriesSketch}
+
+class HeavyHittersSuite extends SparkSpec {
+
+  /** Seeded Zipf-ish stream: rank r gets weight 1/r^1.2 over `vocab`
+    * ranks — a genuine heavy tail, unlike the uniform fixture. */
+  private def zipfStream(n: Int, vocab: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val w = (1 to vocab).map(r => 1.0 / math.pow(r, 1.2)).toArray
+    val cum = w.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    Seq.fill(n) {
+      val x = rnd.nextDouble() * total
+      val idx = {
+        val i = java.util.Arrays.binarySearch(cum, x)
+        if (i >= 0) i else -i - 1
+      }
+      s"w$idx"
+    }
+  }
+
+  test("MG sketch: distributed aggregation keeps the n/(k+1) guarantee " +
+      "on a Zipf stream (est ≤ true, undercount bounded, recall 1.0)") {
+    import spark.implicits._
+    val k = 64
+    val data = zipfStream(n = 30000, vocab = 2000, seed = 7L)
+    val truth = data.groupBy(identity).map { case (i, xs) =>
+      (i, xs.size.toLong)
+    }
+    val df = data.toDF("item").repartition(8)
+    val s = df.select(MisraGriesAgg.mg_sketch(col("item"), k).as("s"))
+      .selectExpr("s.n AS n", "s.entries AS entries")
+      .as[MgSummary](org.apache.spark.sql.Encoders.product[MgSummary])
+      .head()
+    assert(s.n == data.size)
+    assert(s.entries.size <= k)
+    val bound = s.n.toDouble / (k + 1)
+    s.entries.foreach { e =>
+      val t = truth(e.item)
+      assert(e.est <= t, s"${e.item}: est ${e.est} > true $t")
+      assert(t - e.est <= bound,
+        s"${e.item}: undercount ${t - e.est} > bound $bound")
+    }
+    val held = s.entries.map(_.item).toSet
+    truth.filter(_._2 > bound).keys.foreach { item =>
+      assert(held.contains(item),
+        s"$item (true ${truth(item)}) above n/(k+1)=$bound but evicted")
+    }
+  }
+
+  test("MG merge: pointwise sum + (k+1)-th-largest subtraction keeps " +
+      "≤ k counters and the combined heavy item") {
+    val a = new MisraGriesSketch(2)
+    Seq.fill(5)("a").foreach(a.add); Seq.fill(3)("b").foreach(a.add)
+    val b = new MisraGriesSketch(2)
+    Seq.fill(4)("c").foreach(b.add); Seq.fill(2)("d").foreach(b.add)
+    a.mergeIn(b)
+    assert(a.n == 14)
+    assert(a.counters.size <= 2)
+    // pointwise {a5 b3 c4 d2}, cut = 3rd largest = 3 → {a→2, c→1}
+    assert(a.counters == scala.collection.mutable.HashMap(
+      "a" -> 2L, "c" -> 1L))
+    // 'a' (true 5) sits above 14/(k+1)=14/3 and must survive
+    assert(a.counters.contains("a"))
+  }
+
+  test("frequentItems: exact and partitioning-independent with a " +
+      "sketch narrower than the vocabulary (real decrements)") {
+    import spark.implicits._
+    val m = 32
+    val data = zipfStream(n = 20000, vocab = 1500, seed = 11L)
+    val n = data.size.toLong
+    val expected = data.groupBy(identity).collect {
+      case (i, xs) if xs.size.toLong * m >= n => (i, xs.size.toLong)
+    }.toSet
+    assert(expected.nonEmpty, "test corpus produced no heavy hitters")
+    Seq(1, 13).foreach { parts =>
+      val df = data.toDF("item").repartition(parts)
+      val got = HeavyHitters.frequentItems(df, "item", m = m, k = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("frequentItems: exact-boundary count kept, nulls excluded from " +
+      "n and output, empty input → empty (term, cnt) frame") {
+    import spark.implicits._
+    // n=4 non-null; 'a' at cnt·m = 2·2 = 4 = n sits ON the boundary
+    val df = Seq("a", "a", "b", "c").toDF("item")
+    val got = HeavyHitters.frequentItems(df, "item", m = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 2L)))
+    val withNulls = Seq(Some("a"), Some("a"), None, Some("b"))
+      .toDF("item")
+    val got2 = HeavyHitters.frequentItems(withNulls, "item", m = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // n = 3 (null skipped): a keeps (4 ≥ 3), b drops (2 < 3)
+    assert(got2 == Set(("a", 2L)))
+    val empty = HeavyHitters.frequentItems(
+      Seq.empty[String].toDF("item"), "item", m = 2)
+    assert(empty.columns.toSeq == Seq("term", "cnt"))
+    assert(empty.count() == 0)
+    // k < m would void the recall guarantee — must refuse loudly
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItems(df, "item", m = 10, k = 5)
+    }
+  }
+
+  test("registered op_heavy_hitters: pass 2 filters with a literal " +
+      "InSet before its aggregation (no full-domain shuffle)") {
+    val q = graft.queries.OperatorQueries.heavyHitters(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("INSET") || plan.contains(" IN ("),
+      plan.take(800))
+    // partial + final aggregation around the candidate-only shuffle
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(800))
+    val out = q.collect()
+    assert(out.nonEmpty)
+    // the fixture's 31-token vocab sits under the sketch width, so the
+    // candidate set is exact; every returned count clears 1% of total
+    val total = graft.Tables.load(spark, sf0001, "documents")
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text")))
+        .as("t")).count()
+    out.foreach { r =>
+      assert(r.getLong(1) * 100 >= total, r.toString)
+    }
+  }
+}

@@ -78,9 +78,11 @@ class PlanQualitySuite extends SparkSpec {
     // exempt any more.
     // op_ts_topk is bruteForceTopK over per-user series — the ANN
     // shape with user_id as the tiny filtered query side.
+    // llm_kn_lm crosses the one-row N₁₊(··) bigram-type total into the
+    // per-doc chain — the typicality scalar-subquery shape again.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
-      "llm_ann_pq", "llm_pagerank", "op_ts_topk")
+      "llm_ann_pq", "llm_pagerank", "op_ts_topk", "llm_kn_lm")
     val maxLoops = Map[String, Int]().withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
@@ -194,6 +196,18 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("Window"), "bigram LM regressed to a window")
     assert("HashAggregate".r.findAllIn(p).length >= 4,
       "bigram LM lost partial aggregation")
+  }
+
+  test("KN bigram LM inherits the same contract: no window, counts " +
+      "partial-aggregated") {
+    val p = plan("llm_kn_lm")
+    assert(!p.contains("Window"), "KN LM regressed to a window")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "KN LM lost partial aggregation")
+    // the continuation/context type counts must stay plain count(*)
+    // over the distinct-bigram table — an Expand in the plan means
+    // someone rewrote them as count(DISTINCT …)
+    assert(!p.contains("Expand"), "type counts regressed to Expand")
   }
 
   test("e2e prepare composes the stages' plan invariants") {
@@ -311,6 +325,14 @@ class PlanQualitySuite extends SparkSpec {
       assert(afterSecond == afterFirst,
         s"re-construction ran ${afterSecond - afterFirst} job(s) — " +
           "the probe memo missed (plan canonicalization changed?)")
+      // same contract for the heavy-hitters sketch pass
+      graft.SparkEntry.queries("op_heavy_hitters")(spark, sf0001)
+      val afterThird = flush(3)
+      graft.SparkEntry.queries("op_heavy_hitters")(spark, sf0001)
+      val afterFourth = flush(4)
+      assert(afterFourth == afterThird,
+        s"op_heavy_hitters re-construction ran " +
+          s"${afterFourth - afterThird} job(s) — sketch memo missed")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
