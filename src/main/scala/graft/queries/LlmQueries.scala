@@ -1587,6 +1587,40 @@ object LlmQueries {
       .select("rank", "subword", "freq")
   }
 
+  // --- llm_wordpiece_train (rows-only: the BERT tokenizer's trainer —
+  // completes the trainer family: BPE = frequency-greedy, unigram =
+  // prune-down LM, WordPiece = merge-greedy by likelihood gain
+  // pf/(c(l)·c(r)) with ##-continuation symbols. No cross-engine
+  // oracle (data-dependent per-round argmax, the BPE argument);
+  // WordPieceSuite pins the merge table EXACTLY vs a single-threaded
+  // reference.) ----------------------------------------------------------
+  def wordpieceTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.WordPiece.trainWordPiece(docs(s, dir), nMerges = 12)
+
+  // --- llm_wordpiece_encode (rows-only: the apply side — greedy
+  // longest-match-first (BERT MaxMatch) against the corpus's own
+  // trained vocabulary via the native WordPieceEncodeExpr; any
+  // unmatchable position collapses the whole word to [UNK], the BERT
+  // rule. Top 30 pieces by usage; WordPieceSuite pins the expression
+  // against the single-threaded MaxMatch reference and round-trip
+  // reconstruction.) -----------------------------------------------------
+  def wordpieceEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.llm.WordPiece.trainVocab(docs(s, dir), nMerges = 12)
+    val sub = docs(s, dir)
+      .select(explode_outer(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(col("w").isNotNull)
+      .select(explode_outer(
+        graft.functions.WordPieceEncodeExpr.wordpiece_encode(
+          col("w"), vocab)).as("piece"))
+      .where(col("piece").isNotNull)
+      .groupBy("piece").agg(count(lit(1)).as("freq"))
+    val top = sub.orderBy(col("freq").desc, col("piece").asc).limit(30)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("piece").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select("rank", "piece", "freq")
+  }
+
   // --- llm_unigram_train (rows-only: SentencePiece-style unigram-LM
   // tokenizer vocabulary — the OTHER major tokenizer algorithm next
   // to BPE. Substring seed → Viterbi-EM piece probabilities (native
@@ -2921,6 +2955,8 @@ object LlmQueries {
     "llm_unigram_sample" -> (unigramSample _),
     "llm_unigram_encode" -> (unigramEncode _),
     "llm_bpe_encode" -> (bpeEncode _),
+    "llm_wordpiece_train" -> (wordpieceTrain _),
+    "llm_wordpiece_encode" -> (wordpieceEncode _),
     "llm_quality_model" -> (qualityModel _),
     "llm_quality_model_lm" -> (qualityModelLm _),
     "llm_e2e_score_sample" -> (e2eScoreSample _),
