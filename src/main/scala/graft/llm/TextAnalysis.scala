@@ -260,6 +260,83 @@ object TextAnalysis {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its HASHED-N-GRAM profile is
+    * under a target distribution than under the raw corpus —
+    * `log w(x) = Σ_b c_x(b) · (ln p_t(b) − ln p_r(b))` over B hash
+    * buckets, with add-one smoothing on both bucket models. Feed the
+    * weights to [[Sampling.sampleByScore]] / [[Sampling.weightedReservoir]]
+    * and you have the LLaMA-style "select raw crawl that looks like
+    * the reference corpus" pipeline end to end.
+    *
+    * Features are unigrams + bigrams hashed into `buckets` via the
+    * SAME md5 bucket both engines rebuild exactly
+    * ([[Sampling.hashBucket]] / the oracle's md5BucketSql) — hash
+    * collisions are part of the method (that is DSIR's point: fixed
+    * feature dimension at any vocabulary), and both engines collide
+    * identically. One tagged explode produces both feature kinds (the
+    * round-13 tokenize-once lesson); per-(doc, bucket) counts
+    * partial-aggregate before their shuffle; target and raw bucket
+    * tables derive from the PRE-COLLAPSED table; the smoothing-mass
+    * scalar rides ONE one-row broadcast crossJoin (whitelisted
+    * scalar-subquery shape). The per-doc sum decomposes as
+    * `Σ c·(ln(ct+1) − ln(cr+1)) + n·(ln(Tr+B) − ln(Tt+B))` so totals
+    * never join per feature row. Arithmetic is written with the
+    * oracle's exact association over exact longs; ln is within 1 ulp
+    * and the 4-dp round absorbs it (the bigram-LM argument).
+    *
+    * Exact identity pinned in LlmSuite: when the target IS the corpus,
+    * ct = cr per bucket and Tt = Tr, so every document scores exactly
+    * 0.0. Docs with no tokens return NULL. */
+  def dsirWeights(df: DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    val feats = df.select(col(idCol),
+      explode_outer(graft.functions.ExprUtils.bindOnce(
+        tokens(col(textCol))) { t =>
+        concat(t, coalesce(
+          when(size(t) >= 2,
+            zip_with(slice(t, lit(1), size(t) - 1),
+              slice(t, lit(2), size(t) - 1),
+              (a, b) => concat(a, lit(" "), b))),
+          array().cast("array<string>")))
+      }).as("ng"))
+      .where(col("ng").isNotNull)
+      .select(col(idCol),
+        Sampling.hashBucket(concat(lit("dsir_"), col("ng")),
+          buckets).as("b"))
+    val db = feats.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val dbt = db.join(
+      df.where(targetPred).select(col(idCol)).withColumn("__t", lit(1)),
+      Seq(idCol), "left")
+    val tcnt = dbt.where(col("__t") === 1)
+      .groupBy("b").agg(sum("c").as("ct"))
+    val rcnt = db.groupBy("b").agg(sum("c").as("cr"))
+    val tots = dbt.agg(
+      sum(col("c")).as("tr"),
+      coalesce(sum(when(col("__t") === 1, col("c"))), lit(0L)).as("tt"))
+    val bD = lit(buckets.toLong)
+    // tr/tt are one-row constants — grouping by them (in BOTH engines,
+    // identically) lets the Δ term reference them un-aggregated
+    val perDoc = db.join(tcnt, Seq("b"), "left")
+      .join(rcnt, Seq("b"))
+      .crossJoin(broadcast(tots))
+      .groupBy(col(idCol), col("tr"), col("tt"))
+      .agg(sum("c").as("n_feats"),
+        round(
+          sum(col("c") *
+            (log((coalesce(col("ct"), lit(0L)) + 1).cast("double"))
+              - log((col("cr") + 1).cast("double"))))
+          + sum(col("c")) *
+            (log((col("tr") + bD).cast("double"))
+              - log((col("tt") + bD).cast("double"))), 4)
+          .as("log_w"))
+      .select(col(idCol), col("n_feats"), col("log_w"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** Canonical content fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key. trim runs AFTER the \s+
     * collapse: trim strips only spaces, so trimming first left a

@@ -2432,6 +2432,56 @@ object LlmQueries {
       |SELECT d.doc_id, p.n_bigrams, p.kn_logprob
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
+  // --- llm_dsir -----------------------------------------------------------
+  /** DSIR importance weights vs the `lang = 'en'` slice as the target
+    * distribution — "score raw crawl by resemblance to the reference
+    * corpus" (Xie et al. 2023). */
+  def dsir(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(docs(s, dir),
+      targetPred = col("lang") === "en")
+
+  /** Full DuckDB rebuild: the hashed feature bucket is the SHARED
+    * md5BucketSql fragment (a bucket fix lands in sampleMix/pack/dsir
+    * or nowhere), the smoothing arithmetic mirrors the operator's
+    * association and casts exactly, and tr/tt ride the GROUP BY in
+    * both engines (one-row constants). */
+  val dsirSql: String = {
+    val bucket = md5BucketSql("'dsir_' || ng", 4096)
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id, unnest(w || list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i + 1])) AS ng
+       |  FROM tok),
+       |db AS (
+       |  SELECT doc_id, $bucket AS b, count(*) AS c
+       |  FROM feats GROUP BY 1, 2),
+       |tcnt AS (
+       |  SELECT b, CAST(sum(c) AS BIGINT) AS ct
+       |  FROM db JOIN documents USING (doc_id)
+       |  WHERE lang = 'en' GROUP BY 1),
+       |rcnt AS (
+       |  SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY 1),
+       |tots AS (
+       |  SELECT CAST((SELECT sum(c) FROM db) AS BIGINT) AS tr,
+       |    CAST((SELECT coalesce(sum(c), 0) FROM db
+       |      JOIN documents USING (doc_id) WHERE lang = 'en')
+       |      AS BIGINT) AS tt),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |    round(sum(c * (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE))
+       |        - ln(CAST(cr + 1 AS DOUBLE))))
+       |      + sum(c) * (ln(CAST(tr + 4096 AS DOUBLE))
+       |        - ln(CAST(tt + 4096 AS DOUBLE))), 4) AS log_w
+       |  FROM db LEFT JOIN tcnt USING (b)
+       |  JOIN rcnt USING (b)
+       |  CROSS JOIN tots
+       |  GROUP BY doc_id, tr, tt)
+       |SELECT d.doc_id, p.n_feats, p.log_w
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+  }
+
   // --- llm_pack -----------------------------------------------------------
   /** Sequence packing manifest: ctx 64, 8 shards over `documents`. */
   def pack(s: SparkSession, dir: String): DataFrame =
@@ -2947,6 +2997,7 @@ object LlmQueries {
     "llm_corpus_stats" -> (corpusStats _),
     "llm_bigram_lm" -> (bigramLm _),
     "llm_kn_lm" -> (knLm _),
+    "llm_dsir" -> (dsir _),
     "llm_vocab" -> (vocab _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_train_batched" -> (bpeTrainBatched _),
@@ -3018,6 +3069,7 @@ object LlmQueries {
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,
     "llm_kn_lm" -> knLmSql,
+    "llm_dsir" -> dsirSql,
     "llm_vocab" -> vocabSql,
     "llm_tfidf" -> tfidfSql,
     "llm_drift" -> driftSql,

@@ -54,6 +54,12 @@ final case class StreamingHeavyHitters(storeDir: String, k: Int) {
       try {
         val id = in.readLong()
         val sk = in.readObject().asInstanceOf[MisraGriesSketch]
+        // a store folded at one width must not silently continue at
+        // another: the stored sketch's k would win and the caller's
+        // error-bound reasoning (n/(k+1)) would be wrong
+        require(sk.k == k,
+          s"heavy-hitters store $storeDir was folded with k=${sk.k}, " +
+            s"reopened with k=$k — widths must match (rebuild the store)")
         (sk, id)
       } finally in.close()
     }

@@ -1514,6 +1514,35 @@ class LlmSuite extends SparkSpec {
     }
   }
 
+  test("DSIR: target ≡ corpus scores EXACTLY zero everywhere; " +
+      "target-like raw docs outscore alien docs; token-less NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "a dog sat on a mat"), (4L, "the dog and the cat"),
+      (10L, "the cat sat on a mat"), // target-like, outside the target
+      (11L, "zq xv qq pp zz kk"),    // alien vocabulary
+      (12L, "")).toDF("doc_id", "text")
+    // identity: every bucket's target count equals its raw count and
+    // Tt = Tr, so both ln differences vanish term by term → 0.0 exact
+    val ident = graft.llm.TextAnalysis.dsirWeights(docs, lit(true))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(2)) None
+         else Some(r.getAs[Double]("log_w")))).toMap
+    assert(ident(12L).isEmpty)
+    (Seq(1L, 2L, 3L, 4L, 10L, 11L)).foreach(id =>
+      assert(ident(id).contains(0.0), s"doc $id: ${ident(id)}"))
+    // selection direction: target = docs 1-4; the target-like doc 10
+    // must outweigh the alien doc 11
+    val sel = graft.llm.TextAnalysis.dsirWeights(docs,
+        col("doc_id") <= 4L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(2)) None
+         else Some(r.getAs[Double]("log_w")))).toMap
+    assert(sel(10L).get > sel(11L).get,
+      s"target-like ${sel(10L)} vs alien ${sel(11L)}")
+  }
+
   test("KN bigram LM: corpus-typical text outscores rare-continuation " +
       "gibberish (the CCNet filter direction survives smoothing)") {
     import spark.implicits._

@@ -80,9 +80,12 @@ class PlanQualitySuite extends SparkSpec {
     // shape with user_id as the tiny filtered query side.
     // llm_kn_lm crosses the one-row N₁₊(··) bigram-type total into the
     // per-doc chain — the typicality scalar-subquery shape again.
+    // llm_dsir's smoothing-mass totals are the same one-row scalar
+    // aggregate riding a broadcast crossJoin.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
-      "llm_ann_pq", "llm_pagerank", "op_ts_topk", "llm_kn_lm")
+      "llm_ann_pq", "llm_pagerank", "op_ts_topk", "llm_kn_lm",
+      "llm_dsir")
     val maxLoops = Map[String, Int]().withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)

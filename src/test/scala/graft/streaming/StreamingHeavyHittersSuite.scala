@@ -64,6 +64,12 @@ class StreamingHeavyHittersSuite extends SparkSpec {
     assert(s.n == 3L, s"replay double-counted: n=${s.n}")
     store.processBatch(b, "item", 1L) // a genuinely new batch folds
     assert(store.summary(spark).n == 6L)
+    // reopening the store at a different width must fail loudly — the
+    // stored k would otherwise silently win and the caller's n/(k+1)
+    // reasoning would be wrong
+    intercept[IllegalArgumentException] {
+      StreamingHeavyHitters(s"$root/store", k = 16).summary(spark)
+    }
   }
 
   test("attach: file-stream micro-batches fold end to end; fresh " +
