@@ -139,4 +139,37 @@ object TimeSeries {
               sum(coalesce(col("__dt"), lit(0.0))))
             .otherwise(max(col(valCol))), 4).as("twa"))
   }
+
+  /** Gap filling with last-observation-carried-forward — the TSDB
+    * resample that turns an irregular event series into a regular
+    * grid: per key, grid points `t0 + k·step ≤ t1` (t0/t1 = the key's
+    * observed span; both engines' sequence/generate_series share the
+    * inclusive-bound convention), each carrying the latest observation
+    * AT OR BEFORE it plus its timestamp (`obs_ts` — the staleness a
+    * monitoring consumer alerts on). The grid starts AT an
+    * observation, so no grid point is ever unmatched.
+    *
+    * Concurrent observations (same key, same timestamp — the fixture
+    * HAS ties) pre-collapse to their maximum value, making the fill
+    * deterministic under any partitioning BEFORE the as-of join
+    * ([[AsofJoin.joinAsof]]'s equal-sort-key window pick would
+    * otherwise be partition-order-dependent). The LOCF itself IS the
+    * backward as-of join — one operator composed from another, same
+    * single keyed shuffle. Grid density is the caller's scale lever:
+    * rows ≈ Σ spans/step; per-key state in the window is one entity's
+    * history (the sessionize caveat). */
+  def gapFill(events: DataFrame, stepSec: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    require(stepSec >= 1, s"stepSec=$stepSec must be >= 1")
+    val obs = events.groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(valCol)).as(valCol))
+      .withColumnRenamed(tsCol, "obs_ts")
+    val grid = events.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .select(col(keyCol), explode(sequence(col("__t0"), col("__t1"),
+        expr(s"INTERVAL $stepSec SECONDS"))).as(tsCol))
+    AsofJoin.joinAsof(grid, obs, Seq((keyCol, keyCol)), tsCol, "obs_ts",
+      direction = "backward")
+  }
 }

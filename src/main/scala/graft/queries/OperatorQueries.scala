@@ -974,7 +974,35 @@ object OperatorQueries {
       |GROUP BY 1
       |HAVING count(*) * 100 >= (SELECT n FROM tot)""".stripMargin
 
+  // --- op_gap_fill: TSDB resample — per user, a 6-hour regular grid
+  // over the observed span, each point carrying the latest observation
+  // at-or-before it (LOCF) plus its timestamp. Concurrent same-ts
+  // observations pre-collapse to max(value) so the fill is
+  // deterministic; the LOCF is the backward as-of join composed from
+  // operators/AsofJoin. -------------------------------------------------
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.gapFill(
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value")),
+      stepSec = 21600L)
+
+  val gapFillSql: String =
+    """WITH obs AS (
+      |  SELECT user_id, ts AS obs_ts, max(value) AS value
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT user_id, min(ts) AS t0, max(ts) AS t1
+      |  FROM events GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(t0, t1, INTERVAL 21600 SECOND)) AS ts
+      |  FROM bounds)
+      |SELECT g.user_id, g.ts, o.obs_ts, o.value
+      |FROM grid g ASOF LEFT JOIN obs o
+      |  ON g.user_id = o.user_id AND g.ts >= o.obs_ts""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "op_gap_fill" -> (gapFill _),
     "op_normalize" -> (normalize _),
     "op_heavy_hitters" -> (heavyHitters _),
     "op_ts_topk" -> (tsTopK _),
@@ -1003,6 +1031,7 @@ object OperatorQueries {
 
   val oracles: Map[String, String] = Map(
     "op_normalize" -> normalizeSql,
+    "op_gap_fill" -> gapFillSql,
     "op_heavy_hitters" -> heavyHittersSql,
     "op_ts_topk" -> tsTopKSql,
     "op_sessionize" -> sessionizeSql,

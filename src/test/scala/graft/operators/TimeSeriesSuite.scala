@@ -134,4 +134,47 @@ class TimeSeriesSuite extends SparkSpec {
     assert(out(2L) == ((1L, 0.0, 7.5)))
     assert(out(3L) == ((2L, 0.0, 9.0)))
   }
+
+  test("gapFill: regular grid with LOCF, staleness timestamps, ties " +
+      "pre-collapsed to max, partitioning-independent") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val rows = Seq(
+      // u1: obs at 00:00 (v 1) and 00:16:40 (v 2); 300 s grid →
+      // points 00:00..00:15 (grid stops AT or before t1)
+      (1L, "2024-01-01 00:00:00.0", 1.0),
+      (1L, "2024-01-01 00:16:40.0", 2.0),
+      // u2: a same-ts tie — max value must win everywhere downstream
+      (2L, "2024-01-01 00:00:00.0", 3.0),
+      (2L, "2024-01-01 00:00:00.0", 9.0),
+      (2L, "2024-01-01 00:05:00.0", 4.0))
+      .map { case (u, t, v) => (u, ts(t), v) }
+      .toDF("user_id", "ts", "value")
+    Seq(1, 5).foreach { parts =>
+      val out = TimeSeries.gapFill(rows.repartition(parts), stepSec = 300L)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getDouble(3))).toSet
+      val u1 = (0 to 3).map(k =>
+        (1L, f"2024-01-01 00:${5 * k}%02d:00.0",
+          "2024-01-01 00:00:00.0", 1.0)).toSet
+      val u2 = Set(
+        (2L, "2024-01-01 00:00:00.0", "2024-01-01 00:00:00.0", 9.0),
+        (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0", 4.0))
+      assert(out == u1 ++ u2, s"parts=$parts: $out")
+    }
+    // every grid point carries a value (the grid starts AT an
+    // observation) — checked on the real fixture
+    val fix = graft.Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val filled = TimeSeries.gapFill(fix, stepSec = 21600L)
+    assert(filled.where(col("value").isNull).count() == 0)
+    // per-key row count = floor(span/step) + 1
+    val expected = fix.groupBy("user_id")
+      .agg(expr("(unix_seconds(CAST(max(ts) AS TIMESTAMP)) - " +
+        "unix_seconds(CAST(min(ts) AS TIMESTAMP))) div 21600 + 1")
+        .as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(filled.count() == expected)
+  }
 }
