@@ -81,6 +81,65 @@ object Funnel {
       col(s"__m${steps.size}").as("completed_at"))
   }
 
+  /** Event-sequence pattern match with PER-STEP gap constraints — the
+    * ClickHouse `sequenceMatch`-with-time-conditions shape next to
+    * [[windowFunnel]]'s chain-anchored horizon: depth ≥ k iff SOME
+    * chain t1 < t2 < … < tk exists with `t_{i+1} − t_i ≤ gap_i` on
+    * every leg (each step must follow within its own gap of the
+    * PREVIOUS step, not of the chain start — "click within 4 h of the
+    * view, purchase within 12 h of the click").
+    *
+    * The funnel's min-per-chain-start reduction is INVALID here and
+    * deliberately absent: `t_{i+1} ≤ t_i + gap_i` is not monotone in
+    * `t_i` — a LATER step-i occurrence opens continuations the
+    * earliest one cannot reach (suite-pinned with a hand case the
+    * reduction would miss). Instead each stage keeps its full
+    * DISTINCT (entity, tk) set — bounded by that entity's step-k
+    * event count (not a chain cross product; the distinct is a
+    * partial-aggregated groupBy). Stage joins are the band-join
+    * shape: equi on the entity, the gap residual folded into the join
+    * condition. Reporting min(tk) per entity at the END of each
+    * stage is still sound (we report existence and the earliest
+    * completion, not chain identity).
+    *
+    * Output matches [[windowFunnel]]: (entity, first_step = min
+    * step-1 ts, depth ∈ 1..k, completed_at = min final-step ts, NULL
+    * below full depth). */
+  def sequenceMatch(events: DataFrame, steps: Seq[String],
+      gapsSec: Seq[Long], entityCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, s"a sequence needs >= 2 steps, got $steps")
+    require(gapsSec.size == steps.size - 1,
+      s"need one gap per leg: ${steps.size - 1} legs, ${gapsSec.size} gaps")
+    require(gapsSec.forall(_ >= 1), s"gaps must be >= 1 s, got $gapsSec")
+    def of(step: String) =
+      events.where(col(typeCol) === step)
+        .select(col(entityCol), col(tsCol).as("tn"))
+    val s1 = of(steps.head).withColumnRenamed("tn", "tk").distinct()
+    val stages = steps.tail.zip(gapsSec).scanLeft(s1) {
+      case (prev, (step, gap)) =>
+        prev.join(of(step), Seq(entityCol))
+          .where(col("tn") > col("tk") &&
+            col("tn") <= col("tk") + expr(s"INTERVAL $gap SECONDS"))
+          .select(col(entityCol), col("tn").as("tk"))
+          .distinct()
+    }.toIndexedSeq
+    val base = stages(0).groupBy(entityCol)
+      .agg(min(col("tk")).as("first_step"))
+    val marks = (2 to steps.size).map { k =>
+      stages(k - 1).groupBy(entityCol)
+        .agg(min(col("tk")).as(s"__m$k"))
+    }
+    val joined = marks.foldLeft(base)((d, m) =>
+      d.join(m, Seq(entityCol), "left"))
+    val depth = (2 to steps.size).foldLeft(lit(1)) {
+      case (els, k) => when(col(s"__m$k").isNotNull, lit(k)).otherwise(els)
+    }
+    joined.select(col(entityCol), col("first_step"),
+      depth.as("depth"),
+      col(s"__m${steps.size}").as("completed_at"))
+  }
+
   /** Cohort retention matrix — the companion report: entities cohort
     * by the DATE of their first event matching `cohortPred` (the
     * acquisition event — signup, first purchase, …; entities that

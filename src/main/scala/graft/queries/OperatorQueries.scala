@@ -770,6 +770,43 @@ object OperatorQueries {
       |FROM base b LEFT JOIN m2 ON m2.user_id = b.user_id
       |LEFT JOIN m3 ON m3.user_id = b.user_id""".stripMargin
 
+  // --- op_sequence_match: per-step-gap event chains (the ClickHouse
+  // sequenceMatch-with-time-conditions sibling of op_funnel): click
+  // within 4 h of the view, purchase within 12 h of the click. The
+  // funnel's min-reduction is invalid under per-step gaps (a later
+  // step-i occurrence opens continuations the earliest cannot reach),
+  // so stages carry DISTINCT (entity, tk) sets — see
+  // operators/Funnel.sequenceMatch. ------------------------------------
+  def sequenceMatch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequenceMatch(
+      Tables.load(s, dir, "events"),
+      steps = Seq("view", "click", "purchase"),
+      gapsSec = Seq(14400L, 43200L))
+
+  val sequenceMatchSql: String =
+    """WITH s1 AS (
+      |  SELECT DISTINCT user_id, ts AS tk FROM events
+      |  WHERE event_type = 'view'),
+      |s2 AS (
+      |  SELECT DISTINCT s1.user_id, c.ts AS tk
+      |  FROM s1 JOIN events c ON c.user_id = s1.user_id
+      |    AND c.event_type = 'click' AND c.ts > s1.tk
+      |    AND c.ts <= s1.tk + INTERVAL 14400 SECOND),
+      |s3 AS (
+      |  SELECT DISTINCT s2.user_id, p.ts AS tk
+      |  FROM s2 JOIN events p ON p.user_id = s2.user_id
+      |    AND p.event_type = 'purchase' AND p.ts > s2.tk
+      |    AND p.ts <= s2.tk + INTERVAL 43200 SECOND),
+      |base AS (SELECT user_id, min(tk) AS first_step FROM s1 GROUP BY 1),
+      |m2 AS (SELECT user_id, min(tk) AS m2 FROM s2 GROUP BY 1),
+      |m3 AS (SELECT user_id, min(tk) AS m3 FROM s3 GROUP BY 1)
+      |SELECT b.user_id, b.first_step,
+      |  CASE WHEN m3.m3 IS NOT NULL THEN 3
+      |       WHEN m2.m2 IS NOT NULL THEN 2 ELSE 1 END AS depth,
+      |  m3.m3 AS completed_at
+      |FROM base b LEFT JOIN m2 ON m2.user_id = b.user_id
+      |LEFT JOIN m3 ON m3.user_id = b.user_id""".stripMargin
+
   // --- op_retention: cohort retention matrix over the event stream —
   // entities cohort by the DATE of their first 'signup' (the
   // acquisition event; first signups spread over the fixture's early
@@ -1010,6 +1047,7 @@ object OperatorQueries {
     "op_scd2" -> (scd2 _),
     "op_merge_upsert" -> (mergeUpsert _),
     "op_funnel" -> (funnel _),
+    "op_sequence_match" -> (sequenceMatch _),
     "op_retention" -> (retention _),
     "op_time_weighted_avg" -> (timeWeightedAvg _),
     "op_munge_decode" -> (mungeDecode _),
@@ -1038,6 +1076,7 @@ object OperatorQueries {
     "op_scd2" -> scd2Sql,
     "op_merge_upsert" -> mergeUpsertSql,
     "op_funnel" -> funnelSql,
+    "op_sequence_match" -> sequenceMatchSql,
     "op_retention" -> retentionSql,
     "op_time_weighted_avg" -> timeWeightedAvgSql,
     "op_munge_decode" -> mungeDecodeSql,

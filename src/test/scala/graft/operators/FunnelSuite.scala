@@ -62,6 +62,52 @@ class FunnelSuite extends SparkSpec {
     assert(multi(7L)._3 == Some(ts("2024-01-01 02:00:00")))
   }
 
+  private def runSeq(rows: Seq[(Long, String, String)],
+      gaps: Seq[Long]) =
+    Funnel.sequenceMatch(
+      rows.map { case (u, t, e) => (u, ts(t), e) }
+        .toDF("user_id", "ts", "event_type"),
+      steps = Seq("view", "click", "purchase"), gapsSec = gaps)
+      .as[(Long, Timestamp, Int, Option[Timestamp])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("sequenceMatch: per-step gaps anchor at the PREVIOUS step; the " +
+      "funnel min-reduction would be wrong here (hand counterexample)") {
+    // user 1: views at 00:00 and 01:00, click at 01:30, 1 h gaps. The
+    // chain through the LATER view matches (30 min leg); reducing to
+    // the earliest view per entity (the funnel optimization) would
+    // read the 90-min leg and miss it — exactly why sequenceMatch
+    // carries full distinct stage sets.
+    val out = runSeq(Seq(
+      (1L, "2024-01-01 00:00:00", "view"),
+      (1L, "2024-01-01 01:00:00", "view"),
+      (1L, "2024-01-01 01:30:00", "click"),
+      // user 2: every leg inside its gap — full depth, earliest
+      // completion
+      (2L, "2024-01-01 00:00:00", "view"),
+      (2L, "2024-01-01 00:30:00", "click"),
+      (2L, "2024-01-01 01:00:00", "purchase"),
+      // user 3: purchase 5 h after the click — leg 2's 1 h gap fails
+      // even though a 24 h chain-anchored funnel would accept it
+      (3L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-01 00:30:00", "click"),
+      (3L, "2024-01-01 05:30:00", "purchase")),
+      gaps = Seq(3600L, 3600L))
+    assert(out(1L) == ((ts("2024-01-01 00:00:00"), 2, None)),
+      s"later-view leg missed — reduction bug? ${out(1L)}")
+    assert(out(2L) == ((ts("2024-01-01 00:00:00"), 3,
+      Some(ts("2024-01-01 01:00:00")))))
+    assert(out(3L) == ((ts("2024-01-01 00:00:00"), 2, None)),
+      s"per-step gap not enforced: ${out(3L)}")
+    // the chain-anchored funnel DOES accept user 3's slow chain — the
+    // two operators are genuinely different semantics
+    val funnel = run(Seq(
+      (3L, "2024-01-01 00:00:00", "view"),
+      (3L, "2024-01-01 00:30:00", "click"),
+      (3L, "2024-01-01 05:30:00", "purchase")))
+    assert(funnel(3L)._2 == 3)
+  }
+
   test("retention: acquisition-event cohorts, day-k distinct activity, " +
       "non-acquired entities out of scope") {
     val events = Seq(

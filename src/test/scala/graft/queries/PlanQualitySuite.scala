@@ -34,6 +34,14 @@ class PlanQualitySuite extends SparkSpec {
     assert(!r.contains("Expand"),
       "retention plans Expand — a count(DISTINCT) slipped back in")
     assert(!r.contains("Window"), "retention plans a window")
+    // sequence_match inherits the funnel contract: per-leg pushdown,
+    // no window; its stage DISTINCTs are partial-aggregated groupBys
+    val sm = plan("op_sequence_match")
+    assert(sm.contains("EqualTo(event_type,view)") &&
+      sm.contains("EqualTo(event_type,click)") &&
+      sm.contains("EqualTo(event_type,purchase)"),
+      s"sequence legs not pushed:\n${sm.take(1500)}")
+    assert(!sm.contains("Window"), "sequence_match plans a window")
   }
 
   test("q3/q13: dimension joins broadcast — no fact-table shuffle join") {
