@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable registration of the library's native expressions —
+  * the surface a SQL-first user (or a BI tool generating SQL) needs:
+  * every reusable scalar expression under a `graft_`-prefixed name,
+  * via the SAME (identifier, info, builder) triples for both wiring
+  * paths: [[graft.plans.GraftExtensions]]'s `injectFunction` (the
+  * `spark.sql.extensions` static-conf route) and [[register]] (a live
+  * session's function registry — tests, notebooks).
+  *
+  * Structural parameters (shingle width, signature length, vocab
+  * lists) must be FOLDABLE expressions: they are evaluated once at
+  * resolution into the expression's constructor (the codegen'd
+  * per-row path never re-reads them). Non-foldable arguments fail
+  * analysis loudly. */
+object GraftFunctions {
+
+  private def foldArg(fn: String, what: String, e: Expression): Any = {
+    require(e.foldable,
+      s"$fn: $what must be a literal, got non-foldable ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$fn: $what must not be NULL")
+    v
+  }
+
+  private def intArg(fn: String, what: String, e: Expression): Int =
+    foldArg(fn, what, e) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+
+  private def longArg(fn: String, what: String, e: Expression): Long =
+    foldArg(fn, what, e) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+
+  private def boolArg(fn: String, what: String, e: Expression): Boolean =
+    foldArg(fn, what, e) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a boolean literal, got $other")
+    }
+
+  private def stringArg(fn: String, what: String, e: Expression): String =
+    foldArg(fn, what, e) match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a string literal, got $other")
+    }
+
+  private def stringSeqArg(fn: String, what: String,
+      e: Expression): Seq[String] =
+    foldArg(fn, what, e) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          require(!a.isNullAt(i), s"$fn: $what must not contain NULLs")
+          a.getUTF8String(i).toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an array<string> literal, got $other")
+    }
+
+  private def badArity(fn: String, usage: String, got: Seq[Expression])
+      : Nothing =
+    throw new IllegalArgumentException(
+      s"$fn expects $usage, got ${got.length} argument(s)")
+
+  private def fn(name: String, usage: String)(
+      builder: PartialFunction[Seq[Expression], Expression])
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getName, name),
+      args => builder.applyOrElse(args,
+        (a: Seq[Expression]) => badArity(name, usage, a)))
+
+  /** The full registration list — one source of truth for both the
+    * extensions injection and [[register]]. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("graft_token_md5_hash64", "(tokens array<string>)") {
+      case Seq(c) => TokenMd5Hash64Expr(c)
+    },
+    fn("graft_shingle_md5_hash64",
+        "(tokens array<string>, n int[, distinct boolean])") {
+      case Seq(c, n) =>
+        ShingleMd5Hash64Expr(c, intArg("graft_shingle_md5_hash64", "n", n),
+          distinct = true)
+      case Seq(c, n, d) =>
+        ShingleMd5Hash64Expr(c, intArg("graft_shingle_md5_hash64", "n", n),
+          boolArg("graft_shingle_md5_hash64", "distinct", d))
+    },
+    fn("graft_hashed_shingles", "(tokens array<string>, n int)") {
+      case Seq(c, n) =>
+        HashedShinglesExpr(c, intArg("graft_hashed_shingles", "n", n))
+    },
+    fn("graft_simhash64", "(hashes array<bigint>)") {
+      case Seq(c) => SimHash64Expr(c)
+    },
+    fn("graft_top_shingle_freq", "(tokens array<string>, n int)") {
+      case Seq(c, n) =>
+        TopShingleFreqExpr(c, intArg("graft_top_shingle_freq", "n", n))
+    },
+    fn("graft_minhash_signature",
+        "(hashes array<bigint>, k int, seed bigint)") {
+      case Seq(c, k, seed) =>
+        MinHashSignatureExpr(c,
+          intArg("graft_minhash_signature", "k", k),
+          longArg("graft_minhash_signature", "seed", seed))
+    },
+    fn("graft_sorted_jaccard",
+        "(a array<bigint> sorted-distinct, b array<bigint> sorted-distinct)") {
+      case Seq(a, b) => SortedJaccardExpr(a, b)
+    },
+    fn("graft_wordpiece_encode",
+        "(word string, vocab array<string>[, unk string])") {
+      case Seq(w, v) =>
+        WordPieceEncodeExpr(w,
+          stringSeqArg("graft_wordpiece_encode", "vocab", v), "[UNK]")
+      case Seq(w, v, u) =>
+        WordPieceEncodeExpr(w,
+          stringSeqArg("graft_wordpiece_encode", "vocab", v),
+          stringArg("graft_wordpiece_encode", "unk", u))
+    },
+    fn("graft_bpe_encode",
+        "(word string, lefts array<string>, rights array<string> — " +
+          "parallel merge-rank arrays)") {
+      case Seq(w, ls, rs) =>
+        val l = stringSeqArg("graft_bpe_encode", "lefts", ls)
+        val r = stringSeqArg("graft_bpe_encode", "rights", rs)
+        require(l.length == r.length,
+          s"graft_bpe_encode: lefts (${l.length}) and rights " +
+            s"(${r.length}) must be parallel arrays")
+        BpeEncodeExpr(w, l.zip(r))
+    })
+
+  /** Register every function on a LIVE session's registry (the
+    * non-static-conf route — notebooks, tests; `injectFunction` via
+    * [[graft.plans.GraftExtensions]] covers `spark.sql.extensions`). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

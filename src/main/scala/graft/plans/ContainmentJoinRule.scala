@@ -361,8 +361,13 @@ object ContainmentJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 }
 
 /** `spark.sql.extensions` entry point registering the graft Catalyst
-  * extensions (currently [[ContainmentJoinRule]]). */
+  * extensions: [[ContainmentJoinRule]] plus the SQL-callable
+  * `graft_*` native functions
+  * ([[graft.functions.GraftFunctions.functions]] — the same triples a
+  * live session registers via `GraftFunctions.register`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ContainmentJoinRule)
+    graft.functions.GraftFunctions.functions.foreach(ext.injectFunction)
+  }
 }

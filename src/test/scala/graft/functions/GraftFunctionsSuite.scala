@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraftFunctionsSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match their Column-API twins") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("the quick brown fox", Seq("the", "quick", "brown", "fox")),
+      ("a b", Seq("a", "b")),
+      ("", Seq.empty[String]))
+      .toDF("text", "toks")
+    df.createOrReplaceTempView("gf_in")
+    // shingle hashes + simhash + minhash through SQL ≡ Column API
+    val sql = spark.sql(
+      """SELECT
+        |  graft_shingle_md5_hash64(toks, 2) AS sh,
+        |  graft_simhash64(graft_token_md5_hash64(toks)) AS sim,
+        |  graft_top_shingle_freq(toks, 2) AS tf,
+        |  graft_minhash_signature(graft_shingle_md5_hash64(toks, 2),
+        |    8, 42) AS sig
+        |FROM gf_in""".stripMargin).collect()
+    val api = df.select(
+      ShingleMd5Hash64Expr.shingle_md5_hash64(col("toks"), 2,
+        distinct = true).as("sh"),
+      graft.functions.SimHash64Expr.simhash64(
+        TokenMd5Hash64Expr.token_md5_hash64(col("toks"))).as("sim"),
+      TopShingleFreqExpr.top_shingle_freq(col("toks"), 2).as("tf"),
+      MinHashSignatureExpr.minhash_signature(
+        ShingleMd5Hash64Expr.shingle_md5_hash64(col("toks"), 2,
+          distinct = true), 8, 42L).as("sig")).collect()
+    assert(sql.map(_.toString).toSeq == api.map(_.toString).toSeq)
+    // jaccard + the two tokenizer encodes
+    val enc = spark.sql(
+      """SELECT
+        |  graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  graft_wordpiece_encode('unaffable',
+        |    array('un', '##aff', '##able')) AS wp,
+        |  graft_wordpiece_encode('zzz', array('a'), '<unk>') AS wpu,
+        |  graft_bpe_encode('aaa', array('a'), array('a')) AS bpe
+        |""".stripMargin).head()
+    assert(enc.getDouble(0) == 0.5)
+    assert(enc.getSeq[String](1) == Seq("un", "##aff", "##able"))
+    assert(enc.getSeq[String](2) == Seq("<unk>"))
+    assert(enc.getSeq[String](3) == Seq("aa", "a", graft.llm.Bpe.EndOfWord))
+    // structural params must be literals — loud analysis failure
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_top_shingle_freq(toks, size(toks)) " +
+        "FROM gf_in").collect()
+    }
+    assert(err.getMessage.contains("must be a literal"),
+      err.getMessage.take(300))
+  }
+
+  test("GraftExtensions injects the functions (static-conf route)") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne orig)
+      val out = s2.sql(
+        "SELECT graft_simhash64(graft_token_md5_hash64(array('a', 'b')))")
+        .head().getLong(0)
+      val viaApi = s2.range(1).select(
+        graft.functions.SimHash64Expr.simhash64(
+          TokenMd5Hash64Expr.token_md5_hash64(
+            array(lit("a"), lit("b"))))).head().getLong(0)
+      assert(out == viaApi)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}
