@@ -125,6 +125,13 @@ object TextAnalysis {
       .where(col("tok").isNotNull)
     // Per-(doc, tok) occurrence counts: the only pass over raw
     // occurrences, and it partial-aggregates before its shuffle.
+    // Measured round 13 (the llm_dsir checkpoint experiment): a lazy
+    // localCheckpoint here LOSES — the tokenize recompute per
+    // consumer is a cheap codegen'd regexp that pipelines across all
+    // cores, while the checkpoint pays a materialization barrier +
+    // serialization (typicality a wash, bigram_lm 2× slower). The
+    // checkpoint only wins when the recomputed pass carries md5-grade
+    // per-element work (llm_dsir) — SCALE.md round 13.
     val docTok = toks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("cnt"))
     // Corpus term frequency per token, from the counts (not the raw
@@ -230,6 +237,14 @@ object TextAnalysis {
             (a, b) => concat(a, lit(" "), b)))
       }).as("bg"))
       .where(col("bg").isNotNull)
+    // docBg feeds c2 + the per-doc join; c2 feeds four consumers. The
+    // tokenize+bigram pass re-runs per consumer — MEASURED CHEAPER
+    // than checkpointing the count tables here (A/B round 13: the
+    // plain regexp/zip_with recompute pipelines across all cores at
+    // 0.50 s while lazy localCheckpoints pay a materialization
+    // barrier for 1.20 s; the checkpoint only wins when the recompute
+    // carries md5-grade per-element work — the llm_dsir case,
+    // SCALE.md round 13).
     val docBg = bigr.groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("cnt"))
     val c2 = docBg.groupBy("bg").agg(sum("cnt").as("c2"))
@@ -306,11 +321,23 @@ object TextAnalysis {
       .select(col(idCol),
         Sampling.hashBucket(concat(lit("dsir_"), col("ng")),
           buckets).as("b"))
-    val db = feats.groupBy(col(idCol), col("b"))
+    // ONE flagged doc-bucket count table feeds all four consumers
+    // (target counts, raw counts, totals, the per-doc join base). A
+    // lazy localCheckpoint materializes it once inside the first
+    // action — without it the corpus-sized tokenize+md5 pass ran FOUR
+    // times (ReusedExchange never fires here: each consumer prunes
+    // different columns, the round-13 LM-table lesson; measured 4×
+    // regexp_extract_all in the plan; same-harness A/B at sf0.1:
+    // min 2.92 s / spikes to 13 s without vs stable 1.61 s with —
+    // the md5-per-element recompute is what tips this one to the
+    // checkpoint, unlike the plain-tokenize LM family, SCALE.md).
+    val dbt = feats.groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("c"))
-    val dbt = db.join(
-      df.where(targetPred).select(col(idCol)).withColumn("__t", lit(1)),
-      Seq(idCol), "left")
+      .join(
+        df.where(targetPred).select(col(idCol)).withColumn("__t", lit(1)),
+        Seq(idCol), "left")
+      .localCheckpoint(false)
+    val db = dbt.select(col(idCol), col("b"), col("c"))
     val tcnt = dbt.where(col("__t") === 1)
       .groupBy("b").agg(sum("c").as("ct"))
     val rcnt = db.groupBy("b").agg(sum("c").as("cr"))
