@@ -31,7 +31,11 @@ object GraftFunctions {
   private def intArg(fn: String, what: String, e: Expression): Int =
     foldArg(fn, what, e) match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        // loud, not a silent truncation (review finding)
+        require(l.isValidInt,
+          s"$fn: $what = $l is out of the int range")
+        l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => throw new IllegalArgumentException(

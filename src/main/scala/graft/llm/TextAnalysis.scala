@@ -228,6 +228,10 @@ object TextAnalysis {
     * before the (1-ulp) ln and the 4-dp round. */
   def knBigramLogprob(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    // the no-clamp argument above (c − D > 0 for every SEEN bigram)
+    // needs D < 1; D ≥ 1 would send log() NULL/negative silently
+    require(discount > 0.0 && discount < 1.0,
+      s"discount=$discount must be in (0, 1)")
     val bigr = df.select(col(idCol),
       explode_outer(graft.functions.ExprUtils.bindOnce(
         tokens(col(textCol))) { t =>

@@ -165,10 +165,15 @@ object TimeSeries {
     val obs = events.groupBy(col(keyCol), col(tsCol))
       .agg(max(col(valCol)).as(valCol))
       .withColumnRenamed(tsCol, "obs_ts")
+    // explode_outer + null test on the GENERATED column (the repo
+    // re-inline rule): plain explode's implicit size>0 filter would
+    // rebuild the per-key grid array — span/step elements — once more
+    // per predicate term
     val grid = events.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
-      .select(col(keyCol), explode(sequence(col("__t0"), col("__t1"),
-        expr(s"INTERVAL $stepSec SECONDS"))).as(tsCol))
+      .select(col(keyCol), explode_outer(sequence(col("__t0"),
+        col("__t1"), expr(s"INTERVAL $stepSec SECONDS"))).as(tsCol))
+      .where(col(tsCol).isNotNull)
     AsofJoin.joinAsof(grid, obs, Seq((keyCol, keyCol)), tsCol, "obs_ts",
       direction = "backward")
   }

@@ -45,9 +45,20 @@ final case class StreamingHeavyHitters(storeDir: String, k: Int) {
   private def fs(spark: SparkSession) =
     sketchPath.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** (sketch, lastBatchId) — a fresh store reads as an empty sketch. */
+  /** (sketch, lastBatchId) — a fresh store reads as an empty sketch.
+    * Crash recovery (review finding): writeState's delete-then-rename
+    * has a window where sketch.bin is gone but the COMPLETE new state
+    * sits in the tmp file (the tmp write always finishes before the
+    * delete starts) — without completing that rename here, a restart
+    * would silently zero all folded state AND reset the batchId
+    * guard. */
   private def readState(spark: SparkSession): (MisraGriesSketch, Long) = {
     val f = fs(spark)
+    if (!f.exists(sketchPath) && f.exists(tmpPath) &&
+        !f.rename(tmpPath, sketchPath))
+      throw new java.io.IOException(
+        s"graft heavy-hitters store: cannot complete interrupted " +
+          s"swap $tmpPath -> $sketchPath")
     if (!f.exists(sketchPath)) (new MisraGriesSketch(k), -1L)
     else {
       val in = new java.io.ObjectInputStream(f.open(sketchPath))

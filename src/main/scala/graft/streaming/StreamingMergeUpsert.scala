@@ -47,10 +47,16 @@ final case class StreamingMergeUpsert(storeDir: String,
 
   /** Current snapshot; an untouched store yields an EMPTY frame with
     * the snapshot schema derived from `changeSchema` (keys + values,
-    * change-side-only columns dropped). */
+    * change-side-only columns dropped). Runs staging recovery first
+    * (review finding): after a crash mid-swap the only full copy sits
+    * in `_staging`, and reading without recovering would silently
+    * return an empty snapshot. Readers share the single-writer
+    * contract — calling this concurrently with an ACTIVE processBatch
+    * is the usual external-reader caveat, not supported. */
   def snapshot(spark: SparkSession,
       changeSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val fs = snapshotPath.getFileSystem(spark.sessionState.newHadoopConf())
+    CompactSwap.recoverStaleStaging(fs, stagingPath)
     if (fs.exists(snapshotPath) && fs.listStatus(snapshotPath).nonEmpty)
       spark.read.parquet(snapshotPath.toString)
     else {

@@ -55,6 +55,14 @@ class GraftFunctionsSuite extends SparkSpec {
     }
     assert(err.getMessage.contains("must be a literal"),
       err.getMessage.take(300))
+    // out-of-int-range structural parameters fail loudly instead of
+    // silently truncating ((4294967298L).toInt == 2)
+    val range = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_md5_hash64(array('a'), 4294967298)")
+        .collect()
+    }
+    assert(range.getMessage.contains("out of the int range"),
+      range.getMessage.take(300))
   }
 
   test("GraftExtensions injects the functions (static-conf route)") {

@@ -1557,6 +1557,11 @@ class LlmSuite extends SparkSpec {
     assert(out(91L).isEmpty)
     assert(out(1L).get > out(90L).get,
       s"common=${out(1L).get} gibberish=${out(90L).get}")
+    // the no-clamp argument needs D ∈ (0, 1) — out-of-range discounts
+    // must fail loudly, not silently NULL scores through log()
+    intercept[IllegalArgumentException] {
+      graft.llm.TextAnalysis.knBigramLogprob(docs, discount = 1.0)
+    }
   }
 
   test("corpus stats: doc mass conserves across languages, percentiles " +

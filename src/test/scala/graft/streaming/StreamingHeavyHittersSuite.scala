@@ -72,6 +72,25 @@ class StreamingHeavyHittersSuite extends SparkSpec {
     }
   }
 
+  test("crash between delete and rename recovers from the tmp file " +
+      "(no silent state zeroing)") {
+    val root = Files.createTempDirectory("graft-shh-cw").toString
+    val store = StreamingHeavyHitters(s"$root/store", k = 8)
+    store.processBatch(Seq("a", "a", "b").toDF("item"), "item", 0L)
+    store.processBatch(Seq("a", "c").toDF("item"), "item", 1L)
+    // simulate the writeState crash window: the completed new state
+    // sits in _sketch.tmp and sketch.bin is already deleted
+    val sketch = new java.io.File(s"$root/store/sketch.bin")
+    val tmp = new java.io.File(s"$root/store/_sketch.tmp")
+    java.nio.file.Files.copy(sketch.toPath, tmp.toPath)
+    assert(sketch.delete())
+    val s = store.summary(spark)
+    assert(s.n == 5L, s"state zeroed: n=${s.n}")
+    // and the batchId guard survived: replaying batch 1 stays a no-op
+    store.processBatch(Seq("a", "c").toDF("item"), "item", 1L)
+    assert(store.summary(spark).n == 5L)
+  }
+
   test("attach: file-stream micro-batches fold end to end; fresh " +
       "store reads empty") {
     val root = Files.createTempDirectory("graft-shh-e2e").toString

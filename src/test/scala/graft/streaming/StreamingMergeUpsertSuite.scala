@@ -96,6 +96,30 @@ class StreamingMergeUpsertSuite extends SparkSpec {
     assert(!staging.exists())
   }
 
+  test("snapshot() self-heals a crash mid-swap: the staged-only copy " +
+      "is recovered instead of reading an empty snapshot") {
+    val root = Files.createTempDirectory("graft-smu-mid").toString
+    val store = StreamingMergeUpsert(s"$root/store", Seq("id"),
+      deleteCol = Some("deleted"), versionCol = Some("version"))
+    store.processBatch(changes((1L, "a", Some(1.0), false, 1L)))
+    // simulate the swapStaged crash window: snapshot deleted, the only
+    // full copy still in _staging with its manifest
+    val snapDir = new java.io.File(s"$root/store/snapshot")
+    val staging = new java.io.File(s"$root/store/_staging")
+    assert(snapDir.renameTo(staging)) // staging holds the merged copy
+    // the renamed dir carries the PREVIOUS swap's manifest + its
+    // Hadoop checksum sidecar; drop the stale crc before rewriting
+    // the manifest raw
+    new java.io.File(staging, "._graft_swap.crc").delete()
+    val mf = new java.io.PrintWriter(s"$root/store/_staging/_graft_swap")
+    mf.println(s"$root/store/snapshot")
+    mf.println(s"$root/store/snapshot") // folded partition: now gone
+    mf.close()
+    // a bare READ must complete the swap, not return empty
+    assert(snap(store) == Set((1L, "a", Some(1.0))))
+    assert(snapDir.exists() && !staging.exists())
+  }
+
   test("attach: version-ordered file-stream chunks reproduce the " +
       "sequential-batch snapshot end to end") {
     val root = Files.createTempDirectory("graft-smu-e2e").toString
