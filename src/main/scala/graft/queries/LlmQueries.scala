@@ -2445,9 +2445,13 @@ object LlmQueries {
     * or nowhere), the smoothing arithmetic mirrors the operator's
     * association and casts exactly, and tr/tt ride the GROUP BY in
     * both engines (one-row constants). */
-  val dsirSql: String = {
+  /** Spliceable DSIR CTE chain ending in `dsir_doc(doc_id, n_feats,
+    * log_w)` — ONE copy shared by the standalone oracle and the
+    * llm_e2e_select capstone (a smoothing/bucket fix lands in both or
+    * neither). */
+  private def dsirCtes: String = {
     val bucket = md5BucketSql("'dsir_' || ng", 4096)
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
        |  FROM documents),
        |feats AS (
@@ -2468,7 +2472,7 @@ object LlmQueries {
        |    CAST((SELECT coalesce(sum(c), 0) FROM db
        |      JOIN documents USING (doc_id) WHERE lang = 'en')
        |      AS BIGINT) AS tt),
-       |per_doc AS (
+       |dsir_doc AS (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
        |    round(sum(c * (ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE))
        |        - ln(CAST(cr + 1 AS DOUBLE))))
@@ -2477,10 +2481,56 @@ object LlmQueries {
        |  FROM db LEFT JOIN tcnt USING (b)
        |  JOIN rcnt USING (b)
        |  CROSS JOIN tots
-       |  GROUP BY doc_id, tr, tt)
-       |SELECT d.doc_id, p.n_feats, p.log_w
-       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+       |  GROUP BY doc_id, tr, tt)""".stripMargin
   }
+
+  val dsirSql: String =
+    s"""WITH $dsirCtes
+       |SELECT d.doc_id, p.n_feats, p.log_w
+       |FROM documents d LEFT JOIN dsir_doc p USING (doc_id)""".stripMargin
+
+  // --- llm_e2e_select -----------------------------------------------------
+  /** The DSIR selection pipeline end to end (Xie et al. 2023's actual
+    * use): score every doc against the `lang = 'en'` target
+    * distribution, then draw a weight-proportional without-replacement
+    * sample per language stratum — importance resampling via
+    * [[graft.llm.Sampling.weightedReservoir]] with weight
+    * `exp(log_w)` (log_w is 4-dp ROUNDED by the scorer, so both
+    * engines exponentiate the identical value; the reservoir's
+    * ≥ 1e-4 clamp guards deep-negative scores). */
+  def e2eSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = TextAnalysis.dsirWeights(d, targetPred = col("lang") === "en")
+      .where(col("log_w").isNotNull)
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("sel_w", exp(col("log_w")))
+    graft.llm.Sampling.weightedReservoir(w, k = 20,
+      strataCol = "lang", weightCol = "sel_w")
+      .select(col("lang"), col("doc_id"), col("log_w"),
+        col("res_key"), col("rank"))
+  }
+
+  val e2eSelectSql: String =
+    s"""WITH $dsirCtes,
+       |w AS (
+       |  SELECT d.doc_id, d.lang, p.log_w
+       |  FROM documents d JOIN dsir_doc p USING (doc_id)
+       |  WHERE p.log_w IS NOT NULL),
+       |keyed AS (
+       |  SELECT lang, doc_id, log_w,
+       |    round(ln((CAST(CAST('0x' || substring(
+       |          md5('wr_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |          AS DOUBLE)
+       |        + 0.5) / 4294967296.0)
+       |      / greatest(exp(log_w), CAST('0.0001' AS DOUBLE)), 6)
+       |      AS res_key
+       |  FROM w),
+       |r AS (
+       |  SELECT lang, doc_id, log_w, res_key, row_number() OVER (
+       |    PARTITION BY lang ORDER BY res_key DESC, doc_id ASC) AS rank
+       |  FROM keyed)
+       |SELECT lang, doc_id, log_w, res_key, rank FROM r
+       |WHERE rank <= 20""".stripMargin
 
   // --- llm_pack -----------------------------------------------------------
   /** Sequence packing manifest: ctx 64, 8 shards over `documents`. */
@@ -2998,6 +3048,7 @@ object LlmQueries {
     "llm_bigram_lm" -> (bigramLm _),
     "llm_kn_lm" -> (knLm _),
     "llm_dsir" -> (dsir _),
+    "llm_e2e_select" -> (e2eSelect _),
     "llm_vocab" -> (vocab _),
     "llm_bpe_train" -> (bpeTrain _),
     "llm_bpe_train_batched" -> (bpeTrainBatched _),
@@ -3070,6 +3121,7 @@ object LlmQueries {
     "llm_bigram_lm" -> bigramLmSql,
     "llm_kn_lm" -> knLmSql,
     "llm_dsir" -> dsirSql,
+    "llm_e2e_select" -> e2eSelectSql,
     "llm_vocab" -> vocabSql,
     "llm_tfidf" -> tfidfSql,
     "llm_drift" -> driftSql,

@@ -1463,6 +1463,25 @@ class LlmSuite extends SparkSpec {
     }.toMap
   }
 
+  test("e2e select: per-stratum k cap, dense ranks, only scored docs, " +
+      "reservoir group limit stays partial") {
+    val q = LlmQueries.e2eSelect(spark, sf0001)
+    val out = q.collect()
+    assert(out.nonEmpty)
+    val perLang = out.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 20, s"$lang over cap")
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length), s"$lang ranks not dense")
+    }
+    out.foreach(r => assert(!r.isNullAt(2), r.toString))
+    // the reservoir contract survives the composition: a partial
+    // WindowGroupLimit below the exchange (hot-stratum safety)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(plan.contains("Partial"), plan.take(800))
+  }
+
   test("KN bigram LM: operator ≡ single-threaded reference at rounding " +
       "precision; smoothed P(·|ctx) sums to exactly 1 per context") {
     import spark.implicits._

@@ -93,7 +93,7 @@ class PlanQualitySuite extends SparkSpec {
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
       "llm_ann_pq", "llm_pagerank", "op_ts_topk", "llm_kn_lm",
-      "llm_dsir")
+      "llm_dsir", "llm_e2e_select")
     val maxLoops = Map[String, Int]().withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
