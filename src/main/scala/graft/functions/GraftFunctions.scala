@@ -112,6 +112,9 @@ object GraftFunctions {
     fn("graft_simhash64", "(hashes array<bigint>)") {
       case Seq(c) => SimHash64Expr(c)
     },
+    fn("graft_nfc_normalize", "(s string)") {
+      case Seq(c) => NfcNormalizeExpr(c)
+    },
     fn("graft_top_shingle_freq", "(tokens array<string>, n int)") {
       case Seq(c, n) =>
         TopShingleFreqExpr(c, intArg("graft_top_shingle_freq", "n", n))

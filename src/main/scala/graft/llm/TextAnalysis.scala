@@ -368,6 +368,23 @@ object TextAnalysis {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  /** Unicode text normalization — the cleaning pass every pipeline
+    * runs BEFORE fingerprinting/tokenizing: NFC canonical composition
+    * (native [[graft.functions.NfcNormalizeExpr]] — composed and
+    * decomposed é otherwise hash to different dedup fingerprints),
+    * control/format characters mapped to spaces (Cc + Cf: zero-width
+    * spaces, BOMs, bidi marks, and \n\t themselves — mapping rather
+    * than deleting is the conservative word-boundary choice AND what
+    * makes the pass IDEMPOTENT: deleting a Cf that sits between
+    * spaces would mint a fresh whitespace run for a second pass to
+    * collapse), then whitespace collapsed to single spaces, trimmed.
+    * Map-only; the regexes stay in the Java-regex ∩ RE2 common
+    * dialect (the PII lesson). Idempotence suite-pinned. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.functions.NfcNormalizeExpr.nfc_normalize(text),
+      "[\\p{Cc}\\p{Cf}]", " "), "\\s+", " "))
+
   /** Canonical content fingerprint: md5 of whitespace-normalized,
     * lowercased text — the exact-dedup key. trim runs AFTER the \s+
     * collapse: trim strips only spaces, so trimming first left a

@@ -2385,6 +2385,21 @@ object LlmQueries {
       |SELECT d.doc_id, p.n_bigrams, p.bigram_logprob
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
+  // --- llm_text_norm ------------------------------------------------------
+  /** Unicode cleaning pass (NFC + whitespace collapse + Cc/Cf strip —
+    * TextAnalysis.normalizeText). The fixture is ASCII, so the oracle
+    * exercises the plumbing; the non-ASCII semantics (composed ≡
+    * decomposed, zero-width strip, idempotence) are suite-pinned. */
+  def textNorm(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("text_norm"))
+
+  val textNormSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |    '[\p{Cc}\p{Cf}]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm
+      |FROM documents""".stripMargin
+
   // --- llm_kn_lm ----------------------------------------------------------
   def knLm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.knBigramLogprob(docs(s, dir))
@@ -3047,6 +3062,7 @@ object LlmQueries {
     "llm_corpus_stats" -> (corpusStats _),
     "llm_bigram_lm" -> (bigramLm _),
     "llm_kn_lm" -> (knLm _),
+    "llm_text_norm" -> (textNorm _),
     "llm_dsir" -> (dsir _),
     "llm_e2e_select" -> (e2eSelect _),
     "llm_vocab" -> (vocab _),
@@ -3120,6 +3136,7 @@ object LlmQueries {
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,
     "llm_kn_lm" -> knLmSql,
+    "llm_text_norm" -> textNormSql,
     "llm_dsir" -> dsirSql,
     "llm_e2e_select" -> e2eSelectSql,
     "llm_vocab" -> vocabSql,

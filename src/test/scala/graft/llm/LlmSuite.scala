@@ -1533,6 +1533,50 @@ class LlmSuite extends SparkSpec {
     }
   }
 
+  test("text norm: composed ≡ decomposed after NFC, zero-width/BOM " +
+      "stripped, newlines become word boundaries, idempotent, " +
+      "codegen compiles") {
+    import spark.implicits._
+    val composed = "café résumé"
+    val decomposed = "café résumé"
+    val rows = Seq(
+      (1L, composed), (2L, decomposed),
+      (3L, "﻿a​b  c\n\td"), // BOM, ZWSP, bell, ws runs
+      (4L, "  plain ascii  "), (5L, null))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        graft.llm.TextAnalysis.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == out(2L), s"${out(1L)} vs ${out(2L)}")
+    assert(out(1L) == composed)
+    // every Cc/Cf became a word boundary (the ZWSP too — mapping to
+    // space rather than deleting is the split-don't-concatenate
+    // choice AND the idempotence guarantee), runs collapsed, the
+    // trailing bell trimmed away
+    assert(out(3L) == "a b c d", s"'${out(3L)}'")
+    assert(out(4L) == "plain ascii")
+    assert(out(5L) == null)
+    // idempotence: a second pass changes nothing
+    val again = rows.where(col("text").isNotNull).select(
+      graft.llm.TextAnalysis.normalizeText(
+        graft.llm.TextAnalysis.normalizeText(col("text"))).as("t2"),
+      graft.llm.TextAnalysis.normalizeText(col("text")).as("t1"))
+    assert(again.where(col("t1") =!= col("t2")).count() == 0)
+    // the native NFC expression's codegen path (no silent fallback)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.NfcNormalizeExpr(
+      BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    assert(proj(InternalRow(UTF8String.fromString("é")))
+      .getUTF8String(0).toString == "é")
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
   test("DSIR: target ≡ corpus scores EXACTLY zero everywhere; " +
       "target-like raw docs outscore alien docs; token-less NULL") {
     import spark.implicits._
