@@ -368,6 +368,103 @@ object TextAnalysis {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM log-probability per document —
+    * [[knBigramLogprob]] one order up, with the full KN recursion the
+    * production (KenLM-style) model uses: the top level discounts raw
+    * trigram counts, and the BACKOFF level uses CONTINUATION counts,
+    * not raw counts (the modified-counts insight that distinguishes
+    * KN from plain absolute discounting):
+    *
+    *   P₃(c|ab) = ( (c₃(abc) − D) + D·N₁₊(ab·)·P₂(c|b) ) / c₂(ab·)
+    *   P₂(c|b)  = ( (ĉ(bc) − D) + D·N̂(b·)·Pc(c) ) / ĉ(b·)
+    *
+    * where ĉ(bc) = N₁₊(·bc) (distinct left contexts of the bigram —
+    * one count per row of the distinct-trigram table grouped by
+    * suffix), ĉ(b·)/N̂(b·) its per-context total/type count, and
+    * Pc(c) = N₁₊(·c)/N₁₊(··) over those mid-level types. All
+    * statistics derive from trigram-INTERIOR positions (no
+    * sentence-boundary markers — the documented simplification);
+    * scoring only ever evaluates trigrams the corpus contains, whose
+    * suffix bigrams therefore exist in every backoff table, so with
+    * D < 1 no numerator clamps and no zero denominators arise (same
+    * argument as the bigram operator). Σ_c P₃(c|ab) = 1 exactly —
+    * the redistribution identity telescopes through both levels —
+    * pinned in LlmSuite.
+    *
+    * Same skew-safe shape as the bigram operator: every table derives
+    * from the PRE-COLLAPSED per-(doc, trigram) counts via
+    * partial-aggregated groupBys and plain count(*) over
+    * already-distinct tables (no Expand), joins are AQE-splittable
+    * string-keyed equi joins (md5-long keys are the 100 TB swap, the
+    * bigram note), the N₁₊(··) scalar rides the whitelisted one-row
+    * broadcast crossJoin, and the arithmetic mirrors the oracle's
+    * association and DOUBLE casts exactly. Docs with < 3 tokens
+    * return NULL. */
+  def knTrigramLogprob(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount=$discount must be in (0, 1)")
+    val tri = df.select(col(idCol),
+      explode_outer(graft.functions.ExprUtils.bindOnce(
+        tokens(col(textCol))) { t =>
+        when(size(t) >= 3,
+          zip_with(
+            zip_with(slice(t, lit(1), size(t) - 2),
+              slice(t, lit(2), size(t) - 2),
+              (a, b) => concat(a, lit(" "), b)),
+            slice(t, lit(3), size(t) - 2),
+            (ab, c) => concat(ab, lit(" "), c)))
+      }).as("tg"))
+      .where(col("tg").isNotNull)
+    val docTg = tri.groupBy(col(idCol), col("tg"))
+      .agg(count(lit(1)).as("cnt"))
+    // distinct-trigram counts: the one table everything derives from
+    val c3 = docTg.groupBy("tg").agg(sum("cnt").as("c3"))
+    def w(n: Int) = substring_index(col("tg"), " ", n)
+    def wLast(n: Int) = substring_index(col("tg"), " ", -n)
+    // top-level context (ab): raw total + distinct continuations
+    val ctx2 = c3.withColumn("ab", w(2))
+      .groupBy("ab").agg(sum(col("c3")).as("c2ab"),
+        count(lit(1)).as("n3ab"))
+    // mid level: continuation counts of the suffix bigram (bc) =
+    // distinct left contexts = rows of c3 per suffix
+    val mid = c3.withColumn("bc", wLast(2))
+      .groupBy("bc").agg(count(lit(1)).as("chat_bc"))
+    // mid-level context (b): total + types over the ĉ table
+    val midCtx = mid
+      .withColumn("b", substring_index(col("bc"), " ", 1))
+      .groupBy("b").agg(sum(col("chat_bc")).as("chat_b"),
+        count(lit(1)).as("nhat_b"))
+    // bottom: continuation probability over mid-level types
+    val cont = mid
+      .withColumn("c", substring_index(col("bc"), " ", -1))
+      .groupBy("c").agg(count(lit(1)).as("n1c"))
+    val nAll = mid.agg(count(lit(1)).cast("double").as("n_all"))
+    val d = lit(discount)
+    val p2Num = (col("chat_bc").cast("double") - d) +
+      (d * col("nhat_b").cast("double")) *
+        (col("n1c").cast("double") / col("n_all"))
+    val p2 = p2Num / col("chat_b").cast("double")
+    val p3Num = (col("c3").cast("double") - d) +
+      (d * col("n3ab").cast("double")) * p2
+    val p3 = p3Num / col("c2ab").cast("double")
+    val perDoc = docTg.join(c3, "tg")
+      .withColumn("ab", w(2))
+      .withColumn("bc", wLast(2))
+      .withColumn("c", wLast(1))
+      .join(ctx2, "ab")
+      .join(mid, "bc")
+      .join(midCtx.withColumnRenamed("b", "__b"),
+        substring_index(col("bc"), " ", 1) === col("__b"))
+      .join(cont, "c")
+      .crossJoin(broadcast(nAll))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_trigrams"),
+        round(sum(col("cnt") * log(p3)) / sum(col("cnt")), 4)
+          .as("kn3_logprob"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** Unicode text normalization — the cleaning pass every pipeline
     * runs BEFORE fingerprinting/tokenizing: NFC canonical composition
     * (native [[graft.functions.NfcNormalizeExpr]] — composed and

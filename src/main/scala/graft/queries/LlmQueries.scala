@@ -2385,6 +2385,69 @@ object LlmQueries {
       |SELECT d.doc_id, p.n_bigrams, p.bigram_logprob
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
+  // --- llm_kn3_lm ---------------------------------------------------------
+  def kn3Lm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knTrigramLogprob(docs(s, dir))
+
+  /** Trigram twin of [[knLmSql]]: both backoff levels' tables are
+    * plain count(*)/sum over the already-distinct c3/mid CTEs, and
+    * the nested probability expression is written with the operator's
+    * exact association and explicit DOUBLE casts (DuckDB has no
+    * substring_index — split_part concatenation is equivalent on the
+    * space-free token alphabet). */
+  val kn3LmSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tg
+      |  FROM tok),
+      |counts AS (
+      |  SELECT doc_id, tg, count(*) AS cnt FROM tg GROUP BY 1, 2),
+      |c3 AS (
+      |  SELECT tg, CAST(sum(cnt) AS BIGINT) AS c3 FROM counts GROUP BY 1),
+      |ctx2 AS (
+      |  SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2)
+      |      AS ab,
+      |    CAST(sum(c3) AS BIGINT) AS c2ab, count(*) AS n3ab
+      |  FROM c3 GROUP BY 1),
+      |mid AS (
+      |  SELECT split_part(tg, ' ', 2) || ' ' || split_part(tg, ' ', 3)
+      |      AS bc,
+      |    count(*) AS chat_bc
+      |  FROM c3 GROUP BY 1),
+      |mid_ctx AS (
+      |  SELECT split_part(bc, ' ', 1) AS b,
+      |    CAST(sum(chat_bc) AS BIGINT) AS chat_b, count(*) AS nhat_b
+      |  FROM mid GROUP BY 1),
+      |cont AS (
+      |  SELECT split_part(bc, ' ', 2) AS c, count(*) AS n1c
+      |  FROM mid GROUP BY 1),
+      |n_all AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM mid),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+      |    round(sum(cnt * ln(
+      |      ((CAST(c3 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |        + (CAST(0.75 AS DOUBLE) * CAST(n3ab AS DOUBLE))
+      |          * (((CAST(chat_bc AS DOUBLE) - CAST(0.75 AS DOUBLE))
+      |            + (CAST(0.75 AS DOUBLE) * CAST(nhat_b AS DOUBLE))
+      |              * (CAST(n1c AS DOUBLE) / n_all))
+      |            / CAST(chat_b AS DOUBLE)))
+      |      / CAST(c2ab AS DOUBLE))) / sum(cnt), 4) AS kn3_logprob
+      |  FROM counts
+      |  JOIN c3 USING (tg)
+      |  JOIN ctx2 ON ctx2.ab = split_part(counts.tg, ' ', 1) || ' ' ||
+      |    split_part(counts.tg, ' ', 2)
+      |  JOIN mid ON mid.bc = split_part(counts.tg, ' ', 2) || ' ' ||
+      |    split_part(counts.tg, ' ', 3)
+      |  JOIN mid_ctx ON mid_ctx.b = split_part(counts.tg, ' ', 2)
+      |  JOIN cont ON cont.c = split_part(counts.tg, ' ', 3)
+      |  CROSS JOIN n_all
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, p.n_trigrams, p.kn3_logprob
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+
   // --- llm_text_norm ------------------------------------------------------
   /** Unicode cleaning pass (NFC + whitespace collapse + Cc/Cf strip —
     * TextAnalysis.normalizeText). The fixture is ASCII, so the oracle
@@ -3062,6 +3125,7 @@ object LlmQueries {
     "llm_corpus_stats" -> (corpusStats _),
     "llm_bigram_lm" -> (bigramLm _),
     "llm_kn_lm" -> (knLm _),
+    "llm_kn3_lm" -> (kn3Lm _),
     "llm_text_norm" -> (textNorm _),
     "llm_dsir" -> (dsir _),
     "llm_e2e_select" -> (e2eSelect _),
@@ -3136,6 +3200,7 @@ object LlmQueries {
     "llm_corpus_stats" -> corpusStatsSql,
     "llm_bigram_lm" -> bigramLmSql,
     "llm_kn_lm" -> knLmSql,
+    "llm_kn3_lm" -> kn3LmSql,
     "llm_text_norm" -> textNormSql,
     "llm_dsir" -> dsirSql,
     "llm_e2e_select" -> e2eSelectSql,

@@ -93,7 +93,7 @@ class PlanQualitySuite extends SparkSpec {
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
       "llm_ann_pq", "llm_pagerank", "op_ts_topk", "llm_kn_lm",
-      "llm_dsir", "llm_e2e_select")
+      "llm_dsir", "llm_e2e_select", "llm_kn3_lm")
     val maxLoops = Map[String, Int]().withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
@@ -218,6 +218,14 @@ class PlanQualitySuite extends SparkSpec {
     // the continuation/context type counts must stay plain count(*)
     // over the distinct-bigram table — an Expand in the plan means
     // someone rewrote them as count(DISTINCT …)
+    assert(!p.contains("Expand"), "type counts regressed to Expand")
+  }
+
+  test("KN trigram LM inherits the same contract") {
+    val p = plan("llm_kn3_lm")
+    assert(!p.contains("Window"), "KN3 LM regressed to a window")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "KN3 LM lost partial aggregation")
     assert(!p.contains("Expand"), "type counts regressed to Expand")
   }
 
