@@ -461,8 +461,37 @@ object RelationalQueries {
 
   // --------------------------------------------------------------
 
+  // --- q23_histogram: per-group equi-width value histogram (the
+  // numeric_histogram / width_bucket analytics shape) — bucket = pure
+  // integer-floor arithmetic written identically in both engines
+  // (Spark has width_bucket only as an expression in 4.x SQL; the
+  // explicit floor keeps the oracle text trivially equivalent and the
+  // DECIMAL-literal trap out via explicit DOUBLE casts). Map-side
+  // bucketing + partial-aggregated count: one shuffle of ≤
+  // |groups|×|buckets| rows whatever the event count. ------------------
+  def q23Histogram(s: SparkSession, dir: String): DataFrame = {
+    val bucket = least(floor(col("value") / lit(50.0)), lit(19L))
+      .cast("int")
+    graft.Tables.load(s, dir, "events")
+      .select(col("event_type"), bucket.as("bucket"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", col("bucket") * lit(50.0))
+  }
+
+  val q23HistogramSql: String =
+    """SELECT event_type,
+      |  CAST(least(floor(value / CAST(50.0 AS DOUBLE)),
+      |    CAST(19 AS DOUBLE)) AS INT) AS bucket,
+      |  count(*) AS cnt,
+      |  CAST(least(floor(value / CAST(50.0 AS DOUBLE)),
+      |    CAST(19 AS DOUBLE)) AS INT) * CAST(50.0 AS DOUBLE) AS lo
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
+    "q23_histogram" -> (q23Histogram _),
     "q2_filter_project" -> (q2Filter _),
     "q3_join_agg" -> (q3JoinAgg _),
     "q4_semi_anti" -> (q4SemiAnti _),
@@ -488,6 +517,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "q23_histogram" -> q23HistogramSql,
     "q2_filter_project" -> q2FilterSql,
     "q3_join_agg" -> q3JoinAggSql,
     "q4_semi_anti" -> q4SemiAntiSql,

@@ -34,6 +34,22 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q23 histogram conserves mass, buckets clamp to [0, 19], " +
+      "aggregation partial") {
+    import org.apache.spark.sql.functions._
+    val q = RelationalQueries.q23Histogram(spark, sf0001)
+    val out = q.collect()
+    val total = graft.Tables.load(spark, sf0001, "events").count()
+    assert(out.map(_.getAs[Long]("cnt")).sum == total)
+    out.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 19, r.toString)
+      assert(r.getAs[Double]("lo") == b * 50.0)
+    }
+    val plan = q.queryExecution.executedPlan.toString()
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(400))
+  }
+
   test("every query has matching column names with its oracle intent") {
     // structural guard: all registered queries run on sf0.001
     RelationalQueries.all.foreach { case (name, fn) =>
