@@ -399,7 +399,11 @@ object TextAnalysis {
     * bigram note), the N₁₊(··) scalar rides the whitelisted one-row
     * broadcast crossJoin, and the arithmetic mirrors the oracle's
     * association and DOUBLE casts exactly. Docs with < 3 tokens
-    * return NULL. */
+    * return NULL. Like the bigram family (and UNLIKE llm_dsir), the
+    * per-consumer tokenize recompute measures cheaper than
+    * checkpointing the count tables (same-harness 0.43 s at sf0.1 —
+    * the SCALE.md round-13 A/B discriminator: no md5-grade
+    * per-element work in the recomputed pass). */
   def knTrigramLogprob(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0,

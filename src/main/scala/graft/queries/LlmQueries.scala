@@ -2115,6 +2115,19 @@ object LlmQueries {
         .select("doc_id", "lang", "stopword_ratio"),
       k = 5, strataCol = "lang", weightCol = "stopword_ratio")
 
+  /** Shared A-Res rank-key fragment — ONE copy of the reservoir key
+    * `round(ln(u)/greatest(<weight>, 1e-4), 6)` with the md5-uniform
+    * `u = (first-32-md5-bits('wr_' || doc_id) + 0.5)/2³²`, spliced by
+    * the llm_reservoir and llm_e2e_select oracles (a key-derivation
+    * fix — e.g. the CAST-before-+0.5 decimal trap — lands in both or
+    * neither). Mirrors [[graft.llm.Sampling.weightedReservoir]]. */
+  private def resKeySql(weightExpr: String): String =
+    s"""round(ln((CAST(CAST('0x' || substring(
+       |          md5('wr_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |          AS DOUBLE)
+       |        + 0.5) / 4294967296.0)
+       |      / greatest($weightExpr, CAST('0.0001' AS DOUBLE)), 6)""".stripMargin
+
   val reservoirSql: String =
     s"""WITH sig AS (
        |  SELECT doc_id, lang,
@@ -2125,11 +2138,7 @@ object LlmQueries {
        |  FROM documents),
        |b AS (
        |  SELECT doc_id, lang, stopword_ratio,
-       |    round(ln((CAST(CAST('0x' || substring(
-       |          md5('wr_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-       |          AS DOUBLE)
-       |        + 0.5) / 4294967296.0)
-       |      / greatest(stopword_ratio, CAST('0.0001' AS DOUBLE)), 6)
+       |    ${resKeySql("stopword_ratio")}
        |      AS res_key
        |  FROM sig),
        |r AS (
@@ -2596,11 +2605,7 @@ object LlmQueries {
        |  WHERE p.log_w IS NOT NULL),
        |keyed AS (
        |  SELECT lang, doc_id, log_w,
-       |    round(ln((CAST(CAST('0x' || substring(
-       |          md5('wr_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-       |          AS DOUBLE)
-       |        + 0.5) / 4294967296.0)
-       |      / greatest(exp(log_w), CAST('0.0001' AS DOUBLE)), 6)
+       |    ${resKeySql("exp(log_w)")}
        |      AS res_key
        |  FROM w),
        |r AS (

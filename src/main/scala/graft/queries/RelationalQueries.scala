@@ -472,7 +472,11 @@ object RelationalQueries {
   def q23Histogram(s: SparkSession, dir: String): DataFrame = {
     val bucket = least(floor(col("value") / lit(50.0)), lit(19L))
       .cast("int")
+    // NULL measurements are EXCLUDED, not bucketed (review finding:
+    // least() skips NULLs in both engines, so an unfiltered NULL
+    // value would silently land in the clamp bucket 19)
     graft.Tables.load(s, dir, "events")
+      .where(col("value").isNotNull)
       .select(col("event_type"), bucket.as("bucket"))
       .groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("cnt"))
@@ -487,6 +491,7 @@ object RelationalQueries {
       |  CAST(least(floor(value / CAST(50.0 AS DOUBLE)),
       |    CAST(19 AS DOUBLE)) AS INT) * CAST(50.0 AS DOUBLE) AS lo
       |FROM events
+      |WHERE value IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
   val all: Map[String, Q] = Map(

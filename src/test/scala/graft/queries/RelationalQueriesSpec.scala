@@ -39,7 +39,8 @@ class RelationalQueriesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val q = RelationalQueries.q23Histogram(spark, sf0001)
     val out = q.collect()
-    val total = graft.Tables.load(spark, sf0001, "events").count()
+    val total = graft.Tables.load(spark, sf0001, "events")
+      .where(col("value").isNotNull).count()
     assert(out.map(_.getAs[Long]("cnt")).sum == total)
     out.foreach { r =>
       val b = r.getAs[Int]("bucket")
@@ -48,6 +49,19 @@ class RelationalQueriesSpec extends SparkSpec {
     }
     val plan = q.queryExecution.executedPlan.toString()
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(400))
+    // NULL measurements are excluded, never clamp-bucketed into 19
+    // (least() skips NULLs — the silent-inflation trap)
+    import spark.implicits._
+    val withNull = Seq(("a", Some(10.0)), ("a", None), ("a", Some(9999.0)))
+      .toDF("event_type", "value")
+      .withColumn("value", col("value").cast("double"))
+    val bucket = least(floor(col("value") / lit(50.0)), lit(19L))
+      .cast("int")
+    val h = withNull.where(col("value").isNotNull)
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(h == Map(0 -> 1L, 19 -> 1L), h.toString)
   }
 
   test("every query has matching column names with its oracle intent") {
