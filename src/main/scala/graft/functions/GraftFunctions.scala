@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-callable registration of the library's native expressions —
@@ -114,6 +115,28 @@ object GraftFunctions {
     },
     fn("graft_nfc_normalize", "(s string)") {
       case Seq(c) => NfcNormalizeExpr(c)
+    },
+    // composed cleaning operators as DIRECT catalyst trees — a Column
+    // built from org.apache.spark.sql.functions is a Spark-4 column
+    // NODE whose nested functions stay unresolved inside the
+    // registry's expression slot (measured: INTERNAL_ERROR at
+    // codegen), so these mirror TextAnalysis.normalizeText /
+    // .fingerprint with catalyst classes (same expressions the
+    // Column forms resolve to; parity suite-pinned). The winnowing
+    // HOF chain stays Column-API-only (its lambda tree is not worth
+    // hand-building).
+    fn("graft_normalize_text", "(s string)") {
+      case Seq(c) =>
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L, _}
+        StringTrim(RegExpReplace(
+          RegExpReplace(NfcNormalizeExpr(c),
+            L("[\\p{Cc}\\p{Cf}]"), L(" ")),
+          L("\\s+"), L(" ")))
+    },
+    fn("graft_fingerprint", "(s string)") {
+      case Seq(c) =>
+        import org.apache.spark.sql.catalyst.expressions.{Literal => L, _}
+        Md5(Lower(StringTrim(RegExpReplace(c, L("\\s+"), L(" ")))))
     },
     fn("graft_top_shingle_freq", "(tokens array<string>, n int)") {
       case Seq(c, n) =>

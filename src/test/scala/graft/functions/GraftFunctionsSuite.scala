@@ -55,6 +55,24 @@ class GraftFunctionsSuite extends SparkSpec {
     }
     assert(err.getMessage.contains("must be a literal"),
       err.getMessage.take(300))
+    // composed cleaning operators through the same registry: NFC, the
+    // cleaning pass, the dedup fingerprint — each must equal its
+    // Column-API twin exactly
+    // the decomposed form rides as a direct string literal (Spark's
+    // chr() is mod-256 ASCII, not a codepoint constructor)
+    val comp = spark.sql(
+      s"""SELECT graft_nfc_normalize('café') AS nfc,
+        |  graft_normalize_text('  a​b  c ') AS nt,
+        |  graft_fingerprint(' The   QUICK fox ') AS fp
+        |""".stripMargin).head()
+    assert(comp.getString(0) == "café")
+    assert(comp.getString(1) == spark.range(1).select(
+      graft.llm.TextAnalysis.normalizeText(lit("  a​b  c ")))
+      .head().getString(0))
+    assert(comp.getString(1) == "a b c")
+    assert(comp.getString(2) == spark.range(1).select(
+      graft.llm.TextAnalysis.fingerprint(lit(" The   QUICK fox ")))
+      .head().getString(0))
     // out-of-int-range structural parameters fail loudly instead of
     // silently truncating ((4294967298L).toInt == 2)
     val range = intercept[Exception] {
