@@ -524,11 +524,22 @@ object Dedup {
     * constructions pay the probe once per JVM. Assumes immutable
     * inputs between identical constructions (true of any batch
     * source; a changed path yields a different plan). Bounded: each
-    * entry holds ≤ maxHotLiteral+1 bare-key rows; the map is cleared
-    * past 64 entries. */
-  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    Array[org.apache.spark.sql.Row]]()
+    * entry holds ≤ maxHotLiteral+1 bare-key rows; the map is a
+    * 64-entry access-ordered LRU (the HeavyHitters sketch-memo
+    * discipline — eviction drops only the least-recently-used shape,
+    * never the whole memo, and synchronizedMap keeps computeIfAbsent
+    * single-flight per key). */
+  private type ProbeKey =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
+  private val probeCache
+      : java.util.Map[ProbeKey, Array[org.apache.spark.sql.Row]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          ProbeKey, Array[org.apache.spark.sql.Row]](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            ProbeKey, Array[org.apache.spark.sql.Row]]): Boolean =
+          size() > 64
+      })
 
   private[llm] def dropHotKeys(df: DataFrame, keys: Seq[String],
       maxPerKey: Int, maxHotLiteral: Int = 10000): DataFrame =
@@ -540,7 +551,6 @@ object Dedup {
       // limit(cap + 1): a complete key set when within the cap, a
       // cheap overflow signal when not (which keys arrive is then
       // irrelevant — the fallback recomputes the full set lazily)
-      if (probeCache.size > 64) probeCache.clear()
       val probe = probeCache.computeIfAbsent(
         (hot.queryExecution.analyzed.canonicalized, maxHotLiteral),
         _ => hot.limit(maxHotLiteral + 1).collect())

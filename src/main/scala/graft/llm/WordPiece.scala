@@ -145,11 +145,15 @@ object WordPiece {
         StructField("score", DoubleType, nullable = false))))
   }
 
-  /** The encode-side vocabulary a trained model ships: the alphabet
-    * the dictionary starts from (every initial symbol of every word)
-    * plus the merged symbols, driver-side. Bounded: |alphabet| ≤ 2 ×
-    * charset (bare + `##` forms), plus nMerges entries. */
-  def trainVocab(df: DataFrame, nMerges: Int, minFreq: Long = 2L,
+  /** The encode-side vocabulary from an ALREADY-TRAINED merge table
+    * (the [[trainWordPiece]] output layout): the alphabet the
+    * dictionary starts from (every initial symbol of every word) plus
+    * the merged symbols, driver-side — no re-training (ADVICE r13:
+    * building the vocabulary used to re-run the full nMerges-round
+    * trainer on top of the one that produced the merge table).
+    * Bounded: |alphabet| ≤ 2 × charset (bare + `##` forms), plus
+    * nMerges entries. */
+  def vocabFromMerges(df: DataFrame, merges: DataFrame,
       textCol: String = "text"): Seq[String] = {
     val alphabet = df.select(
         explode_outer(TextAnalysis.tokens(col(textCol))).as("w"))
@@ -157,10 +161,39 @@ object WordPiece {
       .select(explode_outer(initialSymbols(col("w"))).as("s"))
       .where(col("s").isNotNull).distinct()
       .collect().map(_.getString(0))
-    val merged = trainWordPiece(df, nMerges, minFreq, textCol)
-      .collect().sortBy(_.getInt(0)).map(_.getString(3))
+    val merged = merges.select(col("step"), col("merged"))
+      .collect().sortBy(_.getInt(0)).map(_.getString(1))
     (alphabet ++ merged).distinct.toSeq
   }
+
+  // trainVocab memo: one trained vocabulary per (corpus plan, params)
+  // per JVM — the dropHotKeys/HeavyHitters construction-memo
+  // discipline (access-ordered LRU, single-flight, same staleness
+  // caveat: immutable inputs assumed under a canonically-equal plan).
+  private type VocabKey = (
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    String, Int, Long)
+  private val vocabCache: java.util.Map[VocabKey, Seq[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[VocabKey, Seq[String]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[VocabKey, Seq[String]]): Boolean =
+          size() > 16
+      })
+
+  /** The encode-side vocabulary a trained model ships, training the
+    * merge table if this (corpus, params) combination has not been
+    * trained in this JVM yet — memoized, so encode-after-train in one
+    * session pays the nMerges training rounds once
+    * ([[trainWordPiece]] itself stays unmemoized: the trainer API
+    * always trains). Callers holding a merge table should use
+    * [[vocabFromMerges]] directly. */
+  def trainVocab(df: DataFrame, nMerges: Int, minFreq: Long = 2L,
+      textCol: String = "text"): Seq[String] =
+    vocabCache.computeIfAbsent(
+      (df.queryExecution.analyzed.canonicalized, textCol, nMerges, minFreq),
+      _ => vocabFromMerges(df,
+        trainWordPiece(df, nMerges, minFreq, textCol), textCol))
 
   /** Single-threaded reference WordPiece — the WordPieceSuite ground
     * truth in the textbook dictionary form. */

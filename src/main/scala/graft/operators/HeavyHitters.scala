@@ -35,8 +35,17 @@ import graft.functions.{MgSummary, MisraGriesAgg}
   * job at plan-construction time (the candidate literals must exist
   * before the second pass can be planned), memoized per canonicalized
   * input plan so repeated constructions of the same query pay it once
-  * per JVM. NULL items are ignored (excluded from both n and the
-  * output). Driver memory is bounded by k entries (~item bytes + 8).
+  * per JVM. The memo is a bounded LRU (64 entries, single-flight per
+  * key): eviction drops only the least-recently-used shape, so a hot
+  * query survives arbitrary pressure from other shapes. Staleness
+  * caveat (same as dropHotKeys): the memo keys on the canonicalized
+  * PLAN, so if the underlying files change beneath a canonically-equal
+  * plan within one JVM session, a cached summary from the old data can
+  * be served — candidate recall is then no longer guaranteed against
+  * the new data. Use a fresh session (or new paths) after rewriting
+  * inputs. NULL items are ignored (excluded from both n and the
+  * output). Driver memory is bounded by 64 · k entries (~item bytes
+  * + 8).
   *
   * `m` is the threshold denominator (report items with frequency
   * ≥ 1/m); `k` is the sketch width, k ≥ m required for the recall
@@ -44,9 +53,22 @@ import graft.functions.{MgSummary, MisraGriesAgg}
   */
 object HeavyHitters {
 
-  private val sketchCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    MgSummary]()
+  private type SketchKey =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int)
+
+  // Access-ordered LRU bounded at 64 shapes. synchronizedMap keeps
+  // computeIfAbsent single-flight (one sketch job per key even under
+  // racing constructions) at the cost of serializing construction-time
+  // jobs — acceptable for a driver-side, once-per-shape pass.
+  private val sketchCache: java.util.Map[SketchKey, MgSummary] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[SketchKey, MgSummary](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[SketchKey, MgSummary]): Boolean =
+          size() > 64
+      })
+
+  private[operators] def sketchCacheSize: Int = sketchCache.size()
 
   /** Exact items of `itemCol` with count · m ≥ total, as
     * (term, cnt). */
@@ -57,7 +79,6 @@ object HeavyHitters {
       s"sketch width k=$kk must be >= threshold denominator m=$m " +
         "(the n/(k+1) undercount bound must sit below the n/m threshold)")
     val items = df.select(col(itemCol).cast("string").as("item"))
-    if (sketchCache.size > 64) sketchCache.clear()
     val summary = sketchCache.computeIfAbsent(
       (items.queryExecution.analyzed.canonicalized, kk),
       _ => items.select(MisraGriesAgg.mg_sketch(col("item"), kk).as("s"))

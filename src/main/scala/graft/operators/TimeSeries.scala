@@ -118,8 +118,13 @@ object TimeSeries {
   def timeWeightedAvg(events: DataFrame,
       keyCol: String = "user_id", tsCol: String = "ts",
       valCol: String = "value"): DataFrame = {
+    // NULLS LAST explicitly on both order keys: Spark's asc default is
+    // nulls-first, DuckDB's is nulls-last — left implicit, a NULL value
+    // at a tied timestamp would attach dt to different rows per engine
+    // (ADVICE r13; the oracle spells the same NULLS LAST)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(tsCol), col(valCol))
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).asc_nulls_last, col(valCol).asc_nulls_last)
     // unix_micros rejects TIMESTAMP_NTZ; the cast to TIMESTAMP reads
     // the wall clock in the session zone, and dt is a DIFFERENCE, so
     // any fixed zone cancels (UTC sessions are the repo convention)

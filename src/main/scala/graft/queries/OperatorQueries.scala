@@ -972,7 +972,8 @@ object OperatorQueries {
     """WITH stepped AS (
       |  SELECT user_id, value,
       |    date_diff('microsecond', ts,
-      |      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value))
+      |      lead(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts NULLS LAST, value NULLS LAST))
       |      / 1e6 AS dt
       |  FROM events)
       |SELECT user_id, count(*) AS n_samples,

@@ -128,15 +128,27 @@ object SegmentWrites {
   }
 
   /** Close and announce the open segment of the (stopped) streaming
-    * write on `baseDir`, if any registered instance has pending
-    * data. */
+    * write on `baseDir`, if any registered instance has pending data —
+    * then DROP the dir's entry, so instances never outlive the
+    * stop→finalRotate cycle (ADVICE r13: an add-only registry leaked
+    * every restart's instance for the JVM lifetime, and a stale
+    * instance could re-announce an old open segment alongside the
+    * current one). If a query was restarted WITHOUT finalRotate in
+    * between, the prior run's pending instances are still registered
+    * here — their rotation at the next call announces real
+    * un-manifested rows (recovery, not duplication: each instance
+    * rotates its own segment exactly once). */
   def finalRotate(baseDir: String): Option[SegmentInfo] = {
     import scala.jdk.CollectionConverters._
-    Option(registry.get(baseDir)).toSeq
+    val dropped = Option(registry.remove(baseDir))
+    dropped.toSeq
       .flatMap(_.asScala.toSeq)
       .flatMap(_.finalRotate())
       .headOption
   }
+
+  private[sink] def registeredCount(baseDir: String): Int =
+    Option(registry.get(baseDir)).map(_.size).getOrElse(0)
 }
 
 private[sink] class SegmentStreamingWrite(baseDir: String,

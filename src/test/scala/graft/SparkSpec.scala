@@ -9,6 +9,41 @@ trait SparkSpec extends AnyFunSuite {
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
   val sf01 = "/root/testdata/sf0.1"
+
+  /** Count the Spark jobs `body` starts. A marker action under a
+    * unique job group bounds the ASYNC listener bus: the marker's
+    * JobStart is submitted after every job `body` submitted, so once
+    * it has been processed every earlier job has been counted too
+    * (the PlanQualitySuite probe-memo pattern, shared). Relies on the
+    * suites' sequential execution — a concurrent job from another
+    * thread would be counted. */
+  def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val marker = s"count-jobs-marker-${java.util.UUID.randomUUID()}"
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == marker) seen.add(g)
+        else jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      spark.sparkContext.setJobGroup(marker, "listener flush")
+      try spark.range(1).count() finally
+        spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!seen.contains(marker) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(seen.contains(marker), "countJobs listener flush timed out")
+      jobs.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
 
 object SparkSpec {

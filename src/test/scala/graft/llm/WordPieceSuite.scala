@@ -47,6 +47,30 @@ class WordPieceSuite extends SparkSpec {
     assert(bpe._2 == "a", s"BPE control changed: $bpe") // frequency picks a-pair
   }
 
+  test("vocabFromMerges skips re-training and matches trainVocab; " +
+      "trainVocab memoizes per (corpus, params) in one JVM") {
+    val df = Seq("the cat sat", "the cat ran", "the bat sat")
+      .toDF("text")
+    val merges = WordPiece.trainWordPiece(df, nMerges = 4)
+    val direct = WordPiece.vocabFromMerges(df, merges)
+    val viaTrain = WordPiece.trainVocab(df, nMerges = 4)
+    assert(direct == viaTrain,
+      s"vocabFromMerges $direct != trainVocab $viaTrain")
+    // memo: a second trainVocab on the same (plan, params) must not
+    // re-run the nMerges training rounds (ADVICE r13 — the encode
+    // query used to pay a full second training on top of the train
+    // query's)
+    val again = countJobs {
+      val v = WordPiece.trainVocab(df, nMerges = 4)
+      assert(v == direct)
+    }
+    assert(again == 0,
+      s"memoized trainVocab re-ran $again job(s)")
+    // different params = different model — must NOT hit the memo
+    val other = WordPiece.trainVocab(df, nMerges = 2)
+    assert(other != direct)
+  }
+
   test("trainer is partitioning-independent (score ratio of exact longs)") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = WordPiece.trainWordPiece(d.repartition(1), nMerges = 8)

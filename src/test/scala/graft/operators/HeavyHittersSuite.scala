@@ -111,6 +111,38 @@ class HeavyHittersSuite extends SparkSpec {
     }
   }
 
+  test("sketch memo: bounded LRU — a hot shape survives eviction " +
+      "pressure from 70 other shapes (no clear-the-world)") {
+    import spark.implicits._
+    // distinct cache keys = same plan, distinct sketch width k
+    val df = Seq("x", "x", "y").toDF("item")
+    HeavyHitters.frequentItems(df, "item", m = 2, k = 90) // warm hot shape
+    // calibrate jobs-per-sketch on one filler shape
+    val jPer = countJobs {
+      HeavyHitters.frequentItems(df, "item", m = 2, k = 999); ()
+    }
+    assert(jPer > 0, "calibration construction ran no job")
+    // 70 fresh shapes overflow the 64-entry LRU; the hot shape is
+    // re-touched every 8, so it must stay resident the whole way —
+    // its re-constructions contribute ZERO jobs to the delta
+    val pressure = countJobs {
+      (0 until 70).foreach { i =>
+        HeavyHitters.frequentItems(df, "item", m = 2, k = 1000 + i)
+        if (i % 8 == 0)
+          HeavyHitters.frequentItems(df, "item", m = 2, k = 90)
+      }
+    }
+    assert(pressure == 70 * jPer,
+      s"pressure loop ran $pressure jobs, expected ${70 * jPer} — " +
+        "the hot shape's sketch re-ran (memo evicted it under pressure)")
+    val hotAgain = countJobs {
+      HeavyHitters.frequentItems(df, "item", m = 2, k = 90); ()
+    }
+    assert(hotAgain == 0, "final hot re-construction ran a job")
+    assert(HeavyHitters.sketchCacheSize <= 64,
+      s"memo grew past its bound: ${HeavyHitters.sketchCacheSize}")
+  }
+
   test("registered op_heavy_hitters: pass 2 filters with a literal " +
       "InSet before its aggregation (no full-domain shuffle)") {
     val q = graft.queries.OperatorQueries.heavyHitters(spark, sf0001)

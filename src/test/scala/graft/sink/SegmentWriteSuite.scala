@@ -133,6 +133,10 @@ class SegmentWriteSuite extends SparkSpec {
     assert(got.count() == n, "tail segment missing rows")
     // idempotent: nothing pending → no second announcement
     assert(SegmentWrites.finalRotate(out).isEmpty)
+    // registry entry dropped with the rotate (ADVICE r13 leak): stale
+    // instances from this stopped query cannot be reached again
+    assert(SegmentWrites.registeredCount(out) == 0,
+      "finalRotate left instances registered for the JVM lifetime")
   }
 
   test("epoch replay hits the marker and is discarded; rename failures " +
