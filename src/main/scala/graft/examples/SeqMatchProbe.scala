@@ -38,24 +38,21 @@ object SeqMatchProbe {
       .toDF("user_id", "ts", "event_type")
       .repartition(32).localCheckpoint(true)
 
-    def run(label: String)(df: org.apache.spark.sql.DataFrame): Long = {
+    def run(label: String, maxPerStep: Option[Int] = None)(
+        df: org.apache.spark.sql.DataFrame): Long = {
       val t = System.nanoTime()
       val out = graft.operators.Funnel.sequenceMatch(df,
         steps = Seq("view", "click", "purchase"),
-        gapsSec = Seq(3600L, 3600L)).collect()
+        gapsSec = Seq(3600L, 3600L), maxPerStep = maxPerStep).collect()
       println(f"$label%-10s wall=${(System.nanoTime() - t) / 1e9}%7.2fs " +
         f"entities=${out.length}")
       out.count(_.getAs[Int]("depth") == 3).toLong
     }
 
     val full = run("uncapped")(events)
-    // the prescribed upstream remedy: newest K events per (user, type)
-    val capped = graft.llm.Sampling.capPerKey(
-      events.withColumn("__k",
-        concat_ws("\u0000", col("user_id"), col("event_type"))),
-      keyCol = "__k", maxRows = 200,
-      order = Seq(col("ts").desc)).drop("__k")
-    val cap = run("capped")(capped)
+    // the remedy, now wired INTO the operator (round-14 verdict item):
+    // newest K events per (user, type) before the chain
+    val cap = run("capped", maxPerStep = Some(200))(events)
     println(s"full-depth entities: uncapped=$full capped=$cap " +
       "(normal users identical by construction; only the bot's " +
       "chain count is truncated)")

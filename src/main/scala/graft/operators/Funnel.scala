@@ -104,16 +104,41 @@ object Funnel {
     *
     * Output matches [[windowFunnel]]: (entity, first_step = min
     * step-1 ts, depth ∈ 1..k, completed_at = min final-step ts, NULL
-    * below full depth). */
+    * below full depth).
+    *
+    * `maxPerStep` wires the measured hot-entity remedy INTO the
+    * operator (round-13 verdict: the 29 s → 2.6 s SeqMatchProbe fix
+    * lived entirely in the caller): keep only the NEWEST `cap` events
+    * per (entity, step type) before the chain —
+    * [[graft.llm.Sampling.capPerKey]], whose partial
+    * WindowGroupLimit below the exchange is the skew safety. Entities
+    * with ≤ cap events per step are EXACTLY unchanged (suite-pinned);
+    * a hotter entity's chains are evaluated over its newest cap
+    * events per leg — the documented bot-account truncation. With
+    * equal timestamps at the cap boundary the kept subset is
+    * tie-arbitrary, which only affects entities already past the
+    * cap. */
   def sequenceMatch(events: DataFrame, steps: Seq[String],
       gapsSec: Seq[Long], entityCol: String = "user_id",
-      tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+      tsCol: String = "ts", typeCol: String = "event_type",
+      maxPerStep: Option[Int] = None): DataFrame = {
     require(steps.size >= 2, s"a sequence needs >= 2 steps, got $steps")
     require(gapsSec.size == steps.size - 1,
       s"need one gap per leg: ${steps.size - 1} legs, ${gapsSec.size} gaps")
     require(gapsSec.forall(_ >= 1), s"gaps must be >= 1 s, got $gapsSec")
+    val src = maxPerStep match {
+      case Some(cap) =>
+        require(cap >= 1, s"maxPerStep=$cap must be >= 1")
+        graft.llm.Sampling.capPerKey(
+          events.where(col(typeCol).isin(steps: _*))
+            .withColumn("__k",
+              concat_ws("\u0000", col(entityCol), col(typeCol))),
+          keyCol = "__k", maxRows = cap,
+          order = Seq(col(tsCol).desc)).drop("__k")
+      case None => events
+    }
     def of(step: String) =
-      events.where(col(typeCol) === step)
+      src.where(col(typeCol) === step)
         .select(col(entityCol), col(tsCol).as("tn"))
     val s1 = of(steps.head).withColumnRenamed("tn", "tk").distinct()
     val stages = steps.tail.zip(gapsSec).scanLeft(s1) {

@@ -108,6 +108,56 @@ class FunnelSuite extends SparkSpec {
     assert(funnel(3L)._2 == 3)
   }
 
+  test("sequenceMatch maxPerStep: capped ≡ uncapped on the fixture " +
+      "and on entities under the cap; only the hot entity truncates") {
+    // fixture: no entity approaches 50 events per step → identical
+    val ev = graft.Tables.load(spark, sf0001, "events")
+    val unc = Funnel.sequenceMatch(ev,
+      steps = Seq("view", "click", "purchase"),
+      gapsSec = Seq(14400L, 43200L))
+      .collect().map(_.toSeq).toSet
+    val cap = Funnel.sequenceMatch(ev,
+      steps = Seq("view", "click", "purchase"),
+      gapsSec = Seq(14400L, 43200L), maxPerStep = Some(50))
+      .collect().map(_.toSeq).toSet
+    assert(cap == unc, "capped output diverged on an uncapped fixture")
+    // hand case: bot (user 0) has 40 events/step, normal user 1 has 3;
+    // cap 5 keeps user 1 bit-identical while the bot still resolves
+    // from its NEWEST 5 per step (here: still full depth — its newest
+    // events chain within the gaps)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows =
+      (0 until 40).flatMap { i =>
+        Seq("view", "click", "purchase").zipWithIndex.map {
+          case (tp, j) =>
+            (0L, new Timestamp(t0 + i * 60000L + j * 15000L), tp)
+        }
+      } ++ Seq(
+        (1L, new Timestamp(t0), "view"),
+        (1L, new Timestamp(t0 + 60000L), "click"),
+        (1L, new Timestamp(t0 + 120000L), "purchase"))
+    val df = rows.toDF("user_id", "ts", "event_type")
+    def byUser(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Timestamp, Int, Option[Timestamp])]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val full = byUser(Funnel.sequenceMatch(df,
+      steps = Seq("view", "click", "purchase"),
+      gapsSec = Seq(3600L, 3600L)))
+    val capped = byUser(Funnel.sequenceMatch(df,
+      steps = Seq("view", "click", "purchase"),
+      gapsSec = Seq(3600L, 3600L), maxPerStep = Some(5)))
+    assert(capped(1L) == full(1L), "entity under the cap changed")
+    assert(capped(0L)._2 == 3, "bot lost depth despite chaining " +
+      "within its newest 5 events per step")
+    // the cap keeps NEWEST events: the bot's first_step moves forward
+    assert(capped(0L)._1.getTime > full(0L)._1.getTime,
+      "cap did not keep the newest events per step")
+    intercept[IllegalArgumentException] {
+      Funnel.sequenceMatch(df, steps = Seq("view", "click"),
+        gapsSec = Seq(3600L), maxPerStep = Some(0))
+    }
+  }
+
   test("retention: acquisition-event cohorts, day-k distinct activity, " +
       "non-acquired entities out of scope") {
     val events = Seq(
