@@ -138,6 +138,14 @@ object GraftFunctions {
         import org.apache.spark.sql.catalyst.expressions.{Literal => L, _}
         Md5(Lower(StringTrim(RegExpReplace(c, L("\\s+"), L(" ")))))
     },
+    fn("graft_winnow", "(s string[, k int[, w int]])") {
+      case Seq(s) => winnowTree(s, 4, 4)
+      case Seq(s, k) =>
+        winnowTree(s, intArg("graft_winnow", "k", k), 4)
+      case Seq(s, k, w) =>
+        winnowTree(s, intArg("graft_winnow", "k", k),
+          intArg("graft_winnow", "w", w))
+    },
     fn("graft_top_shingle_freq", "(tokens array<string>, n int)") {
       case Seq(c, n) =>
         TopShingleFreqExpr(c, intArg("graft_top_shingle_freq", "n", n))
@@ -174,6 +182,41 @@ object GraftFunctions {
             s"(${r.length}) must be parallel arrays")
         BpeEncodeExpr(w, l.zip(r))
     })
+
+  /** [[graft.llm.TextAnalysis.winnowFingerprints]] as a hand-built
+    * catalyst tree — the one text-pipeline primitive the round-13
+    * SQL surface was missing (its HOF lambdas are why: a builder
+    * cannot return Column trees, so the lambdas are built DIRECTLY
+    * with resolved [[NamedLambdaVariable]]s — no unresolved nodes,
+    * nothing for the analyzer's lambda-binding pass to miss). Mirrors
+    * the Column form node-for-node, including the bindOnce pin of the
+    * positional hash array (`element_at(transform(array(h0), h =>
+    * body), 1)` — CollapseProject re-inlines aliases, SCALE.md
+    * lesson 1); parity is suite-pinned in GraftFunctionsSuite. */
+  private def winnowTree(s: Expression, k: Int, w: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => L, _}
+    import org.apache.spark.sql.types._
+    require(k >= 1, s"graft_winnow: k=$k must be >= 1")
+    require(w >= 1, s"graft_winnow: w=$w must be >= 1")
+    val toks = RegExpExtractAll(Lower(s), L("[a-z0-9]+"), L(0))
+    val h0 = ShingleMd5Hash64Expr(toks, k, distinct = false)
+    val h = NamedLambdaVariable("h",
+      ArrayType(LongType, containsNull = false), nullable = true)
+    val i = NamedLambdaVariable("i", IntegerType, nullable = false)
+    val perWindowMin = ArrayTransform(
+      new Sequence(L(0), Subtract(Size(h), L(w))),
+      LambdaFunction(
+        ArrayMin(Slice(h, Add(i, L(1)), L(w))), Seq(i)))
+    val body = CaseWhen(
+      Seq(
+        (GreaterThanOrEqual(Size(h), L(w)), ArrayDistinct(perWindowMin)),
+        (GreaterThan(Size(h), L(0)), CreateArray(Seq(ArrayMin(h))))),
+      Some(L.create(Array.empty[Long],
+        ArrayType(LongType, containsNull = false))))
+    ElementAt(
+      ArrayTransform(CreateArray(Seq(h0)), LambdaFunction(body, Seq(h))),
+      L(1))
+  }
 
   /** Register every function on a LIVE session's registry (the
     * non-static-conf route — notebooks, tests; `injectFunction` via

@@ -73,6 +73,36 @@ class GraftFunctionsSuite extends SparkSpec {
     assert(comp.getString(2) == spark.range(1).select(
       graft.llm.TextAnalysis.fingerprint(lit(" The   QUICK fox ")))
       .head().getString(0))
+    // graft_winnow ≡ TextAnalysis.winnowFingerprints — the hand-built
+    // lambda tree (defaults, explicit (k, w), short text → one global
+    // min, empty text → empty array, NULL → NULL-or-empty parity)
+    val winDf = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown cat",
+      "tiny text here",          // fewer shingles than w
+      "one two three four",      // exactly one shingle at k=4
+      "ab",                      // one token, no 4-shingle
+      "").toDF("text")
+    winDf.createOrReplaceTempView("gf_win")
+    Seq("graft_winnow(text)" -> ((c: org.apache.spark.sql.Column) =>
+        graft.llm.TextAnalysis.winnowFingerprints(c)),
+      "graft_winnow(text, 2, 3)" -> ((c: org.apache.spark.sql.Column) =>
+        graft.llm.TextAnalysis.winnowFingerprints(c, k = 2, w = 3)))
+      .foreach { case (sqlExpr, apiFn) =>
+        val viaSql = spark.sql(
+          s"SELECT $sqlExpr AS fp FROM gf_win").collect()
+        val viaApi = winDf.select(apiFn(col("text")).as("fp")).collect()
+        assert(viaSql.map(_.toString).toSeq ==
+          viaApi.map(_.toString).toSeq, sqlExpr)
+        // sanity: the long text actually selects a non-trivial set
+        assert(viaSql.head.getSeq[Long](0).nonEmpty, sqlExpr)
+      }
+    // structural params stay literal-only here too
+    val winErr = intercept[Exception] {
+      spark.sql("SELECT graft_winnow(text, length(text)) FROM gf_win")
+        .collect()
+    }
+    assert(winErr.getMessage.contains("must be a literal"),
+      winErr.getMessage.take(300))
     // out-of-int-range structural parameters fail loudly instead of
     // silently truncating ((4294967298L).toInt == 2)
     val range = intercept[Exception] {
