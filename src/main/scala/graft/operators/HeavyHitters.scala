@@ -104,4 +104,107 @@ object HeavyHitters {
         .where(col("cnt") * lit(m.toLong) >= lit(summary.n))
     }
   }
+
+  private type GroupKey =
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int)
+  private val groupSketchCache
+      : java.util.Map[GroupKey, Array[(String, MgSummary)]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[
+          GroupKey, Array[(String, MgSummary)]](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[
+            GroupKey, Array[(String, MgSummary)]]): Boolean =
+          size() > 64
+      })
+
+  /** Exact PER-GROUP frequent items — the corpus-audit form (frequent
+    * tokens per language, frequent URLs per domain): for each group of
+    * `keyCol`, the items of `itemCol` with count · m ≥ that GROUP's
+    * total. Same two-pass shape as [[frequentItems]], applied
+    * group-wise:
+    *
+    *  1. ONE partial-aggregated pass folds each group into its own
+    *     Misra–Gries summary (`groupBy(key).agg(mg_sketch)` — hot
+    *     groups collapse map-side like any aggregate); per group the
+    *     MG guarantee gives candidate recall 1.0 against that group's
+    *     n_g/m threshold.
+    *  2. the ≤ |groups| · k (group, candidate, n_g) triples come back
+    *     as a BROADCAST local relation; the exact pass joins the input
+    *     against it (rows outside any group's candidate set die
+    *     map-side) and `cnt · m ≥ n_g` drops the sketch's false
+    *     positives.
+    *
+    * The driver-side collect grows with |groups| · k, so it is
+    * BOUNDED: more than `maxGroups` distinct keys fails loudly with
+    * the remedy (the dropHotKeys bounded-probe discipline — a silent
+    * cap would silently lose groups). Output: (keyCol, term, cnt),
+    * key and item read back as strings. NULL keys and NULL items are
+    * excluded (group-wise mirror of the ungrouped NULL contract).
+    * Exact and partitioning-independent per the [[frequentItems]]
+    * argument applied per group. The sketch pass is an eager
+    * construction-time job, memoized in the same bounded-LRU
+    * discipline (and with the same staleness caveat) as
+    * [[frequentItems]]. */
+  def frequentItemsByKey(df: DataFrame, keyCol: String, itemCol: String,
+      m: Int, k: Int = 0, maxGroups: Int = 1024): DataFrame = {
+    val kk = if (k > 0) k else 2 * m
+    require(kk >= m,
+      s"sketch width k=$kk must be >= threshold denominator m=$m " +
+        "(the n_g/(k+1) undercount bound must sit below the n_g/m " +
+        "threshold in every group)")
+    require(maxGroups >= 1, s"maxGroups=$maxGroups must be >= 1")
+    val pairs = df.select(col(keyCol).cast("string").as("__gkey"),
+        col(itemCol).cast("string").as("__item"))
+      .where(col("__gkey").isNotNull)
+    val summaries = groupSketchCache.computeIfAbsent(
+      (pairs.queryExecution.analyzed.canonicalized, kk, maxGroups),
+      _ => {
+        val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.product[MgSummary])
+        // limit(cap + 1): complete under the cap, a cheap overflow
+        // signal over it (which groups arrive is then irrelevant —
+        // the call refuses below)
+        pairs.groupBy(col("__gkey"))
+          .agg(MisraGriesAgg.mg_sketch(col("__item"), kk).as("s"))
+          .select(col("__gkey"), struct(col("s.n").as("n"),
+            col("s.entries").as("entries")).as("s"))
+          .limit(maxGroups + 1)
+          .as[(String, MgSummary)](enc)
+          .collect()
+      })
+    if (summaries.length > maxGroups)
+      throw new IllegalArgumentException(
+        s"frequentItemsByKey: more than maxGroups=$maxGroups distinct " +
+          s"'$keyCol' groups — the per-group sketch collect is " +
+          "driver-bounded by |groups| * k entries; raise maxGroups " +
+          "(driver memory permitting) or reduce the key domain " +
+          "upstream (filter the keys, or pre-aggregate rare groups)")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    if (summaries.forall(_._2.entries.isEmpty)) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(keyCol, StringType),
+          StructField("term", StringType),
+          StructField("cnt", LongType))))
+    } else {
+      val cands = summaries.flatMap { case (g, s) =>
+        s.entries.map(e => org.apache.spark.sql.Row(g, e.item, s.n)) }
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(cands: _*),
+        StructType(Seq(
+          StructField("__ckey", StringType, nullable = false),
+          StructField("__citem", StringType, nullable = false),
+          StructField("__n", LongType, nullable = false))))
+      pairs.join(broadcast(local),
+          col("__gkey") === col("__ckey") &&
+            col("__item") === col("__citem"))
+        .groupBy(col("__gkey"), col("__item"), col("__n"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * lit(m.toLong) >= col("__n"))
+        .select(col("__gkey").as(keyCol), col("__item").as("term"),
+          col("cnt"))
+    }
+  }
 }

@@ -1012,6 +1012,33 @@ object OperatorQueries {
       |GROUP BY 1
       |HAVING count(*) * 100 >= (SELECT n FROM tot)""".stripMargin
 
+  // --- op_heavy_hitters_grouped: the corpus-audit form — frequent
+  // tokens PER LANGUAGE, each group judged against its OWN total
+  // (operators/HeavyHitters.frequentItemsByKey). One partial-aggregated
+  // MG-sketch pass per group, candidates back as a broadcast local
+  // relation, exact counts only for (group, candidate) pairs. The
+  // driver collect is |groups|·k-bounded (maxGroups, loud overflow).
+  // m=50: tokens at ≥ 2% of their language's stream. -------------------
+  def heavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("lang"), explode_outer(
+        graft.llm.TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok").isNotNull)
+    graft.operators.HeavyHitters.frequentItemsByKey(toks, "lang", "tok",
+      m = 50, k = 128)
+  }
+
+  val heavyHittersGroupedSql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(regexp_extract_all(lower(text),
+      |    '[a-z0-9]+')) AS term
+      |  FROM documents WHERE lang IS NOT NULL),
+      |tot AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1)
+      |SELECT t.lang, t.term, count(*) AS cnt
+      |FROM tok t JOIN tot ON tot.lang = t.lang
+      |GROUP BY t.lang, t.term, tot.n
+      |HAVING count(*) * 50 >= tot.n""".stripMargin
+
   // --- op_gap_fill: TSDB resample — per user, a 6-hour regular grid
   // over the observed span, each point carrying the latest observation
   // at-or-before it (LOCF) plus its timestamp. Concurrent same-ts
@@ -1043,6 +1070,7 @@ object OperatorQueries {
     "op_gap_fill" -> (gapFill _),
     "op_normalize" -> (normalize _),
     "op_heavy_hitters" -> (heavyHitters _),
+    "op_heavy_hitters_grouped" -> (heavyHittersGrouped _),
     "op_ts_topk" -> (tsTopK _),
     "op_sessionize" -> (sessionize _),
     "op_scd2" -> (scd2 _),
@@ -1072,6 +1100,7 @@ object OperatorQueries {
     "op_normalize" -> normalizeSql,
     "op_gap_fill" -> gapFillSql,
     "op_heavy_hitters" -> heavyHittersSql,
+    "op_heavy_hitters_grouped" -> heavyHittersGroupedSql,
     "op_ts_topk" -> tsTopKSql,
     "op_sessionize" -> sessionizeSql,
     "op_scd2" -> scd2Sql,

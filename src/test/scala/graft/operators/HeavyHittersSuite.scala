@@ -143,6 +143,90 @@ class HeavyHittersSuite extends SparkSpec {
       s"memo grew past its bound: ${HeavyHitters.sketchCacheSize}")
   }
 
+  test("frequentItemsByKey: exact per group on Zipf streams with " +
+      "different vocabularies, partitioning-independent, null keys/" +
+      "items excluded") {
+    import spark.implicits._
+    val m = 32
+    // three groups with different sizes, vocabularies and seeds —
+    // each group's threshold is ITS OWN n_g/m
+    val groups = Map(
+      "en" -> zipfStream(n = 15000, vocab = 1200, seed = 3L),
+      "de" -> zipfStream(n = 6000, vocab = 800, seed = 5L),
+      "zh" -> zipfStream(n = 900, vocab = 90, seed = 9L))
+    val expected = groups.flatMap { case (g, data) =>
+      val n = data.size.toLong
+      data.groupBy(identity).collect {
+        case (i, xs) if xs.size.toLong * m >= n => (g, i, xs.size.toLong)
+      }
+    }.toSet
+    assert(expected.nonEmpty && expected.map(_._1).size == 3,
+      "every group must contribute heavy hitters")
+    val rows = groups.toSeq.flatMap { case (g, data) => data.map((g, _)) }
+    Seq(1, 13).foreach { parts =>
+      val df = rows.toDF("lang", "item").repartition(parts)
+      val got = HeavyHitters.frequentItemsByKey(df, "lang", "item",
+          m = m, k = 64)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // null group keys and null items drop; n_g counts only non-null
+    // items of non-null groups
+    val withNulls = Seq(
+      (Some("a"), Some("x")), (Some("a"), Some("x")),
+      (Some("a"), None), (None, Some("x")), (Some("a"), Some("y")))
+      .toDF("lang", "item")
+    val got2 = HeavyHitters.frequentItemsByKey(withNulls, "lang", "item",
+        m = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // group a: n = 3 non-null items → x keeps (2·3 ≥ 3), y drops (1·3 ≥ 3 holds!)
+    assert(got2 == Set(("a", "x", 2L), ("a", "y", 1L)), got2.toString)
+    // k < m voids the per-group recall guarantee — refuse loudly
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItemsByKey(withNulls, "lang", "item",
+        m = 10, k = 5)
+    }
+  }
+
+  test("registered op_heavy_hitters_grouped: candidates ride a " +
+      "BROADCAST join (non-candidates die map-side, no full-domain " +
+      "shuffle) over partial aggregation") {
+    val q = graft.queries.OperatorQueries.heavyHittersGrouped(
+      spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(800))
+    val out = q.collect()
+    assert(out.nonEmpty)
+    // every count clears 2% of its OWN language's token total
+    val totals = graft.Tables.load(spark, sf0001, "documents")
+      .select(col("lang"), explode(
+        graft.llm.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(2) * 50 >= totals(r.getString(0)), r.toString)
+    }
+  }
+
+  test("frequentItemsByKey: maxGroups overflow fails loudly with the " +
+      "remedy; under the cap the result is complete") {
+    import spark.implicits._
+    val df = (0 until 50).map(g => (s"g$g", "x")).toDF("lang", "item")
+    val err = intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItemsByKey(df, "lang", "item", m = 2,
+        maxGroups = 10)
+    }
+    assert(err.getMessage.contains("maxGroups") &&
+      err.getMessage.contains("raise maxGroups"), err.getMessage)
+    // at the exact cap: complete, no throw
+    val ok = HeavyHitters.frequentItemsByKey(df, "lang", "item", m = 2,
+      maxGroups = 50).collect()
+    assert(ok.length == 50 && ok.forall(_.getLong(2) == 1L))
+  }
+
   test("registered op_heavy_hitters: pass 2 filters with a literal " +
       "InSet before its aggregation (no full-domain shuffle)") {
     val q = graft.queries.OperatorQueries.heavyHitters(spark, sf0001)
