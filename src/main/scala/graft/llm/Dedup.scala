@@ -578,14 +578,47 @@ object Dedup {
       }
     }
 
-  private def lshPairsFromSets(rawSets: DataFrame, k: Int, bands: Int,
-      threshold: Double, seed: Long, exactBandKey: Boolean): DataFrame = {
+  /** (id, sh, sig) from raw (id, sh) hashed-shingle sets — the
+    * signature half of the LSH pipeline, shared by
+    * [[lshPairsFromSets]] and the streaming twin
+    * [[graft.streaming.StreamingNearDup]] (one banding derivation —
+    * the two paths can never desynchronize). Empty sets → NULL sig
+    * (MinHashSignatureExpr contract). */
+  private[graft] def sigSets(rawSets: DataFrame, k: Int,
+      seed: Long): DataFrame =
+    rawSets.withColumn("sig", graft.functions.MinHashSignatureExpr
+      .minhash_signature(col("sh"), k, seed))
+
+  /** Bare (id, band, band_key) rows from a (…, sig) frame — see the
+    * inline notes in [[lshPairsFromSets]] for why band rows carry no
+    * payload, why the key is 64-bit hashed by default, and why NULL
+    * sigs must become null keys (filtered here) rather than "" (one
+    * giant false bucket). */
+  private[graft] def bandRowsFromSigs(sets: DataFrame, k: Int,
+      bands: Int, exactBandKey: Boolean): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands=$bands must divide the signature width k=$k (and be in " +
         "[1, k]): bands > k degenerates every band key to the empty " +
         "slice — an all-pairs candidate join; a non-divisor silently " +
         "drops the signature tail")
     val rows = k / bands
+    val bandKey: Column => Column = bnd => {
+      val slice = concat_ws("_", (0 until rows).map(r =>
+        element_at(col("sig"),
+          (bnd * rows + r + 1).cast("int"))): _*)
+      when(col("sig").isNotNull,
+        if (exactBandKey) slice else xxhash64(slice, bnd))
+    }
+    sets.select(col("id"),
+      posexplode_outer(transform(
+        sequence(lit(0), lit(bands - 1)), bandKey)))
+      .withColumnRenamed("col", "band_key")
+      .withColumnRenamed("pos", "band")
+      .where(col("band_key").isNotNull)
+  }
+
+  private def lshPairsFromSets(rawSets: DataFrame, k: Int, bands: Int,
+      threshold: Double, seed: Long, exactBandKey: Boolean): DataFrame = {
     // The hashed shingle sets are the verification payload too:
     // Jaccard over them equals Jaccard over string sets (modulo ~1e-8
     // collisions), and only longs ship through the shuffles.
@@ -595,9 +628,7 @@ object Dedup {
     // (MinHashSignatureExpr contract) which the band explode below
     // turns into null band keys → filtered there, one cheap test on
     // generated values.
-    val sets = rawSets
-      .withColumn("sig", graft.functions.MinHashSignatureExpr
-        .minhash_signature(col("sh"), k, seed))
+    val sets = sigSets(rawSets, k, seed)
     // Band rows carry ONLY (id, band, band_key): candidate generation
     // and dedup shuffle bare keys. The shingle-hash arrays join back
     // in afterwards, once per surviving pair — not once per band
@@ -611,19 +642,7 @@ object Dedup {
     // NULL sig (empty doc) → null band key: concat_ws would otherwise
     // skip the null elements and key every empty doc to "" — one
     // giant false bucket.
-    val bandKey: Column => Column = bnd => {
-      val slice = concat_ws("_", (0 until rows).map(r =>
-        element_at(col("sig"),
-          (bnd * rows + r + 1).cast("int"))): _*)
-      when(col("sig").isNotNull,
-        if (exactBandKey) slice else xxhash64(slice, bnd))
-    }
-    val banded = sets.select(col("id"),
-      posexplode_outer(transform(
-        sequence(lit(0), lit(bands - 1)), bandKey)))
-      .withColumnRenamed("col", "band_key")
-      .withColumnRenamed("pos", "band")
-      .where(col("band_key").isNotNull)
+    val banded = bandRowsFromSigs(sets, k, bands, exactBandKey)
     // True self-join; the shuffle_hash hint pins BOTH sides to the
     // same shuffle exchange (a broadcast on one side would break
     // exchange reuse and recompute the signature lineage twice).

@@ -491,6 +491,44 @@ object LlmQueries {
        |${minhashPairsCtes("corpus", 0.5)}
        |SELECT id_a, id_b, jaccard FROM mh_pairs""".stripMargin
 
+  // --- llm_neardup_stream (streaming.StreamingNearDup — the fuzzy
+  // dedup stage as a continuous pipeline, replayed here in 3 chunks
+  // through a persistent band/sig store; construction runs the batch
+  // jobs, the op_vec_index_stream precedent). The pair SET is
+  // chunking-invariant (any pair agrees on its band key regardless of
+  // which batches its docs landed in), so the oracle is the BATCH
+  // rebuild: the llm_minhash_md5 CTE chain up to mh_cand, verified by
+  // SIGNATURE AGREEMENT (est_jaccard = matching components / 32 from
+  // mh_sig) instead of exact Jaccard — the twin's documented
+  // divergence, cross-engine-checked rather than merely described.
+  // CAST the sum to DOUBLE before dividing (the llm_reservoir
+  // BIGINT-vs-DECIMAL lesson). -----------------------------------------
+  def neardupStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-snd")
+      .toString
+    val d = docsWithNearDups(s, dir)
+    val snd = graft.streaming.StreamingNearDup(s"$root/store",
+      threshold = 0.5)
+    (0 until 3).map(c =>
+        snd.processBatch(d.where(pmod(col("doc_id"), lit(3L)) === c)))
+      .reduce(_.unionByName(_))
+      .orderBy("id_a", "id_b")
+  }
+
+  val neardupStreamSql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |${minhashPairsCtes("corpus", 0.5)},
+       |snd_pairs AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / 32, 4) AS est_jaccard
+       |  FROM mh_cand
+       |  JOIN mh_sig sa ON sa.doc_id = id_a
+       |  JOIN mh_sig sb ON sb.doc_id = id_b AND sb.j = sa.j
+       |  GROUP BY id_a, id_b)
+       |SELECT id_a, id_b, est_jaccard FROM snd_pairs
+       |WHERE est_jaccard >= 0.5""".stripMargin
+
   // --- llm_pagerank (graph centrality over the minhash near-dup
   // similarity graph: a high score marks a duplication hub — a
   // boilerplate template, a mirror — the soft complement of the hard
@@ -3107,6 +3145,7 @@ object LlmQueries {
     "llm_cut_spans" -> (cutSpansQ _),
     "llm_minhash_lsh" -> (minhashLsh _),
     "llm_minhash_md5" -> (minhashMd5 _),
+    "llm_neardup_stream" -> (neardupStream _),
     "llm_simhash" -> (simhashDup _),
     "llm_embed_dup" -> (embedDup _),
     "llm_embed_dup_lsh" -> (embedDupLsh _),
@@ -3182,6 +3221,7 @@ object LlmQueries {
     "llm_exact_dedup" -> exactDedupSql,
     "llm_line_dedup" -> lineDedupSql,
     "llm_minhash_md5" -> minhashMd5Sql,
+    "llm_neardup_stream" -> neardupStreamSql,
     "llm_simhash" -> simhashSql,
     "llm_ngram_jaccard" -> ngramJaccardSql,
     "llm_containment" -> containmentSql,
