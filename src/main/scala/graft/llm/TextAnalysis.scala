@@ -381,9 +381,11 @@ object TextAnalysis {
     * where ĉ(bc) = N₁₊(·bc) (distinct left contexts of the bigram —
     * one count per row of the distinct-trigram table grouped by
     * suffix), ĉ(b·)/N̂(b·) its per-context total/type count, and
-    * Pc(c) = N₁₊(·c)/N₁₊(··) over those mid-level types. All
-    * statistics derive from trigram-INTERIOR positions (no
-    * sentence-boundary markers — the documented simplification);
+    * Pc(c) = N₁₊(·c)/N₁₊(··) over those mid-level types. By default
+    * all statistics derive from trigram-INTERIOR positions (no
+    * sentence-boundary markers); `markers = true` opts into the
+    * standard <s> <s> … </s> padding — both modes fully oracled
+    * (llm_kn3_lm / llm_kn3_lm_bos share one parameterized text);
     * scoring only ever evaluates trigrams the corpus contains, whose
     * suffix bigrams therefore exist in every backoff table, so with
     * D < 1 no numerator clamps and no zero denominators arise (same
@@ -405,19 +407,38 @@ object TextAnalysis {
     * the SCALE.md round-13 A/B discriminator: no md5-grade
     * per-element work in the recomputed pass). */
   def knTrigramLogprob(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+      textCol: String = "text", discount: Double = 0.75,
+      markers: Boolean = false): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount=$discount must be in (0, 1)")
+    // markers = true: the standard sentence-boundary convention —
+    // every doc's token stream pads to <s> <s> w₁ … w_n </s>, so
+    // initial words are scored in a boundary context and the LM
+    // assigns mass to ending (the round-13 "trigram-INTERIOR only"
+    // simplification becomes opt-out). The marker strings cannot
+    // collide with real tokens ([a-z0-9]+ only) and carry no spaces,
+    // so every substring_index/split_part derivation is unchanged.
+    // Changing markers changes EVERY count table and the score of
+    // every doc — the oracle is parameterized from one text
+    // (kn3SqlFor, the ivfPqResSqlFor convention). With markers a
+    // 1-token doc has trigrams (n+1 of them); only empty docs stay
+    // NULL. The padded array is re-bound so the concat runs once per
+    // row, not once per slice reference.
+    def trigrams(t: Column): Column =
+      zip_with(
+        zip_with(slice(t, lit(1), size(t) - 2),
+          slice(t, lit(2), size(t) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(t, lit(3), size(t) - 2),
+        (ab, c) => concat(ab, lit(" "), c))
     val tri = df.select(col(idCol),
       explode_outer(graft.functions.ExprUtils.bindOnce(
-        tokens(col(textCol))) { t =>
-        when(size(t) >= 3,
-          zip_with(
-            zip_with(slice(t, lit(1), size(t) - 2),
-              slice(t, lit(2), size(t) - 2),
-              (a, b) => concat(a, lit(" "), b)),
-            slice(t, lit(3), size(t) - 2),
-            (ab, c) => concat(ab, lit(" "), c)))
+        tokens(col(textCol))) { t0 =>
+        if (markers)
+          when(size(t0) >= 1, graft.functions.ExprUtils.bindOnce(
+            concat(array(lit("<s>"), lit("<s>")), t0,
+              array(lit("</s>"))))(trigrams))
+        else when(size(t0) >= 3, trigrams(t0))
       }).as("tg"))
       .where(col("tg").isNotNull)
     val docTg = tri.groupBy(col(idCol), col("tg"))

@@ -2432,20 +2432,35 @@ object LlmQueries {
       |SELECT d.doc_id, p.n_bigrams, p.bigram_logprob
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
-  // --- llm_kn3_lm ---------------------------------------------------------
+  // --- llm_kn3_lm / llm_kn3_lm_bos ---------------------------------------
   def kn3Lm(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.knTrigramLogprob(docs(s, dir))
+
+  def kn3LmBos(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.knTrigramLogprob(docs(s, dir), markers = true)
 
   /** Trigram twin of [[knLmSql]]: both backoff levels' tables are
     * plain count(*)/sum over the already-distinct c3/mid CTEs, and
     * the nested probability expression is written with the operator's
     * exact association and explicit DOUBLE casts (DuckDB has no
     * substring_index — split_part concatenation is equivalent on the
-    * space-free token alphabet). */
-  val kn3LmSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+    * space-free token alphabet). ONE text parameterized over the
+    * boundary-marker mode (the ivfPqResSqlFor convention — a backoff
+    * or count fix lands in both modes or neither): markers pads the
+    * token list to <s> <s> … </s> via list_concat (never a
+    * line-leading `||` — the stripMargin lesson), changing every
+    * count table; interior-only keeps the raw list. */
+  private def kn3SqlFor(markers: Boolean): String = {
+    val wExpr =
+      if (markers)
+        "CASE WHEN len(w0) >= 1 THEN list_concat(list_concat(" +
+          "['<s>', '<s>'], w0), ['</s>']) ELSE [] END"
+      else "w0"
+    s"""WITH tok0 AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w0
       |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, $wExpr AS w FROM tok0),
       |tg AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
       |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS tg
@@ -2494,6 +2509,10 @@ object LlmQueries {
       |  GROUP BY doc_id)
       |SELECT d.doc_id, p.n_trigrams, p.kn3_logprob
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+  }
+
+  val kn3LmSql: String = kn3SqlFor(markers = false)
+  val kn3LmBosSql: String = kn3SqlFor(markers = true)
 
   // --- llm_text_norm ------------------------------------------------------
   /** Unicode cleaning pass (NFC + whitespace collapse + Cc/Cf strip —
@@ -3170,6 +3189,7 @@ object LlmQueries {
     "llm_bigram_lm" -> (bigramLm _),
     "llm_kn_lm" -> (knLm _),
     "llm_kn3_lm" -> (kn3Lm _),
+    "llm_kn3_lm_bos" -> (kn3LmBos _),
     "llm_text_norm" -> (textNorm _),
     "llm_dsir" -> (dsir _),
     "llm_e2e_select" -> (e2eSelect _),
@@ -3246,6 +3266,7 @@ object LlmQueries {
     "llm_bigram_lm" -> bigramLmSql,
     "llm_kn_lm" -> knLmSql,
     "llm_kn3_lm" -> kn3LmSql,
+    "llm_kn3_lm_bos" -> kn3LmBosSql,
     "llm_text_norm" -> textNormSql,
     "llm_dsir" -> dsirSql,
     "llm_e2e_select" -> e2eSelectSql,

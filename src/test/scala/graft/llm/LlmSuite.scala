@@ -1608,11 +1608,16 @@ class LlmSuite extends SparkSpec {
 
   /** Single-threaded interpolated trigram-KN reference (full
     * continuation-count recursion) for the pin below. */
-  private def kn3Ref(docs: Seq[(Long, String)], d: Double = 0.75)
+  private def kn3Pad(ts: Seq[String], markers: Boolean): Seq[String] =
+    if (markers && ts.nonEmpty) (Seq("<s>", "<s>") ++ ts) :+ "</s>"
+    else ts
+
+  private def kn3Ref(docs: Seq[(Long, String)], d: Double = 0.75,
+      markers: Boolean = false)
       : Map[Long, Option[(Long, Double)]] = {
     def toks(t: String) = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
     val docTgs = docs.map { case (id, t) =>
-      id -> toks(t).sliding(3).filter(_.size == 3)
+      id -> kn3Pad(toks(t), markers).sliding(3).filter(_.size == 3)
         .map(s => (s(0), s(1), s(2))).toSeq
     }
     val c3 = docTgs.flatMap(_._2).groupBy(identity)
@@ -1639,7 +1644,8 @@ class LlmSuite extends SparkSpec {
   }
 
   test("KN trigram LM: operator ≡ single-threaded reference; " +
-      "Σ_c P₃(c|ab) telescopes to exactly 1 through both levels") {
+      "Σ_c P₃(c|ab) telescopes to exactly 1 through both levels — " +
+      "in BOTH marker modes") {
     import spark.implicits._
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -1648,50 +1654,61 @@ class LlmSuite extends SparkSpec {
       (4L, "san francisco weather in san francisco stays brown"),
       (5L, "the weather in san francisco"),
       (6L, "two words"), (7L, ""))
-    val got = graft.llm.TextAnalysis
-      .knTrigramLogprob(corpus.toDF("doc_id", "text")).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        (if (r.isNullAt(2)) None
-         else Some((r.getAs[Long]("n_trigrams"),
-           r.getAs[Double]("kn3_logprob"))))).toMap
-    val ref = kn3Ref(corpus)
-    corpus.foreach { case (id, _) =>
-      (got(id), ref(id)) match {
-        case (None, None) => // < 3 tokens → NULL in both
-        case (Some((gn, gs)), Some((rn, rs))) =>
-          assert(gn == rn, s"doc $id n_trigrams $gn vs $rn")
-          assert(math.abs(gs - rs) <= 6e-5,
-            s"doc $id score $gs vs reference $rs")
-        case other => fail(s"doc $id: $other")
-      }
-    }
-    // telescoping normalization: for every observed context (a, b),
-    // Σ over the continuation vocabulary of the FULL smoothed P₃
-    // (discounted seen trigrams + backoff through the mid level) is
-    // exactly 1 — validates both levels' redistribution at once
     def toks(t: String) = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
-    val tgs = corpus.flatMap(x => toks(x._2).sliding(3)
-      .filter(_.size == 3).map(s => (s(0), s(1), s(2))))
-    val c3 = tgs.groupBy(identity).map { case (g, x) => g -> x.size }
-    val ctx2 = c3.groupBy(g => (g._1._1, g._1._2))
-      .map { case (ab, m) => ab -> ((m.values.sum, m.size)) }
-    val mid = c3.groupBy(g => (g._1._2, g._1._3))
-      .map { case (bc, m) => bc -> m.size }
-    val midCtx = mid.groupBy(_._1._1)
-      .map { case (b, m) => b -> ((m.values.sum, m.size)) }
-    val cont = mid.groupBy(_._1._2).map { case (c, m) => c -> m.size }
-    val nAll = mid.size.toDouble
-    val d = 0.75
-    val vocabC = cont.keys.toSeq
-    ctx2.keys.foreach { case (a, b) =>
-      val mass = vocabC.map { c =>
-        val p2 = if (!midCtx.contains(b)) 0.0
-          else (math.max(mid.getOrElse((b, c), 0) - d, 0.0) +
-            (d * midCtx(b)._2) * (cont(c) / nAll)) / midCtx(b)._1
-        (math.max(c3.getOrElse((a, b, c), 0) - d, 0.0) +
-          (d * ctx2((a, b))._2) * p2) / ctx2((a, b))._1
-      }.sum
-      assert(math.abs(mass - 1.0) < 1e-9, s"ctx ($a,$b) sums to $mass")
+    Seq(false, true).foreach { markers =>
+      val got = graft.llm.TextAnalysis
+        .knTrigramLogprob(corpus.toDF("doc_id", "text"),
+          markers = markers).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (if (r.isNullAt(2)) None
+           else Some((r.getAs[Long]("n_trigrams"),
+             r.getAs[Double]("kn3_logprob"))))).toMap
+      val ref = kn3Ref(corpus, markers = markers)
+      corpus.foreach { case (id, _) =>
+        (got(id), ref(id)) match {
+          case (None, None) => // too few tokens → NULL in both
+          case (Some((gn, gs)), Some((rn, rs))) =>
+            assert(gn == rn, s"doc $id n_trigrams $gn vs $rn " +
+              s"(markers=$markers)")
+            assert(math.abs(gs - rs) <= 6e-5,
+              s"doc $id score $gs vs reference $rs (markers=$markers)")
+          case other => fail(s"doc $id (markers=$markers): $other")
+        }
+      }
+      // marker-mode shape: a 2-token doc HAS trigrams (n+1 = 3),
+      // and only the empty doc stays NULL
+      if (markers) {
+        assert(got(6L).exists(_._1 == 3L), got(6L).toString)
+        assert(got(7L).isEmpty)
+      } else assert(got(6L).isEmpty && got(7L).isEmpty)
+      // telescoping normalization: for every observed context (a, b),
+      // Σ over the continuation vocabulary of the FULL smoothed P₃
+      // (discounted seen trigrams + backoff through the mid level) is
+      // exactly 1 — validates both levels' redistribution at once
+      val tgs = corpus.flatMap(x => kn3Pad(toks(x._2), markers)
+        .sliding(3).filter(_.size == 3).map(s => (s(0), s(1), s(2))))
+      val c3 = tgs.groupBy(identity).map { case (g, x) => g -> x.size }
+      val ctx2 = c3.groupBy(g => (g._1._1, g._1._2))
+        .map { case (ab, m) => ab -> ((m.values.sum, m.size)) }
+      val mid = c3.groupBy(g => (g._1._2, g._1._3))
+        .map { case (bc, m) => bc -> m.size }
+      val midCtx = mid.groupBy(_._1._1)
+        .map { case (b, m) => b -> ((m.values.sum, m.size)) }
+      val cont = mid.groupBy(_._1._2).map { case (c, m) => c -> m.size }
+      val nAll = mid.size.toDouble
+      val d = 0.75
+      val vocabC = cont.keys.toSeq
+      ctx2.keys.foreach { case (a, b) =>
+        val mass = vocabC.map { c =>
+          val p2 = if (!midCtx.contains(b)) 0.0
+            else (math.max(mid.getOrElse((b, c), 0) - d, 0.0) +
+              (d * midCtx(b)._2) * (cont(c) / nAll)) / midCtx(b)._1
+          (math.max(c3.getOrElse((a, b, c), 0) - d, 0.0) +
+            (d * ctx2((a, b))._2) * p2) / ctx2((a, b))._1
+        }.sum
+        assert(math.abs(mass - 1.0) < 1e-9,
+          s"ctx ($a,$b) sums to $mass (markers=$markers)")
+      }
     }
   }
 
