@@ -31,7 +31,9 @@ import graft.operators.TimeSeries
   * partition, same read path. */
 final case class StreamingSeriesStore(storeDir: String,
     startDate: String, nSlots: Int, keyCol: String = "user_id",
-    tsCol: String = "ts", valCol: String = "value") {
+    tsCol: String = "ts", valCol: String = "value",
+    keyType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType) {
 
   /** Fold ONE micro-batch's partial slot sums into the store. */
   def processBatch(batch: DataFrame, batchId: Long): Unit =
@@ -42,8 +44,10 @@ final case class StreamingSeriesStore(storeDir: String,
     * (and, on the same event set, identical values) to
     * [[TimeSeries.dailySeries]]. An untouched store yields an EMPTY
     * series, not a read error — "queryable at any point" includes
-    * before the first commit (review catch; keys are LongType in this
-    * pre-data schema, the fixture/event-id convention). A read racing
+    * before the first commit (review catch; the pre-data schema types
+    * the key as `keyType` — LongType by default per the fixture
+    * event-id convention, pass StringType for entity-name keys; once
+    * any batch has committed the parquet schema governs). A read racing
     * a failure-replay overwrite of one batch partition can transiently
     * miss files — retry semantics are the caller's (the usual
     * object-store snapshot caveat). */
@@ -62,8 +66,7 @@ final case class StreamingSeriesStore(storeDir: String,
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(keyCol,
-            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(keyCol, keyType),
           org.apache.spark.sql.types.StructField("__d",
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("__v",

@@ -70,6 +70,33 @@ class StreamingSeriesSuite extends SparkSpec {
     assert(store.topK(spark, col("user_id") < 10, k = 5).count() == 0L)
   }
 
+  test("string-keyed store: series/topK parity with the batch operator " +
+      "and a string-typed pre-data schema (round-12 LongType gap)") {
+    import org.apache.spark.sql.types.StringType
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(concat(lit("user-"), col("user_id")).as("user_id"),
+        col("ts"), col("value"), col("event_id"))
+    val batchSeries = TimeSeries.dailySeries(events, "2024-01-01", 30)
+      .as[(String, Seq[Double])].collect().toMap
+    val root = Files.createTempDirectory("graft-sstore-str").toString
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30,
+      keyType = StringType)
+    // pre-data: the declared key type governs the empty schema
+    val empty = store.series(spark)
+    assert(empty.schema("user_id").dataType == StringType)
+    assert(empty.count() == 0L)
+    (0 until 3).foreach { c =>
+      store.processBatch(events.where(col("event_id") % 3 === c),
+        batchId = c.toLong)
+    }
+    val streamed = store.series(spark)
+      .as[(String, Seq[Double])].collect().toMap
+    assert(streamed == batchSeries,
+      "string-keyed store series differ from the batch operator")
+    val got = store.topK(spark, col("user_id") === "user-1", k = 3)
+    assert(got.count() == 3L)
+  }
+
   test("scheme-qualified store paths probe through the Hadoop FS API " +
       "(a java.io.File probe silently read these as empty)") {
     // round-11 ADVICE defect: the existence probe used java.io.File,
