@@ -90,10 +90,12 @@ class PlanQualitySuite extends SparkSpec {
     // per-doc chain — the typicality scalar-subquery shape again.
     // llm_dsir's smoothing-mass totals are the same one-row scalar
     // aggregate riding a broadcast crossJoin.
+    // llm_kn3_lm_bos is llm_kn3_lm with boundary markers — the same
+    // one-row N₁₊(··) scalar rides the same broadcast crossJoin.
     val intentional = Set("llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
       "llm_embed_dup", "llm_typicality", "llm_vocab", "llm_tfidf",
       "llm_ann_pq", "llm_pagerank", "op_ts_topk", "llm_kn_lm",
-      "llm_dsir", "llm_e2e_select", "llm_kn3_lm")
+      "llm_dsir", "llm_e2e_select", "llm_kn3_lm", "llm_kn3_lm_bos")
     val maxLoops = Map[String, Int]().withDefaultValue(1)
     graft.SparkEntry.queries.keys.filterNot(intentional).foreach { name =>
       val p = plan(name)
@@ -221,12 +223,15 @@ class PlanQualitySuite extends SparkSpec {
     assert(!p.contains("Expand"), "type counts regressed to Expand")
   }
 
-  test("KN trigram LM inherits the same contract") {
-    val p = plan("llm_kn3_lm")
-    assert(!p.contains("Window"), "KN3 LM regressed to a window")
-    assert("HashAggregate".r.findAllIn(p).length >= 4,
-      "KN3 LM lost partial aggregation")
-    assert(!p.contains("Expand"), "type counts regressed to Expand")
+  test("KN trigram LM inherits the same contract (both marker modes)") {
+    Seq("llm_kn3_lm", "llm_kn3_lm_bos").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name regressed to a window")
+      assert("HashAggregate".r.findAllIn(p).length >= 4,
+        s"$name lost partial aggregation")
+      assert(!p.contains("Expand"),
+        s"$name type counts regressed to Expand")
+    }
   }
 
   test("e2e prepare composes the stages' plan invariants") {
