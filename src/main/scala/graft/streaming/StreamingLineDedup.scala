@@ -36,9 +36,15 @@ final case class StreamingLineDedup(storeDir: String,
     sep: String = "\n") {
 
   private def storeFps(spark: SparkSession): DataFrame = {
-    val dir = new java.io.File(storeDir)
-    val hasData = dir.isDirectory &&
-      dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    // Hadoop FS probe, not java.io.File: a File probe is ALWAYS false
+    // for hdfs://-/s3a://-qualified store paths — the store would
+    // silently read as empty and EVERY line would be kept as a first
+    // occurrence (the StreamingSeriesStore round-11 ADVICE defect;
+    // caught here in the round-14 self-review sweep).
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
     if (hasData) spark.read.parquet(storeDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -66,13 +66,20 @@ final case class StreamingNearDup(storeDir: String,
   private def bandsDir = s"$storeDir/bands"
   private def sigsDir = s"$storeDir/sigs"
 
-  private def hasData(dir: String): Boolean = {
-    val d = new java.io.File(dir)
-    d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  // Existence probe through the Hadoop FileSystem API — a
+  // java.io.File probe is ALWAYS false for hdfs://-/s3a://-qualified
+  // store paths and would silently report an empty store, losing
+  // every cross-batch pair (the StreamingSeriesStore round-11 ADVICE
+  // defect; round-14 self-review caught the same class here).
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
   private def storeBands(spark: SparkSession): DataFrame =
-    if (hasData(bandsDir)) spark.read.parquet(bandsDir)
+    if (hasData(spark, bandsDir)) spark.read.parquet(bandsDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -84,7 +91,7 @@ final case class StreamingNearDup(storeDir: String,
           org.apache.spark.sql.types.StringType))))
 
   private def storeSigs(spark: SparkSession): DataFrame =
-    if (hasData(sigsDir)) spark.read.parquet(sigsDir)
+    if (hasData(spark, sigsDir)) spark.read.parquet(sigsDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(

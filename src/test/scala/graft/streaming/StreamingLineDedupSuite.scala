@@ -45,6 +45,23 @@ class StreamingLineDedupSuite extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("scheme-qualified store paths probe through the Hadoop FS API " +
+      "(a java.io.File probe silently kept every duplicate line)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sld-fs").toString
+    val sld = StreamingLineDedup(s"file:$root/store")
+    val doc = "unique line one\nshared boilerplate footer line"
+    sld.processBatch(Seq((1L, doc)).toDF("doc_id", "text")).collect()
+    // batch 2's footer must be recognized as seen THROUGH the
+    // file:-qualified store path
+    val out2 = sld.processBatch(
+      Seq((2L, "another body line\nshared boilerplate footer line"))
+        .toDF("doc_id", "text")).collect()
+    assert(out2.length == 1 && out2.head.getAs[Long]("n_removed") == 1L,
+      s"file:-qualified store read as empty — duplicate line kept: " +
+        out2.mkString(","))
+  }
+
   test("foreachBatch wiring dedups across micro-batches end to end") {
     val root = Files.createTempDirectory("graft-sld-e2e").toString
     val d = boiler.limit(60).cache()

@@ -141,6 +141,22 @@ class StreamingNearDupSuite extends SparkSpec {
         s"extra=${(got -- ref).take(5)}")
   }
 
+  test("scheme-qualified store paths probe through the Hadoop FS API " +
+      "(a java.io.File probe silently loses every cross-batch pair)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snd-fs").toString
+    val snd = StreamingNearDup(s"file:$root/store", threshold = 0.5)
+    val shared = "shared text body for the near dup check extended"
+    assert(snd.processBatch(Seq((1L, shared)).toDF("doc_id", "text"))
+      .collect().isEmpty)
+    // the cross-batch pair exists ONLY if batch 2 sees batch 1's
+    // store rows through the file:-qualified path
+    val out = snd.processBatch(Seq((2L, shared)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)),
+      "file:-qualified store read as empty — cross-batch pair lost")
+  }
+
   test("contract guards: bands must divide k; empty docs never band " +
       "or store") {
     intercept[IllegalArgumentException] {
