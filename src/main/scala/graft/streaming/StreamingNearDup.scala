@@ -49,11 +49,12 @@ import graft.llm.Dedup
   * bucketed by (band, band_key) and id respectively, so neither join
   * reshuffles the store. Doc ids must be UNIQUE across batches
   * (append-only contract, as [[StreamingVectorIndex]]); replaying a
-  * batch re-appends its band/sig rows, which only duplicates
-  * candidates that the pair-level dedup already collapses — but
-  * re-emits that batch's pairs (at-least-once output, the foreachBatch
-  * norm). Empty docs (NULL signature) never band, never verify, and
-  * are not stored.
+  * batch re-appends its band/sig rows — harmless: candidates AND the
+  * verify output are pair-level deduplicated (a replayed batch
+  * re-emits its pairs exactly once each — at-least-once across
+  * batches, the foreachBatch norm, never multiplied within one), and
+  * [[compact]] clears the duplicate store rows. Empty docs (NULL
+  * signature) never band, never verify, and are not stored.
   */
 final case class StreamingNearDup(storeDir: String,
     idCol: String = "doc_id", textCol: String = "text",
@@ -154,6 +155,11 @@ final case class StreamingNearDup(storeDir: String,
           lit(0), (acc, v) => acc + v).cast("double") / k, 4))
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      // pairs-sized dedup: after a REPLAY the batch's ids sit in the
+      // store too, so allSigs carries each of them twice and the two
+      // verify joins would multiply every pair row ×4 (round-14
+      // self-review catch — the rows are identical, so one survives)
+      .dropDuplicates("id_a", "id_b")
       // out must survive the store growing below: pin it before the
       // appends so a post-append evaluation cannot see the batch's
       // own rows through the store scans
@@ -161,6 +167,35 @@ final case class StreamingNearDup(storeDir: String,
     bandRows.write.mode("append").parquet(bandsDir)
     sigs.write.mode("append").parquet(sigsDir)
     out
+  }
+
+  /** Compact both stores into one coalesced, DEDUPLICATED snapshot
+    * each. Two reasons to run it: (1) file-count hygiene — every
+    * batch appends a file-set to `bands/` and `sigs/`, so a
+    * long-lived stream pays ever-growing listStatus + parquet-footer
+    * costs per probe; (2) replay residue — a replayed batch re-appends
+    * its rows, and while the pair-level output dedup makes that
+    * harmless, the duplicate rows still occupy store bytes until
+    * compacted away. Content is append-only (no merge math — unlike
+    * the SeriesStore's partial sums), so compaction is a pure
+    * re-layout: read → dropDuplicates → staged write →
+    * [[CompactSwap]] delete-then-rename with manifest recovery. NOT
+    * crash-atomic; run as a maintenance step with no concurrent
+    * readers mid-swap (the StreamingSeriesStore.compact contract). */
+  def compact(spark: SparkSession): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def one(dir: String, tmpName: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
+      CompactSwap.recoverStaleStaging(fs, tmp)
+      if (!hasData(spark, dir)) return
+      spark.read.parquet(dir).dropDuplicates()
+        .write.mode("overwrite").parquet(tmp.toString)
+      CompactSwap.swap(fs, Seq(p), tmp, p)
+    }
+    one(bandsDir, ".compact_bands_tmp")
+    one(sigsDir, ".compact_sigs_tmp")
   }
 
   /** Wire onto a streaming DataFrame: each micro-batch's new pairs

@@ -141,6 +141,42 @@ class StreamingNearDupSuite extends SparkSpec {
         s"extra=${(got -- ref).take(5)}")
   }
 
+  test("batch replay re-emits its pairs exactly once (no ×4 sig-join " +
+      "multiplication); compact dedupes the store and preserves " +
+      "results") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snd-replay").toString
+    val snd = StreamingNearDup(s"$root/store", threshold = 0.5)
+    val shared = "shared text body for the near dup check extended"
+    val batch = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val out1 = snd.processBatch(batch).collect()
+    assert(out1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    // replay: the batch's ids now sit in the store too — every sig
+    // joins twice per side; the output must still be ONE row per pair
+    val out2 = snd.processBatch(batch).collect()
+    assert(out2.length == 1 && out2.head.getLong(0) == 1L &&
+      out2.head.getLong(1) == 2L,
+      s"replayed batch multiplied pairs: ${out2.length} rows")
+    // the replay residue is visible in the store until compacted
+    val sigsBefore = spark.read.parquet(s"$root/store/sigs").count()
+    assert(sigsBefore == 4L, s"expected duplicated sig rows, $sigsBefore")
+    snd.compact(spark)
+    assert(spark.read.parquet(s"$root/store/sigs").count() == 2L)
+    assert(spark.read.parquet(s"$root/store/bands")
+      .dropDuplicates().count() ==
+      spark.read.parquet(s"$root/store/bands").count())
+    // compacted store still serves cross-batch probes
+    val out3 = snd.processBatch(
+      Seq((3L, shared)).toDF("doc_id", "text")).collect()
+    assert(out3.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 3L)), out3.mkString(","))
+    // compact is idempotent and crash-recoverable by construction
+    // (CompactSwap manifest); a second run is a no-op re-layout
+    snd.compact(spark)
+    assert(spark.read.parquet(s"$root/store/sigs").count() == 3L)
+  }
+
   test("scheme-qualified store paths probe through the Hadoop FS API " +
       "(a java.io.File probe silently loses every cross-batch pair)") {
     import spark.implicits._
