@@ -82,6 +82,30 @@ final case class StreamingLineDedup(storeDir: String,
     out
   }
 
+  /** Compact the fingerprint store into one snapshot file-set — the
+    * [[StreamingNearDup.compact]] hygiene applied to the fp log:
+    * every batch appends a file-set, so a long-lived stream pays
+    * ever-growing listStatus + footer costs per anti-join. (Unlike
+    * the near-dup stores there is no replay residue to clear: the
+    * anti-join keeps a replayed batch from re-appending fps the
+    * store already holds — the dropDuplicates here is belt and
+    * braces.) Pure re-layout via [[CompactSwap]] (manifest recovery,
+    * checked booleans); maintenance-step contract — no concurrent
+    * readers mid-swap. */
+  def compact(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".compact_${p.getName}_tmp")
+    CompactSwap.recoverStaleStaging(fs, tmp)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasData) return
+    spark.read.parquet(storeDir).dropDuplicates()
+      .write.mode("overwrite").parquet(tmp.toString)
+    CompactSwap.swap(fs, Seq(p), tmp, p)
+  }
+
   /** Wire onto a streaming DataFrame: each micro-batch is deduped
     * against the store and appended to `outDir` as parquet. */
   def attach(stream: DataFrame, outDir: String,

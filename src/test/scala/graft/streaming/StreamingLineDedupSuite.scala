@@ -62,6 +62,38 @@ class StreamingLineDedupSuite extends SparkSpec {
         out2.mkString(","))
   }
 
+  test("compact folds the per-batch fp file-sets into one snapshot; " +
+      "content preserved, later batches still dedup against it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sld-cmp").toString
+    val sld = StreamingLineDedup(s"$root/store")
+    // five batches → five appended file-sets (≥ 5 part files)
+    (1 to 5).foreach { i =>
+      sld.processBatch(Seq((i.toLong,
+        s"unique line number $i\nshared footer line"))
+        .toDF("doc_id", "text")).collect()
+    }
+    def partFiles() = new java.io.File(s"$root/store").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val fpsBefore = spark.read.parquet(s"$root/store")
+      .collect().map(_.getString(0)).toSet
+    val filesBefore = partFiles()
+    assert(filesBefore >= 5, s"expected >=5 part files, $filesBefore")
+    sld.compact(spark)
+    val filesAfter = partFiles()
+    assert(filesAfter < filesBefore,
+      s"compact did not fold file-sets: $filesBefore -> $filesAfter")
+    assert(spark.read.parquet(s"$root/store")
+      .collect().map(_.getString(0)).toSet == fpsBefore,
+      "compact changed the fingerprint set")
+    // the compacted store still serves the anti-join
+    val out = sld.processBatch(Seq((9L,
+      "fresh niner line\nshared footer line")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.head.getAs[Long]("n_removed") == 1L,
+      "compacted store lost the shared footer fingerprint")
+  }
+
   test("foreachBatch wiring dedups across micro-batches end to end") {
     val root = Files.createTempDirectory("graft-sld-e2e").toString
     val d = boiler.limit(60).cache()
