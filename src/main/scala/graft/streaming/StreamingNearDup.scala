@@ -190,7 +190,14 @@ final case class StreamingNearDup(storeDir: String,
       val tmp = new org.apache.hadoop.fs.Path(root, tmpName)
       CompactSwap.recoverStaleStaging(fs, tmp)
       if (!hasData(spark, dir)) return
+      // snapshot SORTED by its probe key: clustered row groups give
+      // parquet min/max stats real selectivity, so the per-batch
+      // candidate join's runtime filters can skip store row groups
+      // instead of scanning the whole history (NearDupStreamProbe)
+      val sortCols =
+        if (dir == bandsDir) Seq("band", "band_key") else Seq("id")
       spark.read.parquet(dir).dropDuplicates()
+        .sort(sortCols.map(col): _*)
         .write.mode("overwrite").parquet(tmp.toString)
       CompactSwap.swap(fs, Seq(p), tmp, p)
     }
