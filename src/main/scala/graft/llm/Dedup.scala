@@ -617,6 +617,16 @@ object Dedup {
       .where(col("band_key").isNotNull)
   }
 
+  /** MinHash signature-agreement Jaccard estimate (4dp) — the
+    * streaming twins' verify ([[graft.streaming.StreamingNearDup]] /
+    * [[graft.streaming.StreamingFuzzyDedup]]): unbiased for true
+    * Jaccard, std ≈ sqrt(J(1−J)/k). One definition so the twins and
+    * the llm_neardup_stream oracle can never drift. */
+  private[graft] def sigEstimate(a: Column, b: Column, k: Int): Column =
+    round(aggregate(zip_with(a, b,
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k, 4)
+
   private def lshPairsFromSets(rawSets: DataFrame, k: Int, bands: Int,
       threshold: Double, seed: Long, exactBandKey: Boolean): DataFrame = {
     // The hashed shingle sets are the verification payload too:

@@ -529,6 +529,28 @@ object LlmQueries {
        |SELECT id_a, id_b, est_jaccard FROM snd_pairs
        |WHERE est_jaccard >= 0.5""".stripMargin
 
+  // --- llm_fuzzy_dedup_stream (rows-only: the DROP stage of fuzzy
+  // dedup as a stream — streaming.StreamingFuzzyDedup replayed in 3
+  // chunks through the kept-docs store. No cross-engine oracle: the
+  // per-batch drop-vs-kept + CC greedy is iterative; the suite pins
+  // single-batch ≡ batch pairs→CC→keep-lowest EXACTLY, multi-batch ≡
+  // a driver-side greedy reference from the pair graph, the
+  // transitive-chain divergence by hand case, and crash-replay
+  // identity via the per-batch partition overwrite.) -------------------
+  def fuzzyDedupStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sfd")
+      .toString
+    val d = docsWithNearDups(s, dir)
+    val sfd = graft.streaming.StreamingFuzzyDedup(s"$root/store",
+      threshold = 0.5)
+    (0 until 3).map(c =>
+        sfd.processBatch(d.where(pmod(col("doc_id"), lit(3L)) === c),
+          batchId = c.toLong))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+  }
+
   // --- llm_pagerank (graph centrality over the minhash near-dup
   // similarity graph: a high score marks a duplication hub — a
   // boilerplate template, a mirror — the soft complement of the hard
@@ -3165,6 +3187,7 @@ object LlmQueries {
     "llm_minhash_lsh" -> (minhashLsh _),
     "llm_minhash_md5" -> (minhashMd5 _),
     "llm_neardup_stream" -> (neardupStream _),
+    "llm_fuzzy_dedup_stream" -> (fuzzyDedupStream _),
     "llm_simhash" -> (simhashDup _),
     "llm_embed_dup" -> (embedDup _),
     "llm_embed_dup_lsh" -> (embedDupLsh _),

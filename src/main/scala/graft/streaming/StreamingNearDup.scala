@@ -79,7 +79,7 @@ final case class StreamingNearDup(storeDir: String,
       fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
-  private def storeBands(spark: SparkSession): DataFrame =
+  private[streaming] def storeBands(spark: SparkSession): DataFrame =
     if (hasData(spark, bandsDir)) spark.read.parquet(bandsDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -91,7 +91,7 @@ final case class StreamingNearDup(storeDir: String,
         org.apache.spark.sql.types.StructField("band_key",
           org.apache.spark.sql.types.StringType))))
 
-  private def storeSigs(spark: SparkSession): DataFrame =
+  private[streaming] def storeSigs(spark: SparkSession): DataFrame =
     if (hasData(spark, sigsDir)) spark.read.parquet(sigsDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -149,10 +149,8 @@ final case class StreamingNearDup(storeDir: String,
       .join(allSigs.as("sa"), col("id_a") === col("sa.id"))
       .hint("shuffle_hash")
       .join(allSigs.as("sb"), col("id_b") === col("sb.id"))
-      .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("sa.sig"), col("sb.sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k, 4))
+      .withColumn("est_jaccard",
+        Dedup.sigEstimate(col("sa.sig"), col("sb.sig"), k))
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       // pairs-sized dedup: after a REPLAY the batch's ids sit in the
