@@ -67,12 +67,19 @@ final case class StreamingFuzzyDedup(storeDir: String,
   private def sigsDir = s"$storeDir/sigs"
 
   // Hadoop-FS probe (never java.io.File — the round-11 scheme-path
-  // defect); the partitioned layout means parquet files are NESTED,
-  // so the probe checks for any child entry like StreamingSeriesStore.
+  // defect); the partitioned layout means parquet files sit INSIDE
+  // batch_id dirs, and the probe must find an actual DATA file: an
+  // all-empty batch writes a partition dir with no part files, and a
+  // bare dir-exists check would then route the next batch into
+  // spark.read.parquet's unable-to-infer-schema failure (round-14
+  // second-pass review catch).
   private def hasData(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(p) && fs.listStatus(p).nonEmpty
+    fs.exists(p) && fs.listStatus(p).exists { d =>
+      d.isDirectory && fs.listStatus(d.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    }
   }
 
   private def keptBands(spark: SparkSession, excludeBatch: Long)

@@ -60,8 +60,16 @@ final case class StreamingSeriesStore(storeDir: String,
     // all probe correctly under one code path.
     val path = new org.apache.hadoop.fs.Path(storeDir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    // require an actual DATA file, not just a batch_id dir: an EMPTY
+    // micro-batch (idle trigger) overwrites its partition with zero
+    // part files, and a bare nonEmpty-listing check would then send
+    // the next read into parquet's unable-to-infer-schema failure
+    // (round-14 review catch, same class in StreamingFuzzyDedup)
     val slots =
-      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      if (fs.exists(path) && fs.listStatus(path).exists { d =>
+          d.isDirectory && fs.listStatus(d.getPath)
+            .exists(_.getPath.getName.endsWith(".parquet"))
+        })
         spark.read.parquet(storeDir)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

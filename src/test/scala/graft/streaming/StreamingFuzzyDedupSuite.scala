@@ -165,6 +165,23 @@ class StreamingFuzzyDedupSuite extends SparkSpec {
     assert(out2 == Set(5L))
   }
 
+  test("an all-empty first batch (partition dir, zero part files) " +
+      "does not poison the store read for the next batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sfd-empty").toString
+    val sfd = StreamingFuzzyDedup(s"$root/store", threshold = 0.5)
+    // every doc sub-shingle-width → NULL sigs → zero survivors stored
+    val out0 = survivors(Seq(sfd.processBatch(
+      Seq((1L, ""), (2L, "x y")).toDF("doc_id", "text"), 0L)))
+    assert(out0 == Set(1L, 2L)) // no content to duplicate — all pass
+    // the next batch must read the store cleanly (an empty partition
+    // dir used to fail parquet schema inference) and behave normally
+    val shared = "shared text body for the near dup check extended"
+    val out1 = survivors(Seq(sfd.processBatch(
+      Seq((3L, shared), (4L, shared)).toDF("doc_id", "text"), 1L)))
+    assert(out1 == Set(3L))
+  }
+
   test("compact folds committed partitions; later batches unchanged; " +
       "e2e survivors are pairwise non-matching") {
     import spark.implicits._

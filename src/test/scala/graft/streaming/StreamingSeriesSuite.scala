@@ -70,6 +70,27 @@ class StreamingSeriesSuite extends SparkSpec {
     assert(store.topK(spark, col("user_id") < 10, k = 5).count() == 0L)
   }
 
+  test("an EMPTY micro-batch (idle trigger — partition dir with zero " +
+      "part files) does not poison later reads") {
+    val root = Files.createTempDirectory("graft-sstore-idle").toString
+    val store = StreamingSeriesStore(s"$root/store", "2024-01-01", 30)
+    val schema = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "ts", "user_id", "value").schema
+    store.processBatch(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row], schema), batchId = 0L)
+    // the store now holds batch_id=0 with no data files; series()
+    // must read empty, and a later real batch must fold normally
+    assert(store.series(spark).count() == 0L)
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("event_id", "ts", "user_id", "value")
+    store.processBatch(events, batchId = 1L)
+    val expect = TimeSeries.dailySeries(events, "2024-01-01", 30)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(store.series(spark)
+      .as[(Long, Seq[Double])].collect().toMap == expect)
+  }
+
   test("string-keyed store: series/topK parity with the batch operator " +
       "and a string-typed pre-data schema (round-12 LongType gap)") {
     import org.apache.spark.sql.types.StringType
