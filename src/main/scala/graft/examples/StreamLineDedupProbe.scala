@@ -35,7 +35,7 @@ object StreamLineDedupProbe {
     (0 until nBatches).foreach { i =>
       val t0 = System.nanoTime()
       val out = sld.processBatch(
-        d.where(col("b") === i).drop("b"))
+        d.where(col("b") === i).drop("b"), batchId = i.toLong)
       val n = out.count()
       totalDocs += n
       val storeRows = spark.read.parquet(s"$root/store").count()

@@ -18,14 +18,23 @@ import graft.llm.Dedup
   * directory), not in executor memory: corpus-wide seen-line state at
   * 100 TB is far beyond what `dropDuplicates` keyed state can hold,
   * and — unlike a doc fingerprint — a line fingerprint has no
-  * watermark horizon (the global footer repeats forever). The
-  * per-batch step is: anti-join batch lines against the store
-  * (probe side = ONE batch, bounded; store side a bare-fp scan),
-  * batch-local first-occurrence groupBy, store append of the new
-  * fingerprints, per-doc reassembly. At cluster scale the store
-  * becomes a bucketed table on `fp` so the anti-join co-locates
-  * against each batch without a full store shuffle; the empty-line
-  * exemption fingerprint is never stored (blank lines are structure).
+  * watermark horizon (the global footer repeats forever). The store
+  * is written as `batch_id=N` partitions with per-batch OVERWRITE and
+  * read EXCLUDING the current batch's own partition (the
+  * [[StreamingSeriesStore]] discipline, adopted in round 14): a
+  * crash-replayed batch therefore sees exactly the state its first
+  * attempt saw and emits the IDENTICAL deduped docs — under the old
+  * flat-append store, the replay found its own fingerprints already
+  * claimed and emitted the batch's docs with their own
+  * first-occurrence lines deleted (corrupted at-least-once
+  * duplicates; suite-pinned). The per-batch step: anti-join batch
+  * lines against the store (probe side = ONE batch, bounded; store
+  * side a bare-fp scan), batch-local first-occurrence groupBy,
+  * per-batch partition overwrite, per-doc reassembly. At cluster
+  * scale the store becomes a bucketed table on `fp` so the anti-join
+  * co-locates against each batch without a full store shuffle; the
+  * empty-line exemption fingerprint is never stored (blank lines are
+  * structure).
   *
   * Drive it either through [[attach]] (foreachBatch on a streaming
   * DataFrame) or by calling [[processBatch]] directly from an
@@ -35,41 +44,49 @@ final case class StreamingLineDedup(storeDir: String,
     idCol: String = "doc_id", textCol: String = "text",
     sep: String = "\n") {
 
-  private def storeFps(spark: SparkSession): DataFrame = {
-    // Hadoop FS probe, not java.io.File: a File probe is ALWAYS false
-    // for hdfs://-/s3a://-qualified store paths — the store would
-    // silently read as empty and EVERY line would be kept as a first
-    // occurrence (the StreamingSeriesStore round-11 ADVICE defect;
-    // caught here in the round-14 self-review sweep).
+  // Hadoop-FS probe requiring an actual DATA file inside a partition
+  // dir (never java.io.File — the round-11 scheme-path defect; an
+  // empty batch's partition has zero part files — the round-14
+  // empty-micro-batch catch).
+  private def hasData(spark: SparkSession): Boolean = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-    if (hasData) spark.read.parquet(storeDir)
+    fs.exists(p) && fs.listStatus(p).exists { d =>
+      d.isDirectory && fs.listStatus(d.getPath)
+        .exists(_.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  private def storeFps(spark: SparkSession,
+      excludeBatch: Long): DataFrame =
+    if (hasData(spark))
+      spark.read.parquet(storeDir)
+        .where(col("batch_id") =!= excludeBatch)
+        .select("fp")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fp",
           org.apache.spark.sql.types.StringType))))
-  }
 
-  /** Dedup ONE micro-batch against the store and update the store.
-    * Returns the batch's surviving docs in [[Dedup.dedupLines]]'s
-    * output shape (idCol, text_dedup, n_removed). */
-  def processBatch(batch: DataFrame): DataFrame = {
+  /** Dedup ONE micro-batch against the store and overwrite the
+    * batch's own store partition. Returns the batch's surviving docs
+    * in [[Dedup.dedupLines]]'s output shape
+    * (idCol, text_dedup, n_removed). */
+  def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     val lines = Dedup.lineTable(batch, idCol, textCol, sep)
       // one batch is re-consumed three times below (firsts, keep
-      // join, store append) — materialize the bounded batch once
+      // join, store write) — materialize the bounded batch once
       .localCheckpoint(true)
-    val seen = storeFps(spark)
+    val seen = storeFps(spark, batchId)
     // a line survives iff non-exempt AND unseen AND the batch-local
     // (doc, pos) minimum for its fingerprint
     val candidates = lines.where(col("fp") =!= Dedup.EmptyLineFp)
       .join(seen, Seq("fp"), "left_anti")
     val firsts = candidates.groupBy("fp")
       .agg(min(struct(col(idCol), col("pos"))).as("first"))
-      .localCheckpoint(true) // consumed by keep-join AND store append
+      .localCheckpoint(true) // consumed by keep-join AND store write
     // out's whole lineage hangs off the two checkpoints, NOT the
     // store scan — safe to evaluate after the store grows below
     val out = Dedup.reassembleLines(
@@ -78,32 +95,39 @@ final case class StreamingLineDedup(storeDir: String,
           (col("first").isNotNull &&
             struct(col(idCol), col("pos")) === col("first"))),
       idCol, sep)
-    firsts.select("fp").write.mode("append").parquet(storeDir)
+    firsts.select("fp").write.mode("overwrite")
+      .parquet(s"$storeDir/batch_id=$batchId")
     out
   }
 
-  /** Compact the fingerprint store into one snapshot file-set — the
-    * [[StreamingNearDup.compact]] hygiene applied to the fp log:
-    * every batch appends a file-set, so a long-lived stream pays
-    * ever-growing listStatus + footer costs per anti-join. (Unlike
-    * the near-dup stores there is no replay residue to clear: the
-    * anti-join keeps a replayed batch from re-appending fps the
-    * store already holds — the dropDuplicates here is belt and
-    * braces.) Pure re-layout via [[CompactSwap]] (manifest recovery,
-    * checked booleans); maintenance-step contract — no concurrent
-    * readers mid-swap. */
+  /** Fold all-but-the-latest batch partitions into one sorted,
+    * deduplicated snapshot at the lowest folded id — the
+    * [[StreamingFuzzyDedup.compact]] shape (the max written id may
+    * still be rewritten by a replay; every lower id has committed).
+    * File-count hygiene for long streams; maintenance-step contract
+    * — no concurrent readers mid-swap. */
   def compact(spark: SparkSession): Unit = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(
-      p.getParent, s".compact_${p.getName}_tmp")
-    CompactSwap.recoverStaleStaging(fs, tmp)
-    val hasData = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-    if (!hasData) return
-    spark.read.parquet(storeDir).dropDuplicates()
-      .write.mode("overwrite").parquet(tmp.toString)
-    CompactSwap.swap(fs, Seq(p), tmp, p)
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    CompactSwap.recoverStaleStaging(fs,
+      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
+    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id="))
+    if (parts.length <= 2) return
+    val withIds = parts.map(s =>
+      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
+    val maxId = withIds.map(_._2).max
+    val fold = withIds.filter(_._2 != maxId)
+    val snapId = fold.map(_._2).min
+    val snapshot = spark.read
+      .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
+      .dropDuplicates()
+      .sort("fp")
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    snapshot.write.mode("overwrite").parquet(tmp.toString)
+    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
+      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
   }
 
   /** Wire onto a streaming DataFrame: each micro-batch is deduped
@@ -112,8 +136,9 @@ final case class StreamingLineDedup(storeDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch).write.mode("append").parquet(outDir); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId)
+          .write.mode("append").parquet(outDir); ()
       }
       .start()
 }

@@ -31,8 +31,10 @@ class StreamingLineDedupSuite extends SparkSpec {
     val d = boiler
     val cut = 250L // doc-ordered split: batch 1 = low ids, batch 2 = rest
     val sld = StreamingLineDedup(s"$root/store")
-    val out1 = sld.processBatch(d.where(col("doc_id") < cut)).collect()
-    val out2 = sld.processBatch(d.where(col("doc_id") >= cut)).collect()
+    val out1 = sld.processBatch(d.where(col("doc_id") < cut), 0L)
+      .collect()
+    val out2 = sld.processBatch(d.where(col("doc_id") >= cut), 1L)
+      .collect()
     val streamed = (out1 ++ out2).map(r => (r.getAs[Long]("doc_id"),
       r.getAs[String]("text_dedup"), r.getAs[Long]("n_removed"))).toSet
     val batch = Dedup.dedupLines(d).collect()
@@ -51,12 +53,13 @@ class StreamingLineDedupSuite extends SparkSpec {
     val root = Files.createTempDirectory("graft-sld-fs").toString
     val sld = StreamingLineDedup(s"file:$root/store")
     val doc = "unique line one\nshared boilerplate footer line"
-    sld.processBatch(Seq((1L, doc)).toDF("doc_id", "text")).collect()
+    sld.processBatch(Seq((1L, doc)).toDF("doc_id", "text"), 0L)
+      .collect()
     // batch 2's footer must be recognized as seen THROUGH the
     // file:-qualified store path
     val out2 = sld.processBatch(
       Seq((2L, "another body line\nshared boilerplate footer line"))
-        .toDF("doc_id", "text")).collect()
+        .toDF("doc_id", "text"), 1L).collect()
     assert(out2.length == 1 && out2.head.getAs[Long]("n_removed") == 1L,
       s"file:-qualified store read as empty — duplicate line kept: " +
         out2.mkString(","))
@@ -71,27 +74,48 @@ class StreamingLineDedupSuite extends SparkSpec {
     (1 to 5).foreach { i =>
       sld.processBatch(Seq((i.toLong,
         s"unique line number $i\nshared footer line"))
-        .toDF("doc_id", "text")).collect()
+        .toDF("doc_id", "text"), i.toLong - 1).collect()
     }
-    def partFiles() = new java.io.File(s"$root/store").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    def partDirs() = new java.io.File(s"$root/store").listFiles()
+      .count(_.getName.startsWith("batch_id="))
     val fpsBefore = spark.read.parquet(s"$root/store")
-      .collect().map(_.getString(0)).toSet
-    val filesBefore = partFiles()
-    assert(filesBefore >= 5, s"expected >=5 part files, $filesBefore")
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(partDirs() == 5, s"expected 5 partitions, ${partDirs()}")
     sld.compact(spark)
-    val filesAfter = partFiles()
-    assert(filesAfter < filesBefore,
-      s"compact did not fold file-sets: $filesBefore -> $filesAfter")
+    assert(partDirs() == 2, // snapshot at the lowest folded id + latest
+      s"compact did not fold partitions: ${partDirs()}")
     assert(spark.read.parquet(s"$root/store")
-      .collect().map(_.getString(0)).toSet == fpsBefore,
+      .select("fp").collect().map(_.getString(0)).toSet == fpsBefore,
       "compact changed the fingerprint set")
     // the compacted store still serves the anti-join
     val out = sld.processBatch(Seq((9L,
-      "fresh niner line\nshared footer line")).toDF("doc_id", "text"))
-      .collect()
+      "fresh niner line\nshared footer line")).toDF("doc_id", "text"),
+      5L).collect()
     assert(out.head.getAs[Long]("n_removed") == 1L,
       "compacted store lost the shared footer fingerprint")
+  }
+
+  test("crash-replay emits the IDENTICAL deduped docs (per-batch " +
+      "partition overwrite — a flat-append store gutted a replayed " +
+      "batch's docs of their own first-occurrence lines)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sld-replay").toString
+    val sld = StreamingLineDedup(s"$root/store")
+    sld.processBatch(Seq((1L, "alpha line one\nshared footer line"))
+      .toDF("doc_id", "text"), 0L).collect()
+    val b2 = Seq((2L, "beta line two\nshared footer line"))
+      .toDF("doc_id", "text")
+    val first = sld.processBatch(b2, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // crash window: store partition written, sink commit lost —
+    // the replay must see ONLY earlier batches' state
+    val replay = sld.processBatch(b2, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(replay == first,
+      s"replay diverged: $replay vs $first")
+    assert(first.head._2.contains("beta line two"),
+      "the batch's own first-occurrence line was deleted")
+    assert(first.head._3 == 1L) // only the footer dropped
   }
 
   test("foreachBatch wiring dedups across micro-batches end to end") {
