@@ -181,7 +181,43 @@ object GraftFunctions {
           s"graft_bpe_encode: lefts (${l.length}) and rights " +
             s"(${r.length}) must be parallel arrays")
         BpeEncodeExpr(w, l.zip(r))
+    },
+    // the layout keys (graft.operators.Layout) — Hilbert is already a
+    // native expression; the Morton interleave is the zValue Column
+    // fold rebuilt with catalyst nodes (same no-Column-trees rule)
+    fn("graft_hilbert_index", "(x bigint, y bigint[, bits int])") {
+      case Seq(x, y) => HilbertIndexExpr(x, y, 16)
+      case Seq(x, y, b) =>
+        HilbertIndexExpr(x, y, intArg("graft_hilbert_index", "bits", b))
+    },
+    fn("graft_zvalue", "(x bigint, y bigint[, bits int])") {
+      case Seq(x, y) => zValueTree(x, y, 16)
+      case Seq(x, y, b) =>
+        zValueTree(x, y, intArg("graft_zvalue", "bits", b))
     })
+
+  /** [[graft.operators.Layout.zValue]]'s interleave as a catalyst
+    * tree: bit i of x at position 2i, bit i of y at 2i+1 — the same
+    * shiftleft/shiftright/and/or fold the Column form resolves to
+    * (parity suite-pinned). */
+  private def zValueTree(x: Expression, y: Expression, bits: Int)
+      : Expression = {
+    require(bits >= 1 && bits <= 31,
+      s"graft_zvalue: bits out of range: $bits")
+    import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd,
+      BitwiseOr, Cast, Literal, ShiftLeft, ShiftRight}
+    import org.apache.spark.sql.types.LongType
+    val xl = Cast(x, LongType)
+    val yl = Cast(y, LongType)
+    val one = Literal(1L)
+    (0 until bits).map { i =>
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRight(xl, Literal(i)), one),
+          Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRight(yl, Literal(i)), one),
+          Literal(2 * i + 1)))
+    }.reduce[Expression]((a, b) => BitwiseOr(a, b))
+  }
 
   /** [[graft.llm.TextAnalysis.winnowFingerprints]] as a hand-built
     * catalyst tree — the one text-pipeline primitive the round-13

@@ -197,14 +197,36 @@ object Sampling {
       budgets: Map[String, Long], defaultBudget: Long = 0L,
       nShards: Int = 8, idCol: String = "doc_id",
       tokensCol: String = "n_tokens"): DataFrame = {
-    require(nShards > 0, "nShards must be positive")
     require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0L),
       "budgets must be non-negative")
-    import org.apache.spark.sql.expressions.Window
-    val budget = budgets.foldLeft(lit(defaultBudget)) {
+    val budget = budgetExpr(strataCol, budgets, defaultBudget)
+    prefixTokens(df, strataCol, nShards, idCol, tokensCol)
+      .where(col("_base") + col("_cum") <= budget)
+      .drop("_bucket", "_shard", "_cum", "_base", "_strata_b",
+        "_shard_b")
+  }
+
+  /** The strata → budget literal when-chain shared by [[tokenBudget]]
+    * and its streaming twin. */
+  private[graft] def budgetExpr(strataCol: String,
+      budgets: Map[String, Long], defaultBudget: Long): Column =
+    budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (k, b)) =>
         when(col(strataCol) === k, lit(b)).otherwise(acc)
     }
+
+  /** The two-level prefix sum under [[tokenBudget]], exposed so the
+    * streaming twin ([[graft.streaming.StreamingTokenBudget]]) runs
+    * the IDENTICAL within-batch order and cum derivation: returns
+    * `df` plus `_cum` (within-shard running sum in (bucket, id)
+    * order) and `_base` (the strata's preceding-shards offset) —
+    * `_base + _cum` is the global (bucket, id)-ordered prefix sum per
+    * stratum. Internals (`_bucket`, `_shard`, `_strata_b`,
+    * `_shard_b`) ride along for the caller to drop. */
+  private[graft] def prefixTokens(df: DataFrame, strataCol: String,
+      nShards: Int, idCol: String, tokensCol: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
     // coalesce: hashBucket is null only for a null id, but Catalyst
     // can't see that — a NULLABLE _shard riding the offset join makes
     // it infer isnotnull(pmod(md5 chain...)) and push the whole
@@ -254,8 +276,6 @@ object Sampling {
     withCum.join(broadcast(base),
         col(strataCol) <=> col("_strata_b") &&
           col("_shard") === col("_shard_b"))
-      .where(col("_base") + col("_cum") <= budget)
-      .drop("_bucket", "_shard", "_cum", "_base", "_strata_b", "_shard_b")
   }
 
   /** Per-key document cap — the anti-domain-dominance pass: keep at

@@ -2208,6 +2208,52 @@ object LlmQueries {
        |SELECT doc_id, lang, stopword_ratio, res_key, rank FROM r
        |WHERE rank <= 5""".stripMargin
 
+  // --- llm_reservoir_stream / llm_source_cap_stream -----------------------
+  /** The sampling family's streaming twins: per-group top-k under a
+    * deterministic total order is a MERGEABLE IDEMPOTENT summary
+    * ([[graft.streaming.StreamingGroupTopK]]), so the store snapshot
+    * after ANY chunking — here 3 doc_id-mod batches, each
+    * pre-summarized with the batch operator itself — equals the batch
+    * op over the whole corpus, and BOTH twins reuse their batch
+    * query's DuckDB oracle verbatim (fully-oracled streaming queries;
+    * the replay/chunking pins live in StreamingGroupTopKSuite). */
+  def reservoirStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-srsv")
+      .toString
+    val scored = graft.llm.TextAnalysis.qualitySignals(docs(s, dir))
+      .select("doc_id", "lang", "stopword_ratio")
+    val st = graft.streaming.StreamingGroupTopK(s"$root/store", k = 5,
+      groupCols = Seq("lang"),
+      order = Seq(col("res_key").desc, col("doc_id").asc),
+      idCols = Seq("doc_id"))
+    (0 until 3).foreach { c =>
+      st.processBatch(graft.llm.Sampling.weightedReservoir(
+        scored.where(pmod(col("doc_id"), lit(3L)) === c),
+        k = 5, strataCol = "lang", weightCol = "stopword_ratio")
+        .drop("rank")) // rank is positional; the snapshot re-ranks
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("res_key").desc, col("doc_id").asc)
+    st.snapshot(s).withColumn("rank", row_number().over(w))
+      .orderBy("lang", "rank")
+  }
+
+  def sourceCapStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scap")
+      .toString
+    val d = docs(s, dir).select("doc_id", "source", "n_chars")
+    val ord = Seq(col("n_chars").desc, col("doc_id").asc)
+    val st = graft.streaming.StreamingGroupTopK(s"$root/store", k = 10,
+      groupCols = Seq("source"), order = ord, idCols = Seq("doc_id"))
+    (0 until 3).foreach { c =>
+      st.processBatch(graft.llm.Sampling.capPerKey(
+        d.where(pmod(col("doc_id"), lit(3L)) === c),
+        "source", maxRows = 10, ord))
+    }
+    st.snapshot(s).orderBy("source", "doc_id")
+  }
+
   // --- llm_holdout_split --------------------------------------------------
   /** 5% deterministic holdout over the corpus
     * ([[graft.llm.Sampling.holdoutSplit]]): every doc labeled
@@ -2301,7 +2347,13 @@ object LlmQueries {
       "lang", Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L),
       defaultBudget = 1000L)
 
-  val tokenBudgetSql: String =
+  /** ONE oracle text for both token-budget modes (the kn3SqlFor
+    * precedent — fix both or neither): the batch operator is the
+    * global per-stratum prefix in (bucket, id) order; the streaming
+    * twin under a FIXED chunking is the SAME prefix with the batch
+    * index prepended to the order (`orderPrefix` = "doc_id % 3, " for
+    * the registered 3-chunk replay; "" = batch). */
+  private def tokenBudgetSqlFor(orderPrefix: String): String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,
        |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
@@ -2310,12 +2362,42 @@ object LlmQueries {
        |w AS (
        |  SELECT doc_id, lang, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY lang
-       |      ORDER BY bucket, doc_id
+       |      ORDER BY ${orderPrefix}bucket, doc_id
        |      ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM t)
        |SELECT doc_id, lang, n_tokens FROM w
        |WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
        |  WHEN 'fr' THEN 2000 ELSE 1000 END""".stripMargin
+
+  val tokenBudgetSql: String = tokenBudgetSqlFor("")
+
+  // --- llm_token_budget_stream ---------------------------------------------
+  /** The token-budget quota as a continuous admission gate
+    * ([[graft.streaming.StreamingTokenBudget]], 3-chunk replay):
+    * within a batch the admission order is the batch operator's own
+    * (shared prefixTokens derivation); across batches it is
+    * arrival-ordered — so under this FIXED chunking the admitted set
+    * is exactly the global (batch, bucket, id) prefix and the oracle
+    * is [[tokenBudgetSqlFor]] with the batch index prepended. The
+    * store records per-batch per-stratum totals (batch-partitioned
+    * overwrite + self-exclusion — the additive-sums replay
+    * discipline; crash-replay pinned in StreamingTokenBudgetSuite). */
+  def tokenBudgetStream(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stb")
+      .toString
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val st = graft.streaming.StreamingTokenBudget(s"$root/store",
+      "lang", Map("en" -> 5000L, "de" -> 2000L, "fr" -> 2000L),
+      defaultBudget = 1000L)
+    (0 until 3).map(c =>
+        st.processBatch(d.where(pmod(col("doc_id"), lit(3L)) === c),
+          batchId = c.toLong))
+      .reduce(_.unionByName(_))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetStreamSql: String = tokenBudgetSqlFor("doc_id % 3, ")
 
   // --- llm_pii ------------------------------------------------------------
   /** PII scrubbing over a corpus with deterministically planted PII:
@@ -3243,10 +3325,13 @@ object LlmQueries {
     "llm_sample_mix" -> (sampleMix _),
     "llm_sample_score" -> (sampleScore _),
     "llm_reservoir" -> (reservoir _),
+    "llm_reservoir_stream" -> (reservoirStream _),
     "llm_holdout_split" -> (holdoutSplit _),
     "llm_upsample" -> (upsampleQ _),
     "llm_source_cap" -> (sourceCap _),
+    "llm_source_cap_stream" -> (sourceCapStream _),
     "llm_token_budget" -> (tokenBudget _),
+    "llm_token_budget_stream" -> (tokenBudgetStream _),
     "llm_pii" -> (pii _),
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
@@ -3310,10 +3395,16 @@ object LlmQueries {
     "llm_sample_mix" -> sampleMixSql,
     "llm_sample_score" -> sampleScoreSql,
     "llm_reservoir" -> reservoirSql,
+    // the streaming twins are chunking-invariant (mergeable top-k),
+    // so they run their batch op's oracle text VERBATIM — a fix in
+    // either oracle lands in batch and stream or neither
+    "llm_reservoir_stream" -> reservoirSql,
     "llm_holdout_split" -> holdoutSplitSql,
     "llm_upsample" -> upsampleSql,
     "llm_source_cap" -> sourceCapSql,
+    "llm_source_cap_stream" -> sourceCapSql,
     "llm_token_budget" -> tokenBudgetSql,
+    "llm_token_budget_stream" -> tokenBudgetStreamSql,
     "llm_pii" -> piiSql,
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,

@@ -504,6 +504,59 @@ object OperatorQueries {
        |FROM v""".stripMargin
   }
 
+  /** Hilbert-curve key — [[zorder]]'s locality upgrade (same (x, y)
+    * mapping, graft.operators.Layout.hilbertValue): unit curve steps
+    * are always grid-adjacent, so row groups cover tighter rectangles
+    * and 2-D box scans prune more (measured vs Z-order on the same
+    * scan in LayoutSuite). Oracled bit-for-bit: the 16 rotation steps
+    * unroll into 16 chained CTEs mirroring HilbertIndexExpr.compute
+    * exactly — including the input mask and the `(3·rx) xor ry`
+    * quadrant digit, written as a CASE on (rx, ry) because DuckDB
+    * spells bitwise xor as a function and the CASE is engine-neutral. */
+  def hilbert(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.select(col("o_orderkey"),
+      graft.operators.Layout.hilbertValue(
+        col("o_custkey"),
+        least(floor(col("o_totalprice") / 10), lit(65535L)).cast("long"))
+        .as("h"))
+  }
+
+  val hilbertSql: String = {
+    val bits = 16
+    val n = 1L << bits
+    // one CTE per bit plane, high→low; each rewrites (x, y, d) from
+    // the previous step — named columns, so no expression blow-up
+    // (the reason the Spark side is a native expression)
+    val steps = (0 until bits).map { k =>
+      val sv = 1L << (bits - 1 - k)
+      val rx = s"(x & $sv) > 0"
+      val ry = s"(y & $sv) > 0"
+      s"""h${k + 1} AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN NOT ($ry) THEN
+         |        CASE WHEN $rx THEN ${n - 1} - y ELSE y END
+         |      ELSE x END AS x,
+         |    CASE WHEN NOT ($ry) THEN
+         |        CASE WHEN $rx THEN ${n - 1} - x ELSE x END
+         |      ELSE y END AS y,
+         |    d + ${sv * sv} * (CASE
+         |      WHEN ($rx) AND ($ry) THEN 2
+         |      WHEN $rx THEN 3
+         |      WHEN $ry THEN 1
+         |      ELSE 0 END) AS d
+         |  FROM h$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT o_orderkey, o_custkey & ${n - 1} AS x,
+       |    least(CAST(floor(o_totalprice / 10) AS BIGINT), 65535)
+       |      & ${n - 1} AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM orders),
+       |$steps
+       |SELECT o_orderkey, d AS h FROM h$bits""".stripMargin
+  }
+
   /** Forward as-of join — for each order, the customer's FIRST event
     * at or after the order date (fixture eras make this the live
     * direction: orders 1995-2001, events 2024; customers above the
@@ -1089,6 +1142,7 @@ object OperatorQueries {
     "op_asof_join_tol" -> (asofJoinTol _),
     "op_asof_join_fwd" -> (asofJoinFwd _),
     "op_zorder" -> (zorder _),
+    "op_hilbert" -> (hilbert _),
     "op_asof_join_nearest" -> (asofJoinNearest _),
     "op_range_join" -> (rangeJoin _),
     "op_band_join" -> (bandJoin _),
@@ -1116,6 +1170,7 @@ object OperatorQueries {
     "op_asof_join_tol" -> asofJoinTolSql,
     "op_asof_join_fwd" -> asofJoinFwdSql,
     "op_zorder" -> zorderSql,
+    "op_hilbert" -> hilbertSql,
     "op_asof_join_nearest" -> asofJoinNearestSql,
     "op_range_join" -> rangeJoinSql,
     "op_band_join" -> bandJoinSql,

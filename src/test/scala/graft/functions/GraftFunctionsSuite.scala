@@ -111,6 +111,25 @@ class GraftFunctionsSuite extends SparkSpec {
     }
     assert(range.getMessage.contains("out of the int range"),
       range.getMessage.take(300))
+    // layout keys: SQL ≡ Column-API twins (Layout.hilbertValue /
+    // Layout.zValue), default and explicit bits
+    val pts = Seq((3L, 5L), (0L, 0L), (65535L, 65535L), (70000L, -1L))
+      .toDF("x", "y")
+    pts.createOrReplaceTempView("gf_pts")
+    val laySql = spark.sql(
+      """SELECT graft_hilbert_index(x, y) AS h16,
+        |  graft_hilbert_index(x, y, 10) AS h10,
+        |  graft_zvalue(x, y) AS z16,
+        |  graft_zvalue(x, y, 10) AS z10
+        |FROM gf_pts""".stripMargin).collect()
+    val layApi = pts.select(
+      graft.operators.Layout.hilbertValue(col("x"), col("y")).as("h16"),
+      graft.operators.Layout.hilbertValue(col("x"), col("y"), 10)
+        .as("h10"),
+      graft.operators.Layout.zValue(col("x"), col("y")).as("z16"),
+      graft.operators.Layout.zValue(col("x"), col("y"), 10).as("z10"))
+      .collect()
+    assert(laySql.map(_.toString).toSeq == layApi.map(_.toString).toSeq)
   }
 
   test("GraftExtensions injects the functions (static-conf route)") {

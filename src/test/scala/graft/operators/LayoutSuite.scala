@@ -25,6 +25,56 @@ class LayoutSuite extends SparkSpec {
       0xAAAAAAAAL))              // y=all 16 ones → odd positions
   }
 
+  test("hilbertValue matches the order-2 curve and stays grid-adjacent") {
+    import spark.implicits._
+    // the canonical 4x4 Hilbert curve, start (0,0), end (3,0):
+    //   y=3 | 5  6  9 10        y=1 | 3  2 13 12
+    //   y=2 | 4  7  8 11        y=0 | 0  1 14 15
+    val expected = Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 1L, (1L, 1L) -> 2L, (0L, 1L) -> 3L,
+      (0L, 2L) -> 4L, (0L, 3L) -> 5L, (1L, 3L) -> 6L, (1L, 2L) -> 7L,
+      (2L, 2L) -> 8L, (2L, 3L) -> 9L, (3L, 3L) -> 10L, (3L, 2L) -> 11L,
+      (3L, 1L) -> 12L, (2L, 1L) -> 13L, (2L, 0L) -> 14L, (3L, 0L) -> 15L)
+    val got = expected.keys.toSeq.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits = 2).as("h"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, h) =>
+      assert(h == expected((x, y)), s"($x,$y): got $h")
+    }
+    // the defining invariant Z-order lacks: consecutive curve values
+    // are ADJACENT cells (Manhattan distance 1) — checked exhaustively
+    // on the 32x32 grid via the expression's compute()
+    val e = graft.functions.HilbertIndexExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), bits = 5)
+    val byD = (for (x <- 0L until 32L; y <- 0L until 32L)
+      yield e.compute(x, y) -> ((x, y))).toMap
+    assert(byD.size == 1024, "hilbert index not a bijection on the grid")
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d -> ${d + 1} jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbertValue compiles under real codegen (no fallback)") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference,
+      Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.LongType
+    val expr = graft.functions.HilbertIndexExpr(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, LongType, nullable = false), bits = 16)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val out = proj(InternalRow(3L, 5L)).getLong(0)
+    assert(out == expr.compute(3L, 5L))
+    // masked domain: totality on out-of-range and negative inputs
+    val big = proj(InternalRow(70000L, -1L)).getLong(0)
+    assert(big == expr.compute(70000L & 65535L, 65535L))
+  }
+
   test("z-ordered layout prunes a 2-D box scan a linear sort cannot") {
     // Synthetic 2-D points spread over a 1024×1024 grid. The linear
     // layout sorts by x alone — the single-key best case: an
@@ -45,6 +95,9 @@ class LayoutSuite extends SparkSpec {
     Layout.zorderBy(pts, col("x"), col("y"), bits = 10, numFiles = 16)
       .write.option("parquet.block.size", "65536")
       .parquet(s"$dir/zorder")
+    Layout.hilbertBy(pts, col("x"), col("y"), bits = 10, numFiles = 16)
+      .write.option("parquet.block.size", "65536")
+      .parquet(s"$dir/hilbert")
 
     // AQE wraps finished stages as opaque leaves in 4.x — disable it
     // here so the scan node (and its numOutputRows metric) is directly
@@ -67,14 +120,27 @@ class LayoutSuite extends SparkSpec {
     } finally {}
     val (nZ, readZ) = try {
       scanRows(s"$dir/zorder")
+    } finally {}
+    val (nH, readH) = try {
+      scanRows(s"$dir/hilbert")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(nLin == nZ && nLin > 0, s"band counts differ: $nLin vs $nZ")
+    assert(nLin == nH, s"band counts differ: $nLin vs $nH")
     // the y band covers ~1.6% of the grid: the x-sorted layout reads
     // essentially everything, the z-order layout only the tiles whose
     // y range intersects the band — demand at least 4×
     info(s"y-band scan read: linear $readLin rows, z-order $readZ rows " +
-      f"(${readLin.toDouble / readZ}%.1f×)")
+      f"(${readLin.toDouble / readZ}%.1f×), hilbert $readH rows " +
+      f"(${readLin.toDouble / readH}%.1f×)")
     assert(readZ * 4 < readLin,
       s"z-order read $readZ rows vs linear $readLin — no pruning win")
+    // Hilbert's adjacency means a curve segment never covers a WIDER
+    // y range than the Z segment over the same cells in expectation;
+    // demand it at least matches Z-order's pruning within 25% slack
+    // (band placement can favor either on one specific query)
+    assert(readH * 4 < readLin,
+      s"hilbert read $readH rows vs linear $readLin — no pruning win")
+    assert(readH < readZ * 5 / 4,
+      s"hilbert read $readH rows vs z-order $readZ — locality regression")
   }
 }
