@@ -45,6 +45,25 @@ object Layout {
       .drop("__z")
   }
 
+  /** N-column Morton interleave — the production form of [[zValue]]
+    * (lakehouse Z-ORDER takes a column LIST): bit i of column j lands
+    * at position `i·n + j`, so `zValueN(Seq(x, y), 16) == zValue(x,
+    * y, 16)` exactly (suite-pinned). Total key width `n·bits` must
+    * fit a non-negative long; more dimensions at the same width means
+    * fewer bits each — the usual Z-order guidance of interleaving
+    * only the few columns queries actually filter on is a hard
+    * arithmetic constraint here, not just advice. Bits above `bits`
+    * are ignored by construction, like [[zValue]]. */
+  def zValueN(cols: Seq[Column], bits: Int = 8): Column = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 63,
+      s"${cols.size} cols x $bits bits exceeds a long key")
+    val n = cols.size
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _).cast("long")
+  }
+
   /** Hilbert-curve value — [[zValue]]'s locality upgrade: unit curve
     * steps always move to an ADJACENT cell, so a curve segment (= one
     * row group under [[hilbertBy]]) covers a tighter rectangle and a

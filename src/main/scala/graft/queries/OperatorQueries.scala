@@ -557,6 +557,34 @@ object OperatorQueries {
        |SELECT o_orderkey, d AS h FROM h$bits""".stripMargin
   }
 
+  /** 3-column Morton key — [[zorder]]'s production form (lakehouse
+    * Z-ORDER takes a column list, [[graft.operators.Layout.zValueN]]):
+    * customer key x price decile x order month, 8 bits each (24-bit
+    * key; the dimension/width trade-off is a hard long-width
+    * constraint). Oracled bit-for-bit like the 2-D key. */
+  def zorderNd(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.select(col("o_orderkey"),
+      graft.operators.Layout.zValueN(Seq(
+        col("o_custkey"),
+        least(floor(col("o_totalprice") / 10), lit(65535L)).cast("long"),
+        month(col("o_orderdate")).cast("long")), bits = 8).as("z"))
+  }
+
+  val zorderNdSql: String = {
+    val dims = Seq("x", "y", "m")
+    val terms = (for { i <- 0 until 8; (d, j) <- dims.zipWithIndex }
+      yield s"((($d >> $i) & 1) << ${i * 3 + j})")
+      .mkString(" |\n    ")
+    s"""WITH v AS (
+       |  SELECT o_orderkey, o_custkey AS x,
+       |    least(CAST(floor(o_totalprice / 10) AS BIGINT), 65535) AS y,
+       |    CAST(month(o_orderdate) AS BIGINT) AS m
+       |  FROM orders)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS z
+       |FROM v""".stripMargin
+  }
+
   /** Forward as-of join — for each order, the customer's FIRST event
     * at or after the order date (fixture eras make this the live
     * direction: orders 1995-2001, events 2024; customers above the
@@ -1143,6 +1171,7 @@ object OperatorQueries {
     "op_asof_join_fwd" -> (asofJoinFwd _),
     "op_zorder" -> (zorder _),
     "op_hilbert" -> (hilbert _),
+    "op_zorder_nd" -> (zorderNd _),
     "op_asof_join_nearest" -> (asofJoinNearest _),
     "op_range_join" -> (rangeJoin _),
     "op_band_join" -> (bandJoin _),
@@ -1171,6 +1200,7 @@ object OperatorQueries {
     "op_asof_join_fwd" -> asofJoinFwdSql,
     "op_zorder" -> zorderSql,
     "op_hilbert" -> hilbertSql,
+    "op_zorder_nd" -> zorderNdSql,
     "op_asof_join_nearest" -> asofJoinNearestSql,
     "op_range_join" -> rangeJoinSql,
     "op_band_join" -> bandJoinSql,

@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * self-healing interrupted swap — never a torn store.
   *
   * Contracts: `order` must be total per group (tie-break on a unique
-  * id — same rule as capPerKey) and the id columns must functionally
+  * id — same rule as capPerKey); the id columns must functionally
   * determine the row (a re-sent id must carry identical values; true
-  * for content-derived rows like reservoir keys). Feed batches either
+  * for content-derived rows like reservoir keys); and the store is
+  * SINGLE-WRITER (one stream/driver merges at a time — the
+  * StreamingMergeUpsert contract; CompactSwap recovery heals crashes,
+  * not concurrent writers). Feed batches either
   * directly or pre-summarized with the batch operator (both pinned
   * equal — per-batch top-k IS the mergeable summary, and shipping
   * ≤ groups·k rows per batch into the merge is the scale path).

@@ -38,7 +38,11 @@ import graft.llm.Sampling
   * and the replay would emit a truncated prefix): `batch_id=N`
   * partitions, per-batch OVERWRITE, reads EXCLUDE the current batch
   * — crash-replay admits the identical set (suite-pinned). Store rows
-  * per batch = |strata| — driver-scale, but kept distributed. */
+  * per batch = |strata| — driver-scale, but kept distributed.
+  *
+  * Contracts: doc ids unique WITHIN a batch (a duplicate would count
+  * its tokens twice — the at-least-once dedup belongs upstream, the
+  * streaming norm) and the store is single-writer. */
 final case class StreamingTokenBudget(storeDir: String,
     strataCol: String, budgets: Map[String, Long],
     defaultBudget: Long = 0L, nShards: Int = 8,

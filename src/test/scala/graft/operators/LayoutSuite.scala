@@ -25,6 +25,30 @@ class LayoutSuite extends SparkSpec {
       0xAAAAAAAAL))              // y=all 16 ones → odd positions
   }
 
+  test("zValueN: 2-D form equals zValue exactly; 3-D known vectors") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (3L, 5L), (65535L, 65535L),
+      (70000L, -1L)).toDF("x", "y")
+    val both = pts.select(
+      Layout.zValue(col("x"), col("y")).as("z2"),
+      Layout.zValueN(Seq(col("x"), col("y")), bits = 16).as("zn"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (z2, zn) => assert(z2 == zn) }
+    // 3-D: bit i of col j at position 3i+j
+    val out3 = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (2L, 0L, 0L), (3L, 5L, 6L))
+      .toDF("x", "y", "z")
+      .select(Layout.zValueN(
+        Seq(col("x"), col("y"), col("z")), bits = 8).as("m"))
+      .as[Long].collect().toSeq
+    // x=011,y=101,z=110: pos0..8 = x0 y0 z0 x1 y1 z1 x2 y2 z2
+    //  = 1,1,0, 1,0,1, 0,1,1 -> 0b110101011 = 427
+    assert(out3 == Seq(1L, 2L, 4L, 7L, 8L, 427L))
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("x"), col("y"), col("z")), bits = 22)
+    }
+  }
+
   test("hilbertValue matches the order-2 curve and stays grid-adjacent") {
     import spark.implicits._
     // the canonical 4x4 Hilbert curve, start (0,0), end (3,0):
