@@ -103,4 +103,36 @@ final case class StreamingTokenBudget(storeDir: String,
       .parquet(s"$storeDir/batch_id=$batchId")
     admitted
   }
+
+  /** Fold all-but-the-latest batch partitions into one summed
+    * partition at the lowest folded id — the [[StreamingLineDedup]]
+    * compaction shape (the max written id may still be rewritten by
+    * a replay, every lower id has committed; sums are additive so a
+    * per-stratum re-aggregate IS the fold). File-count hygiene for
+    * long streams — [[processBatch]]'s spent() read otherwise lists
+    * one partition per historical batch. Maintenance-step contract:
+    * no concurrent writer mid-swap. */
+  def compact(spark: SparkSession): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    CompactSwap.recoverStaleStaging(fs,
+      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
+    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id="))
+    if (parts.length <= 2) return
+    val withIds = parts.map(s =>
+      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
+    val maxId = withIds.map(_._2).max
+    val fold = withIds.filter(_._2 != maxId)
+    val snapId = fold.map(_._2).min
+    val snapshot = spark.read
+      .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
+      .groupBy(col(strataCol))
+      .agg(sum("tokens").as("tokens"))
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    snapshot.write.mode("overwrite").parquet(tmp.toString)
+    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
+      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
+  }
 }

@@ -109,6 +109,31 @@ class StreamingTokenBudgetSuite extends SparkSpec {
       s"batch op must admit the bucket-order prefix: $batch")
   }
 
+  test("compaction folds spent sums without changing admissions") {
+    val plain = newStream()
+    val comp = newStream()
+    val admittedPlain = (0 until 3).map { c =>
+      val b = toks.where(pmod(col("doc_id"), lit(3L)) === c)
+      val a = ids(plain.processBatch(b, batchId = c.toLong))
+      a
+    }
+    val admittedComp = (0 until 3).map { c =>
+      val b = toks.where(pmod(col("doc_id"), lit(3L)) === c)
+      val a = ids(comp.processBatch(b, batchId = c.toLong))
+      comp.compact(spark) // fold after every batch — worst case
+      a
+    }
+    assert(admittedPlain == admittedComp,
+      "compaction changed an admission decision")
+    // a post-compaction batch must see the same spent totals as the
+    // uncompacted store (folded sums ≡ per-batch sums)
+    val again = toks.withColumn("doc_id", col("doc_id") + 1000000L)
+    val extraPlain = ids(plain.processBatch(again, batchId = 3L))
+    val extraComp = ids(comp.processBatch(again, batchId = 3L))
+    assert(extraPlain == extraComp,
+      "folded spent sums diverged from the per-batch store")
+  }
+
   test("prefix rule: a budget-busting stratum stays closed") {
     import spark.implicits._
     // stratum budget 10; batch 0 arrives with 12 tokens in one doc —
