@@ -38,12 +38,17 @@ object Layout {
     * boxes. One range exchange (with its sampling pass), one
     * in-partition sort — the same cost as any global ORDER BY write. */
   def zorderBy(df: DataFrame, x: Column, y: Column,
-      bits: Int = 16, numFiles: Int = 32): DataFrame = {
-    val withZ = df.withColumn("__z", zValue(x, y, bits))
-    withZ.repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-  }
+      bits: Int = 16, numFiles: Int = 32): DataFrame =
+    sortByKey(df, zValue(x, y, bits), numFiles)
+
+  // the shared layout-write recipe: range-partition by the curve key,
+  // sort within each split, drop the key
+  private def sortByKey(df: DataFrame, key: Column,
+      numFiles: Int): DataFrame =
+    df.withColumn("__curve_key", key)
+      .repartitionByRange(numFiles, col("__curve_key"))
+      .sortWithinPartitions(col("__curve_key"))
+      .drop("__curve_key")
 
   /** N-column Morton interleave — the production form of [[zValue]]
     * (lakehouse Z-ORDER takes a column LIST): bit i of column j lands
@@ -87,10 +92,6 @@ object Layout {
     * on the LayoutSuite y-band; both leave the linear layout far
     * behind). */
   def hilbertBy(df: DataFrame, x: Column, y: Column,
-      bits: Int = 16, numFiles: Int = 32): DataFrame = {
-    val withH = df.withColumn("__h", hilbertValue(x, y, bits))
-    withH.repartitionByRange(numFiles, col("__h"))
-      .sortWithinPartitions(col("__h"))
-      .drop("__h")
-  }
+      bits: Int = 16, numFiles: Int = 32): DataFrame =
+    sortByKey(df, hilbertValue(x, y, bits), numFiles)
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The delete-then-rename snapshot swap shared by
   * [[StreamingSeriesStore.compact]], [[StreamingVectorIndex.compact]]
@@ -34,6 +35,62 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 private[streaming] object CompactSwap {
 
   private val ManifestName = "_graft_swap"
+  private val StagingName = ".compact_tmp"
+
+  /** Heal a crashed compaction swap. Every store WRITER entry
+    * (processBatch) calls this before its first store read, so an
+    * interrupted compact() closes at the NEXT BATCH instead of
+    * lingering until someone happens to run compact() again — in the
+    * window, reads would see a store missing every folded partition
+    * (for the token-budget store that means quota over-admission;
+    * for dedup stores, re-admitted duplicates). Single-writer
+    * contract makes the write-from-a-read-path safe. */
+  def recoverDir(spark: SparkSession, dir: String,
+      tmpName: String = StagingName): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      recoverStaleStaging(fs, new Path(root, tmpName))
+  }
+
+  /** The shared compaction scaffold over a `batch_id=N`-partitioned
+    * store: fold all-but-the-max partitions into one partition at the
+    * lowest folded id (the max id may still be rewritten by a replay;
+    * every lower id has committed), staged under `.compact_tmp` and
+    * swapped in with the manifest ladder above. The store-specific
+    * part is ONLY the fold transform (dedup-sort for line/fuzzy
+    * stores, per-key re-aggregation for additive-sum stores) and,
+    * when the store is sub-partitioned, the read/write hooks
+    * (StreamingVectorIndex's basePath + partitionBy). Maintenance
+    * contract: no concurrent writer mid-swap. */
+  def foldBatchPartitions(spark: SparkSession, dir: String,
+      read: Seq[String] => DataFrame = null,
+      write: (DataFrame, String) => Unit = null)(
+      fold: DataFrame => DataFrame): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    // resolve any crashed previous swap BEFORE listing partitions —
+    // recovery can change the set
+    recoverStaleStaging(fs, new Path(root, StagingName))
+    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id="))
+    if (parts.length <= 2) return
+    val withIds = parts.map(s =>
+      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
+    val maxId = withIds.map(_._2).max
+    val folded = withIds.filter(_._2 != maxId)
+    val snapId = folded.map(_._2).min
+    val paths = folded.map(_._1.toString).toIndexedSeq
+    val snapshot = fold(
+      if (read == null) spark.read.parquet(paths: _*) else read(paths))
+    val tmp = new Path(root, StagingName)
+    if (write == null)
+      snapshot.write.mode("overwrite").parquet(tmp.toString)
+    else write(snapshot, tmp.toString)
+    swap(fs, folded.map(_._1).toIndexedSeq, tmp,
+      new Path(root, s"batch_id=$snapId"))
+  }
 
   /** Resolve a leftover staging dir per the ruleset above. Call
     * BEFORE listing partitions — recovery can change the set. */

@@ -118,6 +118,10 @@ final case class StreamingFuzzyDedup(storeDir: String,
     * store partitions. */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // heal a crashed compact() before the kept-store reads
+    // (CompactSwap.recoverDir scaladoc)
+    CompactSwap.recoverDir(spark, bandsDir)
+    CompactSwap.recoverDir(spark, sigsDir)
     val sigs = Dedup.sigSets(
         Dedup.shingleSetsMd5(batch, idCol, textCol, n), k, seed)
       .where(col("sig").isNotNull)
@@ -191,29 +195,11 @@ final case class StreamingFuzzyDedup(storeDir: String,
     * re-layout. Maintenance-step contract: no concurrent readers
     * mid-swap. */
   def compact(spark: SparkSession): Unit = {
-    def one(dir: String, sortCols: Seq[String]): Unit = {
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(root)) return
-      CompactSwap.recoverStaleStaging(fs,
-        new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
-      val parts = fs.listStatus(root).filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("batch_id="))
-      if (parts.length <= 2) return
-      val withIds = parts.map(s =>
-        s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
-      val maxId = withIds.map(_._2).max
-      val fold = withIds.filter(_._2 != maxId)
-      val snapId = fold.map(_._2).min
-      val snapshot = spark.read
-        .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
-        .dropDuplicates()
-        .sort(sortCols.map(col): _*)
-      val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
-      snapshot.write.mode("overwrite").parquet(tmp.toString)
-      CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
-        new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
-    }
+    // sorted snapshots: clustered probe-key row groups keep the
+    // candidate join's runtime filters selective
+    def one(dir: String, sortCols: Seq[String]): Unit =
+      CompactSwap.foldBatchPartitions(spark, dir)(
+        _.dropDuplicates().sort(sortCols.map(col): _*))
     one(bandsDir, Seq("band", "band_key"))
     one(sigsDir, Seq("id"))
   }

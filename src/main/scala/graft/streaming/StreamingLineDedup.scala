@@ -75,6 +75,10 @@ final case class StreamingLineDedup(storeDir: String,
     * (idCol, text_dedup, n_removed). */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // heal a crashed compact() before the store read (CompactSwap
+    // .recoverDir scaladoc — the interrupted-swap window would
+    // re-admit every folded batch's lines)
+    CompactSwap.recoverDir(spark, storeDir)
     val lines = Dedup.lineTable(batch, idCol, textCol, sep)
       // one batch is re-consumed three times below (firsts, keep
       // join, store write) — materialize the bounded batch once
@@ -106,29 +110,11 @@ final case class StreamingLineDedup(storeDir: String,
     * still be rewritten by a replay; every lower id has committed).
     * File-count hygiene for long streams; maintenance-step contract
     * — no concurrent readers mid-swap. */
-  def compact(spark: SparkSession): Unit = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    CompactSwap.recoverStaleStaging(fs,
-      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
-    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("batch_id="))
-    if (parts.length <= 2) return
-    val withIds = parts.map(s =>
-      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
-    val maxId = withIds.map(_._2).max
-    val fold = withIds.filter(_._2 != maxId)
-    val snapId = fold.map(_._2).min
-    val snapshot = spark.read
-      .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
-      .dropDuplicates()
-      .sort("fp")
-    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
-    snapshot.write.mode("overwrite").parquet(tmp.toString)
-    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
-      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
-  }
+  def compact(spark: SparkSession): Unit =
+    // sorted + deduplicated snapshot: clustered fp row groups keep
+    // the anti-join's runtime filters selective
+    CompactSwap.foldBatchPartitions(spark, storeDir)(
+      _.dropDuplicates().sort("fp"))
 
   /** Wire onto a streaming DataFrame: each micro-batch is deduped
     * against the store and appended to `outDir` as parquet. */

@@ -108,6 +108,10 @@ final case class StreamingNearDup(storeDir: String,
     * store. */
   def processBatch(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
+    // heal a crashed compact() before the store reads (tmps live
+    // under the store ROOT here, one per folded subdir)
+    CompactSwap.recoverDir(spark, storeDir, ".compact_bands_tmp")
+    CompactSwap.recoverDir(spark, storeDir, ".compact_sigs_tmp")
     // signature pass: the ONE shared derivation (md5-long shingles +
     // exact band keys — the oracle-reproducible batch variant this
     // twin is pinned against). The batch is re-consumed four times

@@ -36,9 +36,13 @@ final case class StreamingSeriesStore(storeDir: String,
       org.apache.spark.sql.types.LongType) {
 
   /** Fold ONE micro-batch's partial slot sums into the store. */
-  def processBatch(batch: DataFrame, batchId: Long): Unit =
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    // heal a crashed compact() so series() reads after this batch see
+    // the folded history (CompactSwap.recoverDir scaladoc)
+    CompactSwap.recoverDir(batch.sparkSession, storeDir)
     TimeSeries.slotSums(batch, startDate, nSlots, keyCol, tsCol, valCol)
       .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
 
   /** The centered series as of all folded batches — identical shape
     * (and, on the same event set, identical values) to
@@ -106,34 +110,12 @@ final case class StreamingSeriesStore(storeDir: String,
     * as a maintenance step — no concurrent readers mid-swap (the
     * same transient-miss caveat [[series]] documents for replay
     * overwrites, wider here). A no-op below 3 batch partitions. */
-  def compact(spark: SparkSession): Unit = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    // resolve any crashed previous swap BEFORE listing partitions —
-    // recovery can change the set (CompactSwap scaladoc)
-    CompactSwap.recoverStaleStaging(fs,
-      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
-    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("batch_id="))
-    if (parts.length <= 2) return
-    val withIds = parts.map(s =>
-      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
-    val maxId = withIds.map(_._2).max
-    val fold = withIds.filter(_._2 != maxId)
-    val snapId = fold.map(_._2).min
+  def compact(spark: SparkSession): Unit =
     // leaf-dir read: no partition discovery, plain (key, __d, __v)
     // rows; the sum stays RAW — the snapshot is a partial, rounding
     // happens once at the read merge like every other batch
-    val summed = spark.read
-      .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
-      .groupBy(col(keyCol), col("__d"))
-      .agg(sum("__v").as("__v"))
-    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
-    summed.write.mode("overwrite").parquet(tmp.toString)
-    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
-      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
-  }
+    CompactSwap.foldBatchPartitions(spark, storeDir)(
+      _.groupBy(col(keyCol), col("__d")).agg(sum("__v").as("__v")))
 
   /** Top-k correlated entities over the CURRENT store state. */
   def topK(spark: SparkSession, queryPred: org.apache.spark.sql.Column,

@@ -81,6 +81,10 @@ final case class StreamingTokenBudget(storeDir: String,
     * partition. Returns the admitted rows (input columns only). */
   def processBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val spark = batch.sparkSession
+    // heal a crashed compact() BEFORE reading spent() — in the
+    // interrupted-swap window the store is missing every folded
+    // partition and the batch would over-admit past the budget
+    CompactSwap.recoverDir(spark, storeDir)
     val budget = Sampling.budgetExpr(strataCol, budgets, defaultBudget)
     val withCum = Sampling.prefixTokens(batch, strataCol, nShards,
       idCol, tokensCol)
@@ -112,27 +116,8 @@ final case class StreamingTokenBudget(storeDir: String,
     * long streams — [[processBatch]]'s spent() read otherwise lists
     * one partition per historical batch. Maintenance-step contract:
     * no concurrent writer mid-swap. */
-  def compact(spark: SparkSession): Unit = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    CompactSwap.recoverStaleStaging(fs,
-      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
-    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("batch_id="))
-    if (parts.length <= 2) return
-    val withIds = parts.map(s =>
-      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
-    val maxId = withIds.map(_._2).max
-    val fold = withIds.filter(_._2 != maxId)
-    val snapId = fold.map(_._2).min
-    val snapshot = spark.read
-      .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
-      .groupBy(col(strataCol))
-      .agg(sum("tokens").as("tokens"))
-    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
-    snapshot.write.mode("overwrite").parquet(tmp.toString)
-    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
-      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
-  }
+  def compact(spark: SparkSession): Unit =
+    // sums are additive, so a per-stratum re-aggregate IS the fold
+    CompactSwap.foldBatchPartitions(spark, storeDir)(
+      _.groupBy(col(strataCol)).agg(sum("tokens").as("tokens")))
 }

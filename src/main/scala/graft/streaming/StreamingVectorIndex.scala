@@ -41,12 +41,16 @@ final case class StreamingVectorIndex(storeDir: String,
     vecCol: String = "embedding") {
 
   /** Assign + fold ONE micro-batch into the store. */
-  def processBatch(batch: DataFrame, batchId: Long): Unit =
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    // heal a crashed compact() so topK reads after this batch see the
+    // folded history (CompactSwap.recoverDir scaladoc)
+    CompactSwap.recoverDir(batch.sparkSession, storeDir)
     batch.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cid", Similarity.flatAssignFn(centArrs)(col("cv")))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$storeDir/batch_id=$batchId")
+  }
 
   /** The indexed corpus as of all folded batches:
     * (neighbor_id, cv, cid) with `cid` a PARTITION column — filters
@@ -103,32 +107,14 @@ final case class StreamingVectorIndex(storeDir: String,
     * series store there is nothing to SUM — vectors are rows, so
     * compaction is a pure file-count rewrite: 10⁴ micro-batch dirs ×
     * k cells collapse to one dir × k cells. */
-  def compact(spark: SparkSession): Unit = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    // resolve any crashed previous swap BEFORE listing partitions —
-    // recovery can change the set (CompactSwap scaladoc)
-    CompactSwap.recoverStaleStaging(fs,
-      new org.apache.hadoop.fs.Path(root, ".compact_tmp"))
-    val parts = fs.listStatus(root).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("batch_id="))
-    if (parts.length <= 2) return
-    val withIds = parts.map(s =>
-      s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
-    val maxId = withIds.map(_._2).max
-    val fold = withIds.filter(_._2 != maxId)
-    val snapId = fold.map(_._2).min
-    val folded = spark.read
-      .option("basePath", storeDir) // keep cid a partition column
-      .parquet(fold.map(_._1.toString).toIndexedSeq: _*)
-      .select(col("neighbor_id"), col("cv"), col("cid"))
-    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
-    folded.write.mode("overwrite").partitionBy("cid")
-      .parquet(tmp.toString)
-    CompactSwap.swap(fs, fold.map(_._1).toIndexedSeq, tmp,
-      new org.apache.hadoop.fs.Path(root, s"batch_id=$snapId"))
-  }
+  def compact(spark: SparkSession): Unit =
+    CompactSwap.foldBatchPartitions(spark, storeDir,
+      read = paths => spark.read
+        .option("basePath", storeDir) // keep cid a partition column
+        .parquet(paths: _*),
+      write = (df, tmp) => df.write.mode("overwrite")
+        .partitionBy("cid").parquet(tmp))(
+      _.select(col("neighbor_id"), col("cv"), col("cid")))
 
   /** Offline re-quantization — the remedy for the frozen-centroid
     * contract: re-assign EVERY stored vector under `newCentroids` and

@@ -139,14 +139,11 @@ class LayoutSuite extends SparkSpec {
       (matched, scan.metrics("numOutputRows").value)
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val (nLin, readLin) = try {
-      scanRows(s"$dir/linear")
-    } finally {}
-    val (nZ, readZ) = try {
-      scanRows(s"$dir/zorder")
-    } finally {}
-    val (nH, readH) = try {
-      scanRows(s"$dir/hilbert")
+    // one finally across ALL scans: an assertion failure in any of
+    // them must not leave the shared session with AQE off
+    val ((nLin, readLin), (nZ, readZ), (nH, readH)) = try {
+      (scanRows(s"$dir/linear"), scanRows(s"$dir/zorder"),
+        scanRows(s"$dir/hilbert"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(nLin == nZ && nLin > 0, s"band counts differ: $nLin vs $nZ")
     assert(nLin == nH, s"band counts differ: $nLin vs $nH")

@@ -134,6 +134,42 @@ class StreamingTokenBudgetSuite extends SparkSpec {
       "folded spent sums diverged from the per-batch store")
   }
 
+  test("an interrupted compact swap heals at the NEXT BATCH") {
+    // reproduce CompactSwap's exact crash window: fold staged +
+    // manifest written + one folded partition deleted, rename never
+    // happened. Without recovery at processBatch, spent() would see a
+    // store missing the folded history and OVER-ADMIT past budget.
+    val store = s"${Files.createTempDirectory("graft-stb")}/store"
+    val st = StreamingTokenBudget(store, "lang", budgets,
+      defaultBudget = 1000L)
+    val twin = newStream()
+    (0 until 3).foreach { c =>
+      val b = toks.where(pmod(col("doc_id"), lit(3L)) === c)
+      st.processBatch(b, batchId = c.toLong)
+      twin.processBatch(b, batchId = c.toLong)
+    }
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val folded = Seq(0L, 1L).map(i =>
+      new org.apache.hadoop.fs.Path(s"$store/batch_id=$i"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$store/.compact_tmp")
+    spark.read.parquet(folded.map(_.toString): _*)
+      .groupBy("lang").agg(sum("tokens").as("tokens"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val manifest = fs.create(
+      new org.apache.hadoop.fs.Path(tmp, "_graft_swap"), true)
+    try manifest.write(
+      (s"$store/batch_id=0" +: folded.map(_.toString))
+        .mkString("\n").getBytes("UTF-8"))
+    finally manifest.close()
+    assert(fs.delete(folded(1), true)) // crash after the first delete
+    // next batch must admit exactly what the untouched twin admits
+    val again = toks.withColumn("doc_id", col("doc_id") + 2000000L)
+    assert(ids(st.processBatch(again, batchId = 3L)) ==
+      ids(twin.processBatch(again, batchId = 3L)),
+      "interrupted swap window leaked into admission")
+  }
+
   test("prefix rule: a budget-busting stratum stays closed") {
     import spark.implicits._
     // stratum budget 10; batch 0 arrives with 12 tokens in one doc —
