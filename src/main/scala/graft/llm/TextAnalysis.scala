@@ -620,6 +620,74 @@ object TextAnalysis {
       .withColumn("clean", regexp_replace(stage2, PhoneRe, "[PHONE]"))
   }
 
+  // HTML boilerplate patterns — Java∩RE2 dialect like the PII set
+  // (non-greedy + inline flags are in both; no backreferences or
+  // lookaround). Tags must START with a letter so a bare "a < b" in
+  // prose survives; script/style bodies go wholesale (their content —
+  // including `<` and `&&` — is code, not text).
+  final val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  final val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  final val HtmlCommentRe = "(?s)<!--.*?-->"
+  final val HtmlTagRe = "(?s)</?[A-Za-z][^>]*>"
+
+  /** HTML boilerplate stripping — the extraction step in front of
+    * every crawl-derived corpus (C4/CCNet strip markup before any
+    * dedup or quality pass): drop script/style/comment blocks, drop
+    * tags (replaced by a space so `<p>a</p><p>b</p>` keeps its word
+    * boundary), THEN decode the common entities — order matters, a
+    * decoded `&lt;b&gt;` must surface as literal text, never as a
+    * strippable tag — with `&amp;` decoded LAST so `&amp;lt;` round-
+    * trips to the literal `&lt;` (the single-pass decode rule), and
+    * collapse whitespace. Every stage is a codegen'd string function;
+    * map-only. The DuckDB oracle runs the identical chain (RE2 needs
+    * the explicit 'g' flag where Spark replaces globally). */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, HtmlScriptRe, " "),
+        HtmlStyleRe, " "),
+      HtmlCommentRe, " ")
+    val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) =>
+        org.apache.spark.sql.functions.replace(c, lit(k), lit(v))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** URL canonicalization — the key derivation under URL-level dedup,
+    * the FIRST dedup pass of a crawl pipeline (two fetches of one
+    * page differ only in case/port/tracking noise): lowercase scheme
+    * and host, strip a leading `www.`, strip the scheme's default
+    * port, drop the fragment, strip `utm_*`/`fbclid`/`gclid` tracking
+    * params (re-anchoring the query's `?` when the first param dies),
+    * and strip trailing path slashes. Pure regexp_extract/replace
+    * composition — group references are `$1` here and `\\1` in the
+    * DuckDB oracle (the one dialect difference; patterns themselves
+    * are Java∩RE2). A value without a `scheme://` passes through
+    * UNCHANGED — garbage never silently collides on a mangled key. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host0 = regexp_replace(hostRaw, "^www\\.", "")
+    val host = when(scheme === "http",
+        regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val rest0 = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val rest1 = regexp_replace(rest0,
+      "[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "")
+    val rest2 = regexp_replace(rest1, "^([^?&]*)&", "$1?")
+    val rest3 = regexp_replace(rest2, "/+(\\?|$)", "$1")
+    val rest = regexp_replace(rest3, "\\?$", "")
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, rest))
+  }
+
   /** Context-window chunking — split documents into overlapping token
     * windows (`chunkSize` tokens every `stride`; stride < chunkSize
     * gives the standard training overlap).

@@ -2452,6 +2452,142 @@ object LlmQueries {
        |FROM staged2""".stripMargin
   }
 
+  // --- llm_html_strip ------------------------------------------------------
+  /** HTML boilerplate stripping over a corpus with deterministically
+    * planted markup ([[graft.llm.TextAnalysis.stripHtml]]): every 5th
+    * doc is wrapped in a full page — style and script blocks (the
+    * script body contains a bare `<` and `&&` to prove block content
+    * goes wholesale), a comment, nested tags, and entities whose
+    * decode must happen AFTER tag stripping (`&lt;b&gt;` surfaces as
+    * literal text, never as a strippable tag). Cleaned TEXT
+    * hash-matches the oracle, the llm_pii convention. */
+  private val htmlPrefix = "<html><head><style>p {color: red}" +
+    "</style><script type=\"text/javascript\">var x = 1 < 2 && y;" +
+    "</script></head><body><!-- note --><div class=\"main\"><p>"
+  private val htmlSuffix =
+    "</p> &amp; more &lt;b&gt;tags&lt;/b&gt;&nbsp;here</div></body></html>"
+  private def docsWithHtml(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(lit(htmlPrefix), col("text"), lit(htmlSuffix)))
+          .otherwise(col("text")))
+
+  def htmlStrip(s: SparkSession, dir: String): DataFrame =
+    docsWithHtml(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.stripHtml(col("text")).as("text_clean"))
+
+  val htmlStripSql: String = {
+    def q(x: String): String = x.replace("'", "''")
+    val stripped =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    text,
+         |    '${q(TextAnalysis.HtmlScriptRe)}', ' ', 'g'),
+         |    '${q(TextAnalysis.HtmlStyleRe)}', ' ', 'g'),
+         |    '${q(TextAnalysis.HtmlCommentRe)}', ' ', 'g'),
+         |    '${q(TextAnalysis.HtmlTagRe)}', ' ', 'g')""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+       |      '${q(htmlPrefix)}' || text || '${q(htmlSuffix)}'
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  trim(regexp_replace(
+       |    replace(replace(replace(replace(replace(replace(replace(
+       |      $stripped,
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+       |      '&amp;', '&'),
+       |    '\\s+', ' ', 'g')) AS text_clean
+       |FROM corpus""".stripMargin
+  }
+
+  // --- llm_url_dedup -------------------------------------------------------
+  /** URL-level dedup — the FIRST dedup pass of a crawl pipeline,
+    * keyed on [[graft.llm.TextAnalysis.normalizeUrl]]'s canonical
+    * form. Four deterministic raw variants per doc (case noise,
+    * explicit default port, www prefix, tracking params — one as the
+    * FIRST query param so the `?` re-anchor is exercised — trailing
+    * slash, fragment) all collapse onto one canonical URL per
+    * (site, page) cell; dedup keeps the min doc id and counts the
+    * collapsed variants. */
+  // NOTE trailing `||` placement: a line STARTING with `||` loses one
+  // pipe to stripMargin and becomes bitwise OR (the embedPairsCtes
+  // lesson)
+  private val urlVariantsSql: String =
+    """SELECT doc_id, CASE doc_id % 4
+      |    WHEN 0 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) ||
+      |      '.com/page' || CAST(doc_id % 5 AS VARCHAR)
+      |    WHEN 1 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) ||
+      |      '.COM:443/page' || CAST(doc_id % 5 AS VARCHAR) || '/'
+      |    WHEN 2 THEN 'https://site' || CAST(doc_id % 40 AS VARCHAR) ||
+      |      '.com/page' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '?utm_source=feed' || CAST(doc_id AS VARCHAR)
+      |    ELSE 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) ||
+      |      '.com:443/page' || CAST(doc_id % 5 AS VARCHAR) ||
+      |      '/?utm_campaign=x#sec' || CAST(doc_id AS VARCHAR)
+      |    END AS url
+      |FROM documents""".stripMargin
+
+  private def docsWithUrls(s: SparkSession, dir: String): DataFrame = {
+    val site = (col("doc_id") % 40).cast("string")
+    val page = (col("doc_id") % 5).cast("string")
+    docs(s, dir).select(col("doc_id")).withColumn("url",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://www.site"), site, lit(".com/page"), page))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://WWW.Site"), site, lit(".COM:443/page"),
+            page, lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://site"), site, lit(".com/page"), page,
+            lit("?utm_source=feed"), col("doc_id").cast("string")))
+        .otherwise(
+          concat(lit("https://www.site"), site, lit(".com:443/page"),
+            page, lit("/?utm_campaign=x#sec"),
+            col("doc_id").cast("string"))))
+  }
+
+  def urlDedup(s: SparkSession, dir: String): DataFrame =
+    docsWithUrls(s, dir)
+      .withColumn("url_norm", TextAnalysis.normalizeUrl(col("url")))
+      .groupBy("url_norm")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+
+  val urlDedupSql: String =
+    s"""WITH u AS ($urlVariantsSql),
+       |s1 AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host_raw,
+       |    regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
+       |  FROM u),
+       |s2 AS (
+       |  SELECT doc_id, url, scheme,
+       |    CASE WHEN scheme = 'http' THEN
+       |        regexp_replace(regexp_replace(host_raw, '^www\\.', ''),
+       |          ':80$$', '')
+       |      WHEN scheme = 'https' THEN
+       |        regexp_replace(regexp_replace(host_raw, '^www\\.', ''),
+       |          ':443$$', '')
+       |      ELSE regexp_replace(host_raw, '^www\\.', '') END AS host,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      rest0,
+       |      '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
+       |      '^([^?&]*)&', '\\1?'),
+       |      '/+(\\?|$$)', '\\1', 'g'),
+       |      '\\?$$', '') AS rest
+       |  FROM s1),
+       |n AS (
+       |  SELECT doc_id, CASE WHEN scheme = '' THEN url
+       |    ELSE scheme || '://' || host || rest END AS url_norm
+       |  FROM s2)
+       |SELECT url_norm, min(doc_id) AS doc_id, count(*) AS n_dups
+       |FROM n GROUP BY 1""".stripMargin
+
   // --- llm_chunk ----------------------------------------------------------
   /** Context-window chunking: 64-token windows every 48 tokens (16
     * tokens of overlap) — the pre-packing pass of a training
@@ -3333,6 +3469,8 @@ object LlmQueries {
     "llm_token_budget" -> (tokenBudget _),
     "llm_token_budget_stream" -> (tokenBudgetStream _),
     "llm_pii" -> (pii _),
+    "llm_html_strip" -> (htmlStrip _),
+    "llm_url_dedup" -> (urlDedup _),
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
     "llm_typicality" -> (typicality _),
@@ -3406,6 +3544,8 @@ object LlmQueries {
     "llm_token_budget" -> tokenBudgetSql,
     "llm_token_budget_stream" -> tokenBudgetStreamSql,
     "llm_pii" -> piiSql,
+    "llm_html_strip" -> htmlStripSql,
+    "llm_url_dedup" -> urlDedupSql,
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,
     "llm_typicality" -> typicalitySql,
