@@ -2478,30 +2478,47 @@ object LlmQueries {
       .select(col("doc_id"),
         TextAnalysis.stripHtml(col("text")).as("text_clean"))
 
-  val htmlStripSql: String = {
-    def q(x: String): String = x.replace("'", "''")
+  private def sqlQuote(x: String): String = x.replace("'", "''")
+
+  /** The full strip chain as ONE SQL expression over column `c` —
+    * shared by llm_html_strip and the extraction capstone (fix both
+    * or neither). */
+  private def stripHtmlSqlExpr(c: String): String = {
     val stripped =
       s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    text,
-         |    '${q(TextAnalysis.HtmlScriptRe)}', ' ', 'g'),
-         |    '${q(TextAnalysis.HtmlStyleRe)}', ' ', 'g'),
-         |    '${q(TextAnalysis.HtmlCommentRe)}', ' ', 'g'),
-         |    '${q(TextAnalysis.HtmlTagRe)}', ' ', 'g')""".stripMargin
-    s"""WITH corpus AS (
-       |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
-       |      '${q(htmlPrefix)}' || text || '${q(htmlSuffix)}'
-       |    ELSE text END AS text
-       |  FROM documents)
-       |SELECT doc_id,
-       |  trim(regexp_replace(
+         |    $c,
+         |    '${sqlQuote(TextAnalysis.HtmlScriptRe)}', ' ', 'g'),
+         |    '${sqlQuote(TextAnalysis.HtmlStyleRe)}', ' ', 'g'),
+         |    '${sqlQuote(TextAnalysis.HtmlCommentRe)}', ' ', 'g'),
+         |    '${sqlQuote(TextAnalysis.HtmlTagRe)}', ' ', 'g')""".stripMargin
+    s"""trim(regexp_replace(
        |    replace(replace(replace(replace(replace(replace(replace(
        |      $stripped,
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |      '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
        |      '&amp;', '&'),
-       |    '\\s+', ' ', 'g')) AS text_clean
-       |FROM corpus""".stripMargin
+       |    '\\s+', ' ', 'g'))""".stripMargin
   }
+
+  /** The html-planted corpus as a SQL SELECT (doc_id, text[, url]) —
+    * shared by llm_html_strip and the capstone. `innerText` lets the
+    * capstone substitute its boilerplate plant before the wrap. */
+  private def htmlCorpusSql(withUrl: Boolean,
+      innerText: String = "text"): String = {
+    val urlCol = if (withUrl) s",\n    $urlCaseSql AS url" else ""
+    s"""SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN
+       |      '${sqlQuote(htmlPrefix)}' || $innerText ||
+       |        '${sqlQuote(htmlSuffix)}'
+       |    ELSE $innerText END AS text$urlCol
+       |  FROM documents""".stripMargin
+  }
+
+  val htmlStripSql: String =
+    s"""WITH corpus AS (
+       |  ${htmlCorpusSql(withUrl = false)})
+       |SELECT doc_id,
+       |  ${stripHtmlSqlExpr("text")} AS text_clean
+       |FROM corpus""".stripMargin
 
   // --- llm_url_dedup -------------------------------------------------------
   /** URL-level dedup — the FIRST dedup pass of a crawl pipeline,
@@ -2515,8 +2532,8 @@ object LlmQueries {
   // NOTE trailing `||` placement: a line STARTING with `||` loses one
   // pipe to stripMargin and becomes bitwise OR (the embedPairsCtes
   // lesson)
-  private val urlVariantsSql: String =
-    """SELECT doc_id, CASE doc_id % 4
+  private val urlCaseSql: String =
+    """CASE doc_id % 4
       |    WHEN 0 THEN 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) ||
       |      '.com/page' || CAST(doc_id % 5 AS VARCHAR)
       |    WHEN 1 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) ||
@@ -2527,26 +2544,28 @@ object LlmQueries {
       |    ELSE 'https://www.site' || CAST(doc_id % 40 AS VARCHAR) ||
       |      '.com:443/page' || CAST(doc_id % 5 AS VARCHAR) ||
       |      '/?utm_campaign=x#sec' || CAST(doc_id AS VARCHAR)
-      |    END AS url
-      |FROM documents""".stripMargin
+      |    END""".stripMargin
+  private val urlVariantsSql: String =
+    s"SELECT doc_id, $urlCaseSql AS url\nFROM documents"
 
-  private def docsWithUrls(s: SparkSession, dir: String): DataFrame = {
+  private def urlVariant: org.apache.spark.sql.Column = {
     val site = (col("doc_id") % 40).cast("string")
     val page = (col("doc_id") % 5).cast("string")
-    docs(s, dir).select(col("doc_id")).withColumn("url",
-      when(col("doc_id") % 4 === 0,
-        concat(lit("https://www.site"), site, lit(".com/page"), page))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("HTTPS://WWW.Site"), site, lit(".COM:443/page"),
-            page, lit("/")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("https://site"), site, lit(".com/page"), page,
-            lit("?utm_source=feed"), col("doc_id").cast("string")))
-        .otherwise(
-          concat(lit("https://www.site"), site, lit(".com:443/page"),
-            page, lit("/?utm_campaign=x#sec"),
-            col("doc_id").cast("string"))))
+    when(col("doc_id") % 4 === 0,
+      concat(lit("https://www.site"), site, lit(".com/page"), page))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://WWW.Site"), site, lit(".COM:443/page"),
+          page, lit("/")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), site, lit(".com/page"), page,
+          lit("?utm_source=feed"), col("doc_id").cast("string")))
+      .otherwise(
+        concat(lit("https://www.site"), site, lit(".com:443/page"),
+          page, lit("/?utm_campaign=x#sec"),
+          col("doc_id").cast("string")))
   }
+  private def docsWithUrls(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id")).withColumn("url", urlVariant)
 
   def urlDedup(s: SparkSession, dir: String): DataFrame =
     docsWithUrls(s, dir)
@@ -2554,9 +2573,12 @@ object LlmQueries {
       .groupBy("url_norm")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
 
-  val urlDedupSql: String =
-    s"""WITH u AS ($urlVariantsSql),
-       |s1 AS (
+  /** Spliceable URL-normalization chain over CTE `src` (must expose
+    * doc_id, url): emits CTEs u_s1, u_s2, u_norm — u_norm holds
+    * (doc_id, url_norm). ONE text for llm_url_dedup and the
+    * extraction capstone — fix both or neither. */
+  private def urlNormCtes(src: String): String =
+    s"""u_s1 AS (
        |  SELECT doc_id, url,
        |    lower(regexp_extract(url,
        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -2564,8 +2586,8 @@ object LlmQueries {
        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host_raw,
        |    regexp_extract(url,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest0
-       |  FROM u),
-       |s2 AS (
+       |  FROM $src),
+       |u_s2 AS (
        |  SELECT doc_id, url, scheme,
        |    CASE WHEN scheme = 'http' THEN
        |        regexp_replace(regexp_replace(host_raw, '^www\\.', ''),
@@ -2580,13 +2602,92 @@ object LlmQueries {
        |      '^([^?&]*)&', '\\1?'),
        |      '/+(\\?|$$)', '\\1', 'g'),
        |      '\\?$$', '') AS rest
-       |  FROM s1),
-       |n AS (
+       |  FROM u_s1),
+       |u_norm AS (
        |  SELECT doc_id, CASE WHEN scheme = '' THEN url
        |    ELSE scheme || '://' || host || rest END AS url_norm
-       |  FROM s2)
+       |  FROM u_s2)""".stripMargin
+
+  val urlDedupSql: String =
+    s"""WITH u AS ($urlVariantsSql),
+       |${urlNormCtes("u")}
        |SELECT url_norm, min(doc_id) AS doc_id, count(*) AS n_dups
-       |FROM n GROUP BY 1""".stripMargin
+       |FROM u_norm GROUP BY 1""".stripMargin
+
+  // --- llm_e2e_extract -----------------------------------------------------
+  /** The extraction FRONT-END capstone in real crawl order:
+    * stripHtml → URL-canonical dedup → exact text dedup. The corpus
+    * carries BOTH plantings (full-page markup on every 5th doc, four
+    * raw URL variants per doc), so the url stage collapses variant
+    * groups onto their min-id doc and the exact stage then collapses
+    * docs whose CLEANED text coincides. Both keep-lowest stages are
+    * the struct-min argmax (no window — the dedupBest contract);
+    * the oracle splices the SHARED htmlCorpusSql / stripHtmlSqlExpr /
+    * urlNormCtes helpers, so a fix lands in capstone and standalones
+    * or neither. */
+  // shared-footer plant: docs ≡ 3 (mod 5) become IDENTICAL boilerplate
+  // — the url stage keeps 8 of them (one per surviving %40 class at
+  // sf0.001), the exact stage collapses those to ONE (n_exact_dups
+  // does real work; disjoint from the %5==0 html wrap)
+  private val boilerplate =
+    "Subscribe to our newsletter for updates. All rights reserved."
+  def e2eExtract(s: SparkSession, dir: String): DataFrame = {
+    val crawl = docs(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 3, lit(boilerplate))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(lit(htmlPrefix), col("text"), lit(htmlSuffix)))
+          .otherwise(col("text")))
+      .withColumn("url", urlVariant)
+    val cleaned = crawl
+      .withColumn("text_clean", TextAnalysis.stripHtml(col("text")))
+      .withColumn("url_norm", TextAnalysis.normalizeUrl(col("url")))
+    val urlKept = cleaned.groupBy("url_norm")
+      .agg(min(struct(col("doc_id"), col("text_clean"))).as("r"),
+        count(lit(1)).as("n_url_dups"))
+      .select(col("r.doc_id").as("doc_id"), col("url_norm"),
+        col("r.text_clean").as("text_clean"), col("n_url_dups"))
+    urlKept
+      .withColumn("fp", TextAnalysis.fingerprint(col("text_clean")))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("url_norm"),
+          col("n_url_dups"))).as("r"),
+        count(lit(1)).as("n_exact_dups"))
+      .select(col("r.doc_id").as("doc_id"),
+        col("r.url_norm").as("url_norm"), col("fp"),
+        col("r.n_url_dups").as("n_url_dups"), col("n_exact_dups"))
+  }
+
+  val e2eExtractSql: String =
+    s"""WITH crawl AS (
+       |  ${htmlCorpusSql(withUrl = true, innerText =
+        s"CASE WHEN doc_id % 5 = 3 THEN '${sqlQuote(boilerplate)}' " +
+          "ELSE text END")}),
+       |${urlNormCtes("crawl")},
+       |cleaned AS (
+       |  SELECT c.doc_id,
+       |    ${stripHtmlSqlExpr("c.text")} AS text_clean,
+       |    n.url_norm
+       |  FROM crawl c JOIN u_norm n ON n.doc_id = c.doc_id),
+       |url_kept AS (
+       |  SELECT doc_id, url_norm, text_clean, n_url_dups FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY url_norm
+       |        ORDER BY doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY url_norm) AS n_url_dups
+       |    FROM cleaned) WHERE rn = 1),
+       |fp_t AS (
+       |  SELECT doc_id, url_norm, n_url_dups,
+       |    md5(lower(trim(regexp_replace(text_clean, '\\s+', ' ', 'g'))))
+       |      AS fp
+       |  FROM url_kept)
+       |SELECT doc_id, url_norm, fp, n_url_dups, n_exact_dups FROM (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn2,
+       |    count(*) OVER (PARTITION BY fp) AS n_exact_dups
+       |  FROM fp_t) WHERE rn2 = 1""".stripMargin
 
   // --- llm_chunk ----------------------------------------------------------
   /** Context-window chunking: 64-token windows every 48 tokens (16
@@ -3471,6 +3572,7 @@ object LlmQueries {
     "llm_pii" -> (pii _),
     "llm_html_strip" -> (htmlStrip _),
     "llm_url_dedup" -> (urlDedup _),
+    "llm_e2e_extract" -> (e2eExtract _),
     "llm_chunk" -> (chunk _),
     "llm_pack" -> (pack _),
     "llm_typicality" -> (typicality _),
@@ -3546,6 +3648,7 @@ object LlmQueries {
     "llm_pii" -> piiSql,
     "llm_html_strip" -> htmlStripSql,
     "llm_url_dedup" -> urlDedupSql,
+    "llm_e2e_extract" -> e2eExtractSql,
     "llm_chunk" -> chunkSql,
     "llm_pack" -> packSql,
     "llm_typicality" -> typicalitySql,
