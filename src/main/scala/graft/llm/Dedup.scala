@@ -638,6 +638,14 @@ object Dedup {
     // (MinHashSignatureExpr contract) which the band explode below
     // turns into null band keys → filtered there, one cheap test on
     // generated values.
+    // sets feeds two differently-pruned consumers (the band explode
+    // needs sig, the verify payload needs sh), so the shingle pass
+    // runs twice — but a lazy checkpoint here measured a NET LOSS
+    // round 15 (NoopTime interleaved A/B): the standalone pair
+    // queries gain ~0.1 s while every dedupClusters consumer (which
+    // already materializes the pairs lineage ONCE via the eager edges
+    // checkpoint) pays the barrier for nothing (dedup_best 2.46 →
+    // 2.80 s). Recompute stays.
     val sets = sigSets(rawSets, k, seed)
     // Band rows carry ONLY (id, band, band_key): candidate generation
     // and dedup shuffle bare keys. The shingle-hash arrays join back

@@ -303,17 +303,76 @@ object QualityModel {
       .join(lmFeaturesFrom(df, lm, idCol, textCol), Seq(idCol))
       .select(col(idCol), sigmoid(model, FusedFeatureCols).as("q_score"))
 
-  /** Train on corpus ∪ corrupted twin, then score EVERY corpus doc. */
-  def trainScore(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    scoreWith(df, fit(df, idCol, textCol), idCol, textCol)
+  // modelFor memo: one fitted base model per (corpus plan, id/text
+  // cols) per JVM — the WordPiece.trainVocab construction-memo
+  // discipline (bounded access-ordered LRU, single-flight, immutable
+  // inputs assumed). The fit is partitioning-deterministic (canonical
+  // fit layout above), so the memoized coefficients are the ones any
+  // fresh fit would produce.
+  private type FitKey = (
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    String, String)
+  private val fitCache: java.util.Map[FitKey, Model] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[FitKey, Model](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[FitKey, Model]): Boolean =
+          size() > 16
+      })
 
-  /** [[trainScore]] with the fused (base + corpus-LM) feature family. */
+  /** The fitted base discriminator for APPLY-side compositions
+    * (llm_e2e_score_sample), training it if this (corpus, cols)
+    * combination has not been fitted in this JVM yet — memoized, the
+    * wordpiece/bpe/unigram encode precedent. [[fit]]/[[trainScore]]
+    * stay unmemoized: the trainer API always trains. */
+  def modelFor(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Model =
+    fitCache.computeIfAbsent(
+      (df.queryExecution.analyzed.canonicalized, idCol, textCol),
+      _ => fit(df, idCol, textCol))
+
+  /** Train on corpus ∪ corrupted twin, then score EVERY corpus doc.
+    * The positive-class feature frame is consumed twice (the fit's
+    * class-1 branch and the scoring pass are the SAME featurize over
+    * the same rows) — the lazy checkpoint runs the regexp-heavy
+    * signal pass once (round-15: trainScore 2.8 → 2.3 s, NoopTime).
+    * The fit input reaching [[fitOn]] is value-identical to
+    * `fit(df)`'s, so the model (and every q_score) is unchanged. */
+  def trainScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pos = df.select(col(idCol), col(textCol))
+    val neg = df.select(col(idCol), corrupt(col(textCol)).as(textCol))
+    val posFeats = featurize(pos, idCol, textCol).localCheckpoint(false)
+    val feats = posFeats
+        .withColumn("label", lit(1.0)).withColumn("cls", lit(1))
+      .unionByName(featurize(neg, idCol, textCol)
+        .withColumn("label", lit(0.0)).withColumn("cls", lit(0)))
+    val model = fitOn(feats, FeatureCols, idCol)
+    posFeats.select(col(idCol),
+      sigmoid(model, FeatureCols).as("q_score"))
+  }
+
+  /** [[trainScore]] with the fused (base + corpus-LM) feature family.
+    * Same shared-positive-frame shape: the class-1 fit branch and the
+    * scoring pass both need featurize + lmFeaturesFrom over the raw
+    * corpus — the checkpoint runs those two corpus passes once
+    * (round-15 measured, SCALE.md). Fit input and scores are
+    * value-identical to the unshared form. */
   def trainScoreFused(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val lm = lmCounts(df.select(col(textCol)), textCol,
       materialize = true)
-    val model = fitFusedWith(df, lm, idCol, textCol, corrupt)
-    scoreWithFusedFrom(df, lm, model, idCol, textCol)
+    val pos = df.select(col(idCol), col(textCol))
+    val neg = df.select(col(idCol), corrupt(col(textCol)).as(textCol))
+    def fused(d: DataFrame) = featurize(d, idCol, textCol)
+      .join(lmFeaturesFrom(d, lm, idCol, textCol), Seq(idCol))
+    val posFeats = fused(pos).localCheckpoint(false)
+    val feats = posFeats
+        .withColumn("label", lit(1.0)).withColumn("cls", lit(1))
+      .unionByName(fused(neg)
+        .withColumn("label", lit(0.0)).withColumn("cls", lit(0)))
+    val model = fitOn(feats, FusedFeatureCols, idCol)
+    posFeats.select(col(idCol),
+      sigmoid(model, FusedFeatureCols).as("q_score"))
   }
 }

@@ -124,16 +124,22 @@ object TextAnalysis {
       explode_outer(tokens(col(textCol))).as("tok"))
       .where(col("tok").isNotNull)
     // Per-(doc, tok) occurrence counts: the only pass over raw
-    // occurrences, and it partial-aggregates before its shuffle.
-    // Measured round 13 (the llm_dsir checkpoint experiment): a lazy
-    // localCheckpoint here LOSES — the tokenize recompute per
-    // consumer is a cheap codegen'd regexp that pipelines across all
-    // cores, while the checkpoint pays a materialization barrier +
-    // serialization (typicality a wash, bigram_lm 2× slower). The
-    // checkpoint only wins when the recomputed pass carries md5-grade
-    // per-element work (llm_dsir) — SCALE.md round 13.
+    // occurrences, and it partial-aggregates before its shuffle. The
+    // lazy localCheckpoint dedupes the table's two consumers (tf and
+    // the per-doc join) — ReusedExchange never fires here because
+    // each consumer prunes different columns (round-13 LM-table
+    // lesson). Round 13 measured checkpointing as a LOSS, but that
+    // A/B ran under QueryTime's count(), which eliminates the
+    // unique-key join and prunes the very work being measured
+    // (CLAUDE.md probe lesson); the round-15 noop-sink re-measurement
+    // (NoopTime, min-of-5 at sf0.1) has the checkpoint WINNING across
+    // the whole LM family: typicality 0.82 → 0.65 s (9 → 7 jobs),
+    // bigram_lm 1.79 → 1.08 (14 → 8), kn_lm 2.31 → 1.15 (21 → 12),
+    // kn3_lm 3.24 → 1.60 (28 → 15), kn3_lm_bos 10.67 → 2.56 under
+    // identical co-tenant load — SCALE.md round 15.
     val docTok = toks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     // Corpus term frequency per token, from the counts (not the raw
     // occurrences): the skewed key arrives pre-collapsed.
     val tf = docTok.groupBy(col("tok"))
@@ -182,7 +188,9 @@ object TextAnalysis {
       .where(col("bg").isNotNull)
     val docBg = bigr.groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val c2 = docBg.groupBy("bg").agg(sum("cnt").as("c2"))
+      .localCheckpoint(false)
     val c1 = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
       .groupBy("ctx").agg(sum("c2").as("c1"))
     val perDoc = docBg.join(c2, "bg")
@@ -241,17 +249,18 @@ object TextAnalysis {
             (a, b) => concat(a, lit(" "), b)))
       }).as("bg"))
       .where(col("bg").isNotNull)
-    // docBg feeds c2 + the per-doc join; c2 feeds four consumers. The
-    // tokenize+bigram pass re-runs per consumer — MEASURED CHEAPER
-    // than checkpointing the count tables here (A/B round 13: the
-    // plain regexp/zip_with recompute pipelines across all cores at
-    // 0.50 s while lazy localCheckpoints pay a materialization
-    // barrier for 1.20 s; the checkpoint only wins when the recompute
-    // carries md5-grade per-element work — the llm_dsir case,
-    // SCALE.md round 13).
+    // docBg feeds c2 + the per-doc join; c2 feeds four consumers.
+    // Both are lazily checkpointed so each lineage runs once: the
+    // round-13 "recompute cheaper" A/B was a count()-harness artifact
+    // (the final unique-key left join — and with it the whole perDoc
+    // chain — was eliminated under count(); CLAUDE.md probe lesson).
+    // Re-measured round 15 with the noop sink: kn_lm 2.31 → 1.15 s,
+    // jobs 21 → 12 (NoopTime min-of-5 at sf0.1, SCALE.md round 15).
     val docBg = bigr.groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val c2 = docBg.groupBy("bg").agg(sum("cnt").as("c2"))
+      .localCheckpoint(false)
     // per-context totals AND distinct-continuation types in one pass
     // over the distinct-bigram table (its rows are the types)
     val ctxTab = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
@@ -401,11 +410,16 @@ object TextAnalysis {
     * bigram note), the N₁₊(··) scalar rides the whitelisted one-row
     * broadcast crossJoin, and the arithmetic mirrors the oracle's
     * association and DOUBLE casts exactly. Docs with < 3 tokens
-    * return NULL. Like the bigram family (and UNLIKE llm_dsir), the
-    * per-consumer tokenize recompute measures cheaper than
-    * checkpointing the count tables (same-harness 0.43 s at sf0.1 —
-    * the SCALE.md round-13 A/B discriminator: no md5-grade
-    * per-element work in the recomputed pass). */
+    * return NULL. docTg/c3/mid are lazily checkpointed: the three
+    * tables fan out to six consumers whose pruned projections defeat
+    * exchange reuse, so without the barrier the tokenize+count
+    * lineage re-ran per consumer (28 AQE jobs). The round-13
+    * "recompute cheaper" verdict was a count()-harness artifact (the
+    * final unique-key left join was eliminated, taking the whole
+    * perDoc chain with it); the round-15 noop re-measurement has the
+    * checkpoint winning 2× (kn3_lm 3.24 → 1.60 s, 28 → 15 jobs;
+    * kn3_lm_bos 10.67 → 2.56 s under identical load — NoopTime,
+    * SCALE.md round 15). */
   def knTrigramLogprob(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", discount: Double = 0.75,
       markers: Boolean = false): DataFrame = {
@@ -443,8 +457,10 @@ object TextAnalysis {
       .where(col("tg").isNotNull)
     val docTg = tri.groupBy(col(idCol), col("tg"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     // distinct-trigram counts: the one table everything derives from
     val c3 = docTg.groupBy("tg").agg(sum("cnt").as("c3"))
+      .localCheckpoint(false)
     def w(n: Int) = substring_index(col("tg"), " ", n)
     def wLast(n: Int) = substring_index(col("tg"), " ", -n)
     // top-level context (ab): raw total + distinct continuations
@@ -455,6 +471,7 @@ object TextAnalysis {
     // distinct left contexts = rows of c3 per suffix
     val mid = c3.withColumn("bc", wLast(2))
       .groupBy("bc").agg(count(lit(1)).as("chat_bc"))
+      .localCheckpoint(false)
     // mid-level context (b): total + types over the ĉ table
     val midCtx = mid
       .withColumn("b", substring_index(col("bc"), " ", 1))
@@ -750,9 +767,13 @@ object TextAnalysis {
     * all-pairs anywhere. */
   def noveltyScores(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
+    // Two consumers (owner + the join back) would each re-run the
+    // md5-shingle explode — exactly the md5-grade recompute the
+    // round-13 discriminator says to checkpoint (the llm_dsir case).
     val inv = Dedup.shingleSetsMd5(df, idCol, textCol, n)
       .select(col("id"), explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull)
+      .localCheckpoint(false)
     val owner = inv.groupBy("s").agg(min("id").as("owner"))
     inv.join(owner, Seq("s"))
       .groupBy(col("id"))
@@ -784,8 +805,13 @@ object TextAnalysis {
     val toks = df.select(col(idCol),
       explode_outer(tokens(col(textCol))).as("term"))
       .where(col("term").isNotNull)
+    // Two consumers (dfreq + the scored join) with different pruned
+    // projections — exchange reuse never fires, so the lazy
+    // checkpoint runs the tokenize+count lineage once (the round-15
+    // LM-family noop re-measurement, SCALE.md round 15).
     val docTerm = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(
       sum(when(size(tokens(col(textCol))) > 0, 1L).otherwise(0L))
@@ -824,9 +850,14 @@ object TextAnalysis {
     val toks = df.select(col(langCol).as("lang"), sideCol.as("side"),
       explode_outer(tokens(col(textCol))).as("term"))
       .where(col("term").isNotNull)
+    // jsFromCounts consumes cnts twice (totals + the join) — the lazy
+    // checkpoint runs the tokenize+count lineage once (round-15
+    // noop re-measurement; StreamingDrift supplies its own cnts from
+    // the reference store, so the barrier lives here, not there).
     val cnts = toks.groupBy("lang", "term")
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") =!= 0, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(false)
     jsFromCounts(cnts)
   }
 
@@ -891,7 +922,24 @@ object TextAnalysis {
     * probability materialization), join the two unit families back on
     * the id. Everything is doc-bounded; no windows. */
   def entropySignals(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    // Native per-row expressions (round 15): per-document entropy
+    // needs no distribution — the old explode → two-level groupBy →
+    // join-back chain (kept below as the suite's cross-implementation
+    // reference) paid 2 explodes (one row per CHARACTER of the
+    // corpus), 4 exchanges and 2 joins for a per-row computation.
+    // Map-only now; zero exchanges (plan-pinned in its suite test).
+    df.select(col(idCol),
+      coalesce(round(graft.functions.EntropyExpr
+        .char_entropy(col(textCol)), 4), lit(0.0)).as("char_entropy"),
+      coalesce(round(graft.functions.EntropyExpr
+        .token_entropy(col(textCol)), 4), lit(0.0)).as("token_entropy"))
+
+  /** The distributed chain [[entropySignals]] replaced — kept as the
+    * cross-implementation test reference (EntropyExpr ≡ this chain,
+    * suite-pinned incl. surrogate-pair and empty/null edge cases). */
+  private[graft] def entropySignalsChain(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def entropyOf(unit: Column, outCol: String): DataFrame =
       df.select(col(idCol), explode_outer(unit).as("u"))
         .where(col("u").isNotNull && col("u") =!= "")

@@ -1630,7 +1630,10 @@ object LlmQueries {
   // native BpeEncodeExpr; BpeSuite pins encode parity against the
   // trainer's own Column-level merge chain.) -----------------------------
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val merges = graft.llm.Bpe.trainMerges(docs(s, dir), nMerges = 12)
+    // mergesFor (not trainMerges): the apply side reuses the session's
+    // trained merge table — encode-after-train pays training once, the
+    // wordpiece_encode precedent (2.82 → 0.42 s committed round 14).
+    val merges = graft.llm.Bpe.mergesFor(docs(s, dir), nMerges = 12)
       .map(m => (m._2, m._3))
     val sub = docs(s, dir)
       .select(explode_outer(TextAnalysis.tokens(col("text"))).as("w"))
@@ -1715,7 +1718,9 @@ object LlmQueries {
   // Viterbi score dominance, determinism, and the sampling
   // distribution itself on a hand lattice at α ∈ {0, 1, 5}.) -------------
   def unigramSample(s: SparkSession, dir: String): DataFrame = {
-    val model = graft.llm.Unigram.trainModel(docs(s, dir))
+    // modelFor (not trainModel): apply side reuses the session's
+    // trained model (the wordpiece_encode/bpe_encode memo precedent).
+    val model = graft.llm.Unigram.modelFor(docs(s, dir))
     val pcs = model.map(_._1)
     val lps = model.map(_._3)
     docs(s, dir)
@@ -1743,7 +1748,9 @@ object LlmQueries {
   // UnigramSuite pins native Viterbi ≡ the reference and subword
   // reconstruction.) -----------------------------------------------------
   def unigramEncode(s: SparkSession, dir: String): DataFrame = {
-    val model = graft.llm.Unigram.trainModel(docs(s, dir))
+    // modelFor (not trainModel): apply side reuses the session's
+    // trained model (the wordpiece_encode/bpe_encode memo precedent).
+    val model = graft.llm.Unigram.modelFor(docs(s, dir))
     val pcs = model.map(_._1)
     val lps = model.map(_._3)
     docs(s, dir)
@@ -1784,8 +1791,12 @@ object LlmQueries {
   // filter plugging into the deterministic sampling gate; suite pins
   // kept-fraction ≈ mean score and subset/determinism.) ------------------
   def e2eScoreSample(s: SparkSession, dir: String): DataFrame =
+    // modelFor (not trainScore): the apply-side composition reuses the
+    // session's fitted discriminator — same coefficients (the fit is
+    // partitioning-deterministic), the encode-after-train precedent.
     graft.llm.Sampling.sampleByScore(
-      graft.llm.QualityModel.trainScore(docs(s, dir)), "q_score")
+      graft.llm.QualityModel.scoreWith(docs(s, dir),
+        graft.llm.QualityModel.modelFor(docs(s, dir))), "q_score")
 
   // --- llm_lang_id --------------------------------------------------------
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -3231,11 +3242,17 @@ object LlmQueries {
     * executor; AQE may still demote it to broadcast when the measured
     * size allows. */
   private[graft] def fuzzySurvivorsOf(deduped: DataFrame): DataFrame = {
-    val pairs = Dedup.minhashLshPairsMd5(deduped, threshold = 0.5)
+    // deduped is consumed twice — the minhash pair lineage (eagerly
+    // materialized by dedupClusters' edges checkpoint) and the final
+    // anti-join spine. The lazy checkpoint runs the quality/lang/
+    // fingerprint dedup lineage ONCE; the eager edges job fills it,
+    // the anti-join reads stored blocks (round-15 NoopTime A/B).
+    val d = deduped.localCheckpoint(false)
+    val pairs = Dedup.minhashLshPairsMd5(d, threshold = 0.5)
     val nonReps = Dedup.dedupClusters(pairs)
       .where(col("id") =!= col("cluster_rep"))
       .select(col("id").as("doc_id"))
-    deduped.join(nonReps, Seq("doc_id"), "left_anti")
+    d.join(nonReps, Seq("doc_id"), "left_anti")
   }
 
   private[graft] def fuzzySurvivors(s: SparkSession, dir: String): DataFrame =

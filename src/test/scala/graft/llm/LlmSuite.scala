@@ -76,6 +76,45 @@ class LlmSuite extends SparkSpec {
       s"template ${out(6L)._2} not below prose ${out(5L)._2}")
   }
 
+  test("entropySignals: native expression ≡ the distributed chain " +
+      "(edge cases incl. surrogate pairs), codegen path, map-only plan") {
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "abcd"), (3L, ""), (4L, "go go go go"),
+      (5L, "The quick  Brown43 fox! 7x"), // case, digits, punct, runs
+      (6L, "héllo wörld héllo"),          // non-ASCII separators
+      (7L, "a𝄞 b 𝄞 c"), // U+1D11E surrogate pair
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val native = TextAnalysis.entropySignals(docs)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val chain = TextAnalysis.entropySignalsChain(docs)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(native == chain, s"native $native != chain $chain")
+    // zero exchanges: per-doc entropy is per-row work now
+    val plan = TextAnalysis.entropySignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"entropy plan shuffles:\n$plan")
+    // the codegen path compiles and runs (no silent fallback)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val ce = graft.functions.EntropyExpr(
+      BoundReference(0, StringType, nullable = true), tokenMode = false)
+    val te = graft.functions.EntropyExpr(
+      BoundReference(0, StringType, nullable = true), tokenMode = true)
+    val proj = GenerateUnsafeProjection.generate(Seq(ce, te))
+    val r = proj(InternalRow(UTF8String.fromString("ab AB x")))
+    // chars "ab AB x": n=7, ' '×2 the only repeat → H = ln7 − 2ln2/7
+    assert(math.abs(r.getDouble(0) -
+      (math.log(7.0) - 2 * math.log(2.0) / 7.0)) < 1e-12)
+    // tokens (lowercased): ab×2, x → H = ln3 − 2ln2/3
+    assert(math.abs(r.getDouble(1) -
+      (math.log(3.0) - 2 * math.log(2.0) / 3.0)) < 1e-12)
+    assert(proj(InternalRow(null)).isNullAt(0))
+  }
+
   test("dedupBest keeps the highest-scoring cluster member, not the " +
       "lowest id; winner selection is aggregated, never a window") {
     // hand graph: cluster {1,2,3} (3 scores highest), {5,6} tie on

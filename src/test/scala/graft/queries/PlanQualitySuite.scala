@@ -367,11 +367,25 @@ class PlanQualitySuite extends SparkSpec {
     // fingerprint shuffle, a second time (measured on the fuzzy
     // capstone's plan before the flagFrom fix: two identical
     // hashpartitioning(fingerprint) exchanges over the corpus text).
-    Seq("llm_e2e_prepare", "llm_e2e_prepare_fuzzy").foreach { q =>
-      val n = "hashpartitioning\\(fingerprint".r
-        .findAllIn(plan(q)).length
-      assert(n == 1, s"$q: $n fingerprint exchanges (want 1)")
-    }
+    val n = "hashpartitioning\\(fingerprint".r
+      .findAllIn(plan("llm_e2e_prepare")).length
+    assert(n == 1, s"llm_e2e_prepare: $n fingerprint exchanges (want 1)")
+    // The fuzzy capstone's exact-dedup spine is lazily CHECKPOINTED
+    // since round 15 (fuzzySurvivorsOf: the spine fed both the
+    // minhash-pair lineage and the anti-join, re-running the
+    // quality/lang/fingerprint work twice — NoopTime A/B, SCALE.md
+    // round 15). Its one fingerprint exchange now lives inside the
+    // checkpoint's materialization; the FINAL plan must carry ZERO
+    // fingerprint exchanges and read the spine back as an RDD scan.
+    // A fingerprint exchange reappearing here means the checkpoint
+    // was bypassed and the dedup lineage is being re-run.
+    val pf = plan("llm_e2e_prepare_fuzzy")
+    val nf = "hashpartitioning\\(fingerprint".r.findAllIn(pf).length
+    assert(nf == 0, s"llm_e2e_prepare_fuzzy: $nf fingerprint " +
+      "exchanges (want 0 — the checkpointed spine absorbs it)")
+    assert(pf.contains("ExistingRDD"),
+      "llm_e2e_prepare_fuzzy: no RDD scan — the survivor spine is " +
+        "not checkpointed:\n" + pf.take(1200))
   }
 
   test("spans capstone: survivors persist barrier absorbs the triple " +
