@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -185,10 +186,16 @@ object GraftFunctions {
     // the layout keys (graft.operators.Layout) — Hilbert is already a
     // native expression; the Morton interleave is the zValue Column
     // fold rebuilt with catalyst nodes (same no-Column-trees rule)
+    // children cast to LongType like zValueTree's fold (ADVICE r14:
+    // HilbertIndexExpr requires exact LongType inputs, so INT literals
+    // or columns failed type-check where the sibling graft_zvalue
+    // accepted them — the paired layout functions take the same args)
     fn("graft_hilbert_index", "(x bigint, y bigint[, bits int])") {
-      case Seq(x, y) => HilbertIndexExpr(x, y, 16)
+      case Seq(x, y) =>
+        HilbertIndexExpr(Cast(x, LongType), Cast(y, LongType), 16)
       case Seq(x, y, b) =>
-        HilbertIndexExpr(x, y, intArg("graft_hilbert_index", "bits", b))
+        HilbertIndexExpr(Cast(x, LongType), Cast(y, LongType),
+          intArg("graft_hilbert_index", "bits", b))
     },
     fn("graft_zvalue", "(x bigint, y bigint[, bits int])") {
       case Seq(x, y) => zValueTree(x, y, 16)

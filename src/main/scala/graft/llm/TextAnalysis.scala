@@ -696,9 +696,17 @@ object TextAnalysis {
       .otherwise(host0)
     val rest0 = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    // Leading tracking params FIRST: '?utm=..&utm2=..&real=..' →
+    // '?real=..' — the '?' re-anchor happens only when a leading
+    // param was actually stripped. The old unconditional
+    // '^([^?&]*)&' → '$1?' rewrite mangled a legal literal '&' in a
+    // query-less path (RFC 3986 path sub-delim): '/a&b' became
+    // '/a?b', silently colliding distinct URLs (ADVICE r14; fixed in
+    // BOTH engines — urlNormCtes carries the same two regexes).
     val rest1 = regexp_replace(rest0,
+      "\\?((utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&)+", "?")
+    val rest2 = regexp_replace(rest1,
       "[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "")
-    val rest2 = regexp_replace(rest1, "^([^?&]*)&", "$1?")
     val rest3 = regexp_replace(rest2, "/+(\\?|$)", "$1")
     val rest = regexp_replace(rest3, "\\?$", "")
     when(scheme === "", url)

@@ -2609,8 +2609,8 @@ object LlmQueries {
        |      ELSE regexp_replace(host_raw, '^www\\.', '') END AS host,
        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        |      rest0,
+       |      '\\?((utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&)+', '?', 'g'),
        |      '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*', '', 'g'),
-       |      '^([^?&]*)&', '\\1?'),
        |      '/+(\\?|$$)', '\\1', 'g'),
        |      '\\?$$', '') AS rest
        |  FROM u_s1),

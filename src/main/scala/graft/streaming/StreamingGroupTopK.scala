@@ -65,7 +65,15 @@ final case class StreamingGroupTopK(storeDir: String, k: Int,
 
   /** Current kept set (k best rows per group so far); empty-schema
     * answers come from the first batch, so this throws before any
-    * batch has committed. */
+    * batch has committed.
+    *
+    * Concurrent-reader caveat (ADVICE r14): [[processBatch]] swaps the
+    * WHOLE snapshot on EVERY batch (delete-old + rename-staging), so
+    * an external reader racing an active merge can transiently hit a
+    * missing/partial snapshot — the StreamingSeriesStore transient-miss
+    * semantics, but per batch rather than only during maintenance
+    * compaction. Retry semantics are the caller's; the single-WRITER
+    * contract is unchanged. */
   def snapshot(spark: SparkSession): DataFrame = {
     require(hasSnapshot(spark),
       s"StreamingGroupTopK: no committed snapshot under $storeDir yet")

@@ -61,5 +61,19 @@ class TextCleanSuite extends SparkSpec {
     // no scheme: unchanged, never a mangled collision key
     assert(norm("not a url") == "not a url")
     assert(norm("") == "")
+    // ADVICE r14 fix: a literal '&' in a QUERY-LESS path (RFC 3986
+    // path sub-delim) must survive — the old unconditional re-anchor
+    // turned /a&b into /a?b, colliding distinct URLs
+    assert(norm("https://x.com/a&b") == "https://x.com/a&b")
+    // consecutive leading tracking params all strip, '?' re-anchors
+    assert(norm("https://site.com/page?utm_a=1&utm_b=2&id=7") ==
+      s"$canon?id=7")
+    // leading tracking + trailing tracking around a real param
+    assert(norm("https://site.com/page?utm_a=1&id=7&gclid=g") ==
+      s"$canon?id=7")
+    // only tracking params: query vanishes entirely
+    assert(norm("https://site.com/page?utm_a=1&fbclid=f") == canon)
+    // path '&' plus a stripped tracking query: path stays intact
+    assert(norm("https://x.com/a&b?utm_a=1") == "https://x.com/a&b")
   }
 }
