@@ -391,6 +391,44 @@ object Dedup {
       .select(docs(idCol) +: keep.map(docs(_)) :+ col(textCol) :+
         col("ivs"): _*)
       .select(col(idCol) +: keep.map(col) :+
+        // native cut loop (round 15): the HOF chain (kept below as
+        // cutSpansHof, the suite's cross-implementation reference)
+        // evaluated its lambdas interpreted, per token × per interval
+        graft.functions.CutTokensExpr.cut_tokens(
+          TextAnalysis.tokens(col(textCol)), col("ivs")).as("c"): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("c.text_cut") :+
+        col("c.n_removed"): _*)
+  }
+
+  /** The pure-`functions._` cut chain [[cutSpans]]' native expression
+    * replaced — kept as the cross-implementation test reference
+    * (CutTokensExprSuite-style pin lives in LlmSuite: native ≡ this
+    * chain on the fixture incl. null text, span-less docs, and
+    * everything-cut docs). Same signature and output. */
+  private[graft] def cutSpansHof(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      keep: Seq[String] = Nil): DataFrame = {
+    val iv = spans.select(col("id_b").as("id"), col("b_start").as("s"),
+      (col("b_start") + col("n_tokens")).as("e"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("s")
+    val withMax = iv.withColumn("prev_max", max(col("e")).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)))
+    val grp = withMax
+      .withColumn("ni", when(col("prev_max").isNull ||
+        col("s") > col("prev_max"), 1).otherwise(0))
+      .withColumn("isl", sum(col("ni")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val merged = grp.groupBy(col("id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = merged.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.join(ivs, docs(idCol) === ivs("id"), "left")
+      .select(docs(idCol) +: keep.map(docs(_)) :+ col(textCol) :+
+        col("ivs"): _*)
+      .select(col(idCol) +: keep.map(col) :+
         graft.functions.ExprUtils.bindOnce(
           TextAnalysis.tokens(col(textCol))) { t =>
           // guard: Spark's sequence counts DOWN when start > stop, so

@@ -437,6 +437,56 @@ class LlmSuite extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("cutSpans: native CutTokensExpr ≡ the HOF chain (fixture + " +
+      "null text, span-less, everything-cut docs), codegen path") {
+    // fixture parity: the registered query's corpus through both
+    // implementations, row-for-row
+    val docs = LlmQueries.docsWithNearDups(spark, sf0001)
+    val spans = Dedup.duplicateSpans(docs)
+    val native = Dedup.cutSpans(docs, spans)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val hof = Dedup.cutSpansHof(docs, spans)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(native == hof)
+    // hand edges: null text, no spans, everything cut, overlap merge
+    val d2 = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val s2 = Seq((0L, 1L, 0L, 1L, 3L),  // cut [1,4) of doc 1
+      (0L, 1L, 0L, 2L, 3L),             // overlapping [2,5) → merge [1,5)
+      (0L, 3L, 0L, 0L, 3L))             // everything of doc 3
+      .toDF("id_a", "id_b", "a_start", "b_start", "n_tokens")
+    val n2 = Dedup.cutSpans(d2, s2)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val h2 = Dedup.cutSpansHof(d2, s2)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(n2 == h2, s"native $n2 != hof $h2")
+    assert(n2 == Seq((1L, "a f", 4L), (2L, "", 0L), (3L, "", 3L)))
+    // codegen path compiles and runs (no silent fallback)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val toksT = ArrayType(StringType)
+    val ivsT = ArrayType(StructType(Seq(
+      StructField("s", LongType), StructField("e", LongType))))
+    val expr = graft.functions.CutTokensExpr(
+      BoundReference(0, toksT, nullable = true),
+      BoundReference(1, ivsT, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val toks = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), UTF8String.fromString("b"),
+      UTF8String.fromString("c")))
+    val ivs = new GenericArrayData(Array[Any](InternalRow(1L, 2L)))
+    val out = proj(InternalRow(toks, ivs)).getStruct(0, 2)
+    assert(out.getUTF8String(0).toString == "a c")
+    assert(out.getLong(1) == 1L)
+    val outNull = proj(InternalRow(null, null)).getStruct(0, 2)
+    assert(outNull.getUTF8String(0).toString == "")
+    assert(outNull.getLong(1) == 0L)
+  }
+
   test("minhash LSH recall vs exact jaccard is high, precision exact") {
     val exact = LlmQueries.ngramJaccard(spark, sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
