@@ -69,17 +69,33 @@ object Bench {
     // loadavg. ncpu/8 ≈ 4 on the 32-core host, comfortably below the
     // measured contamination threshold.
     val quiet = loadBefore >= 0 && loadBefore <= ncpu / 8.0
+    // Per-query seconds rounded to 3 decimals on the printed line
+    // (round-15 verdict: 9-decimal precision made the line ~4.2 KB and
+    // the driver's ~1.9 KB stdout-tail capture truncated its head, so
+    // BENCH parsed null two rounds running). 1 ms granularity loses
+    // nothing at the 0.1–6 s per-query scale.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def qjson(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }
+      m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonFor(rs: Map[String, Double], mergedRuns: Int,
         quietRuns: Int): String = {
       val t = if (rs.nonEmpty) rs.values.sum else 0.0
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":${qjson(rs)},"failed":$failedJson,"sf":"$sfDir","passes":2,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpu":$ncpu,"quiet":$quiet,"merged_runs":$mergedRuns,"quiet_runs":$quietRuns}"""
+      s"""{"metric":"total","value":${r3(t)},"unit":"sec","queries":${qjson(rs)},"failed":$failedJson,"sf":"$sfDir","passes":2,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpu":$ncpu,"quiet":$quiet,"merged_runs":$mergedRuns,"quiet_runs":$quietRuns}"""
     }
     // stdout (the driver's BENCH_rN capture) is ALWAYS this run alone.
-    println(jsonFor(results, 1, if (quiet) 1 else 0))
+    val fullLine = jsonFor(results, 1, if (quiet) 1 else 0)
+    println(fullLine)
+    // 138 query names don't fit any plausible tail window even at 3
+    // decimals, so ALSO print a compact self-contained summary as the
+    // FINAL stdout line: whatever tail the driver captures, at minimum
+    // the total/failed/quiet record parses. The full per-query map
+    // stays on the line above and in $SPARK_GRAFT_BENCH_OUT.
+    if (fullLine.length > 1800) {
+      val t = if (results.nonEmpty) results.values.sum else 0.0
+      println(s"""{"metric":"total","value":${r3(t)},"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir","passes":2,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"ncpu":$ncpu,"quiet":$quiet,"merged_runs":1,"quiet_runs":${if (quiet) 1 else 0}}""")
+    }
     // The driver truncates captured stdout tails (~2000 chars), which
     // on a 98-query suite loses most per-query times from the BENCH
     // artifact (round-9 verdict). Persist the FULL JSON next to the

@@ -36,6 +36,7 @@ object NoopTime {
     spark.range(1).count() // session warmup
     names.foreach { name =>
       val times = (1 to reps).map { i =>
+        val jc0 = jobs.get(); val sc0 = stages.get()
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val tPlan = System.nanoTime()
@@ -46,10 +47,13 @@ object NoopTime {
         val t1 = System.nanoTime()
         spark.sharedState.cacheManager.clearCache()
         val total = (t1 - t0) / 1e9
+        // construct-time jobs matter for the streaming replay queries
+        // (processBatch runs eager jobs at query construction)
         println(f"[$i] $name: total $total%.2f s " +
           f"(construct ${(tPlan - t0) / 1e9}%.2f, " +
           f"plan ${(tPlanned - tPlan) / 1e9}%.2f, " +
           f"exec ${(t1 - tPlanned) / 1e9}%.2f; " +
+          f"cjobs ${j0 - jc0}, cstages ${s0 - sc0}, " +
           f"jobs ${jobs.get() - j0}, stages ${stages.get() - s0})")
         total
       }

@@ -57,14 +57,15 @@ case class CutTokensExpr(left: Expression, right: Expression)
     val kept = new java.lang.StringBuilder
     var removed = 0L
     var i = 0
+    // Intervals are island-merged (non-overlapping) and sorted by s,
+    // so one monotone pointer suffices: advance past intervals that
+    // end at or before i, then i is cut iff the current one covers it.
+    // O(n + m) — the old per-token rescan from p=0 was O(n·m) (ADVICE
+    // r15; heavily-duplicated docs with many spans paid quadratic).
+    var p = 0
     while (i < n) {
-      // sorted by s: once s > i no later interval can cover i
-      var cut = false
-      var p = 0
-      while (!cut && p < m && ss(p) <= i) {
-        if (i < es(p)) cut = true
-        p += 1
-      }
+      while (p < m && es(p) <= i) p += 1
+      val cut = p < m && ss(p) <= i
       if (cut) removed += 1L
       else {
         if (kept.length > 0) kept.append(' ')

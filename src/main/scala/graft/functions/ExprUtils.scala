@@ -21,4 +21,29 @@ object ExprUtils {
     */
   def bindOnce(expr: Column)(body: Column => Column): Column =
     element_at(transform(array(expr), x => body(x)), 1)
+
+  /** Barrier a multi-consumer intermediate frame: materialize its
+    * lineage once (lazily — the first consumer's action fills it) so
+    * consumers whose pruned projections defeat exchange reuse stop
+    * re-running the upstream lineage per consumer (the round-13/15
+    * LM-table lesson; measured wins across the LM family, SCALE.md
+    * round 15).
+    *
+    * Default implementation is `localCheckpoint(eager = false)`:
+    * blocks live on EXECUTOR-LOCAL storage with lineage truncated, so
+    * on a real cluster a lost executor makes the job UNRECOVERABLE
+    * (nothing left to recompute from). That is acceptable in local
+    * mode and for restartable batch jobs; for long jobs on flaky
+    * clusters set `spark.graft.barrier.reliable=true` (plus
+    * `sparkContext.setCheckpointDir`) and the same call sites become
+    * reliable checkpoints — a staging write, the standing caveat's
+    * production analogue. One switch for every barrier site instead
+    * of 12+ scattered `localCheckpoint(false)` calls (round-15
+    * verdict item 7). */
+  def barrier(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.barrier.reliable").contains("true"))
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 }

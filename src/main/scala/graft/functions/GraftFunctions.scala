@@ -186,15 +186,21 @@ object GraftFunctions {
     // the layout keys (graft.operators.Layout) — Hilbert is already a
     // native expression; the Morton interleave is the zValue Column
     // fold rebuilt with catalyst nodes (same no-Column-trees rule)
-    // children cast to LongType like zValueTree's fold (ADVICE r14:
+    // children widened to LongType like zValueTree's fold (ADVICE r14:
     // HilbertIndexExpr requires exact LongType inputs, so INT literals
     // or columns failed type-check where the sibling graft_zvalue
-    // accepted them — the paired layout functions take the same args)
+    // accepted them — the paired layout functions take the same args).
+    // The implicit cast is INTEGRAL-only (ADVICE r15): a DOUBLE or
+    // fractional DECIMAL would be silently truncated toward zero under
+    // non-ANSI Cast, yielding a plausible but wrong layout key — those
+    // still error loudly, on both paired functions.
     fn("graft_hilbert_index", "(x bigint, y bigint[, bits int])") {
       case Seq(x, y) =>
-        HilbertIndexExpr(Cast(x, LongType), Cast(y, LongType), 16)
+        HilbertIndexExpr(longAxis("graft_hilbert_index", "x", x),
+          longAxis("graft_hilbert_index", "y", y), 16)
       case Seq(x, y, b) =>
-        HilbertIndexExpr(Cast(x, LongType), Cast(y, LongType),
+        HilbertIndexExpr(longAxis("graft_hilbert_index", "x", x),
+          longAxis("graft_hilbert_index", "y", y),
           intArg("graft_hilbert_index", "bits", b))
     },
     fn("graft_zvalue", "(x bigint, y bigint[, bits int])") {
@@ -202,6 +208,22 @@ object GraftFunctions {
       case Seq(x, y, b) =>
         zValueTree(x, y, intArg("graft_zvalue", "bits", b))
     })
+
+  /** Widen an integral layout axis to LongType; reject fractional
+    * types loudly instead of letting a non-ANSI Cast truncate them
+    * into a plausible-but-wrong key (ADVICE r15). */
+  private def longAxis(fname: String, what: String, e: Expression)
+      : Expression = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    e.dataType match {
+      case LongType => e
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case dt => throw new IllegalArgumentException(
+        s"$fname: $what must be an integral type (TINYINT/SMALLINT/" +
+          s"INT/BIGINT), got ${dt.sql} — a fractional value would be " +
+          "silently truncated into a wrong layout key; cast explicitly")
+    }
+  }
 
   /** [[graft.operators.Layout.zValue]]'s interleave as a catalyst
     * tree: bit i of x at position 2i, bit i of y at 2i+1 — the same
@@ -212,10 +234,10 @@ object GraftFunctions {
     require(bits >= 1 && bits <= 31,
       s"graft_zvalue: bits out of range: $bits")
     import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd,
-      BitwiseOr, Cast, Literal, ShiftLeft, ShiftRight}
+      BitwiseOr, Literal, ShiftLeft, ShiftRight}
     import org.apache.spark.sql.types.LongType
-    val xl = Cast(x, LongType)
-    val yl = Cast(y, LongType)
+    val xl = longAxis("graft_zvalue", "x", x)
+    val yl = longAxis("graft_zvalue", "y", y)
     val one = Literal(1L)
     (0 until bits).map { i =>
       BitwiseOr(

@@ -122,7 +122,12 @@ object Bpe {
     * trained in this JVM yet — memoized, so encode-after-train in one
     * session pays the nMerges training rounds once (the
     * WordPiece.trainVocab precedent; [[trainBpe]]/[[trainMerges]]
-    * stay unmemoized: the trainer API always trains). */
+    * stay unmemoized: the trainer API always trains).
+    *
+    * Caveat (the dropHotKeys contract at SparkEntry.queries): the memo
+    * keys on the canonicalized PLAN — rewriting the corpus files in
+    * place within one JVM serves the STALE merge table. Immutable
+    * inputs assumed; write to a new path for a retrain. */
   def mergesFor(df: DataFrame, nMerges: Int, minFreq: Long = 2L,
       textCol: String = "text"): Seq[(Int, String, String, String, Long)] =
     mergesCache.computeIfAbsent(
@@ -155,7 +160,7 @@ object Bpe {
       .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), initialSymbols(col("w")).as("sym"))
-    var cur = dict.localCheckpoint(false)
+    var cur = dict.transform(graft.functions.ExprUtils.barrier)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var step = 1
     var done = false
@@ -189,7 +194,7 @@ object Bpe {
         cur = cur.crossJoin(broadcast(pair))
           .withColumn("sym", mergeOne(col("sym"), col("__ml"), col("__mr")))
           .drop("__ml", "__mr")
-          .localCheckpoint(false)
+          .transform(graft.functions.ExprUtils.barrier)
         step += 1
       }
     }
@@ -226,7 +231,7 @@ object Bpe {
       .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), initialSymbols(col("w")).as("sym"))
-    var cur = dict.localCheckpoint(false)
+    var cur = dict.transform(graft.functions.ExprUtils.barrier)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var done = false
     while (merges.length < nMerges && !done) {
@@ -275,7 +280,7 @@ object Bpe {
           .withColumn("__mm", map_from_arrays(col("__mk"), col("__mv")))
           .withColumn("sym", mergeBatch(col("sym"), col("__mm")))
           .drop("__mk", "__mv", "__mm")
-          .localCheckpoint(false)
+          .transform(graft.functions.ExprUtils.barrier)
       }
     }
     spark.createDataFrame(

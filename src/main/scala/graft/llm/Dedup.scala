@@ -795,7 +795,7 @@ object Dedup {
     // init = first propagation step folded in: rep0 = min(id, neighbors)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("rep"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     var prevSum = repSum(labels)
     var converged = false
     var iter = 0
@@ -816,7 +816,7 @@ object Dedup {
           least(col("rep"),
             coalesce(col("nrep"), col("rep")),
             coalesce(col("jrep"), col("rep"))).as("rep"))
-        .localCheckpoint(false)
+        .transform(graft.functions.ExprUtils.barrier)
       val curSum = repSum(labels) // the iteration's ONLY job
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

@@ -324,7 +324,12 @@ object QualityModel {
     * (llm_e2e_score_sample), training it if this (corpus, cols)
     * combination has not been fitted in this JVM yet — memoized, the
     * wordpiece/bpe/unigram encode precedent. [[fit]]/[[trainScore]]
-    * stay unmemoized: the trainer API always trains. */
+    * stay unmemoized: the trainer API always trains.
+    *
+    * Caveat (the dropHotKeys contract at SparkEntry.queries): the memo
+    * keys on the canonicalized PLAN — rewriting the corpus files in
+    * place within one JVM serves the STALE coefficients. Immutable
+    * inputs assumed; write to a new path for a refit. */
   def modelFor(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Model =
     fitCache.computeIfAbsent(
@@ -342,7 +347,7 @@ object QualityModel {
       textCol: String = "text"): DataFrame = {
     val pos = df.select(col(idCol), col(textCol))
     val neg = df.select(col(idCol), corrupt(col(textCol)).as(textCol))
-    val posFeats = featurize(pos, idCol, textCol).localCheckpoint(false)
+    val posFeats = featurize(pos, idCol, textCol).transform(graft.functions.ExprUtils.barrier)
     val feats = posFeats
         .withColumn("label", lit(1.0)).withColumn("cls", lit(1))
       .unionByName(featurize(neg, idCol, textCol)
@@ -366,7 +371,7 @@ object QualityModel {
     val neg = df.select(col(idCol), corrupt(col(textCol)).as(textCol))
     def fused(d: DataFrame) = featurize(d, idCol, textCol)
       .join(lmFeaturesFrom(d, lm, idCol, textCol), Seq(idCol))
-    val posFeats = fused(pos).localCheckpoint(false)
+    val posFeats = fused(pos).transform(graft.functions.ExprUtils.barrier)
     val feats = posFeats
         .withColumn("label", lit(1.0)).withColumn("cls", lit(1))
       .unionByName(fused(neg)

@@ -240,6 +240,10 @@ object Similarity {
   // partitioning-deterministic (ORDER BY id LIMIT n; the canonical
   // KMeans fit layout; pqTrainLloyd's long-quantized sums), so the
   // memoized artifact is bit-identical to a fresh construction.
+  // Caveat (the dropHotKeys contract at SparkEntry.queries): keys are
+  // canonicalized PLANS — rewriting the vector files in place within
+  // one JVM serves STALE centroids/codebooks to the registered
+  // apply-side queries. Immutable inputs assumed; new path to refit.
   private val indexCache: java.util.Map[AnyRef, AnyRef] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[AnyRef, AnyRef](32, 0.75f, true) {

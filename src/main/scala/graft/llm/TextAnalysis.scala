@@ -139,7 +139,7 @@ object TextAnalysis {
     // identical co-tenant load — SCALE.md round 15.
     val docTok = toks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     // Corpus term frequency per token, from the counts (not the raw
     // occurrences): the skewed key arrives pre-collapsed.
     val tf = docTok.groupBy(col("tok"))
@@ -188,9 +188,9 @@ object TextAnalysis {
       .where(col("bg").isNotNull)
     val docBg = bigr.groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     val c2 = docBg.groupBy("bg").agg(sum("cnt").as("c2"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     val c1 = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
       .groupBy("ctx").agg(sum("c2").as("c1"))
     val perDoc = docBg.join(c2, "bg")
@@ -258,9 +258,9 @@ object TextAnalysis {
     // jobs 21 → 12 (NoopTime min-of-5 at sf0.1, SCALE.md round 15).
     val docBg = bigr.groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     val c2 = docBg.groupBy("bg").agg(sum("cnt").as("c2"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     // per-context totals AND distinct-continuation types in one pass
     // over the distinct-bigram table (its rows are the types)
     val ctxTab = c2.withColumn("ctx", substring_index(col("bg"), " ", 1))
@@ -349,7 +349,7 @@ object TextAnalysis {
       .join(
         df.where(targetPred).select(col(idCol)).withColumn("__t", lit(1)),
         Seq(idCol), "left")
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     val db = dbt.select(col(idCol), col("b"), col("c"))
     val tcnt = dbt.where(col("__t") === 1)
       .groupBy("b").agg(sum("c").as("ct"))
@@ -457,10 +457,10 @@ object TextAnalysis {
       .where(col("tg").isNotNull)
     val docTg = tri.groupBy(col(idCol), col("tg"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     // distinct-trigram counts: the one table everything derives from
     val c3 = docTg.groupBy("tg").agg(sum("cnt").as("c3"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     def w(n: Int) = substring_index(col("tg"), " ", n)
     def wLast(n: Int) = substring_index(col("tg"), " ", -n)
     // top-level context (ab): raw total + distinct continuations
@@ -471,7 +471,7 @@ object TextAnalysis {
     // distinct left contexts = rows of c3 per suffix
     val mid = c3.withColumn("bc", wLast(2))
       .groupBy("bc").agg(count(lit(1)).as("chat_bc"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     // mid-level context (b): total + types over the ĉ table
     val midCtx = mid
       .withColumn("b", substring_index(col("bc"), " ", 1))
@@ -781,7 +781,7 @@ object TextAnalysis {
     val inv = Dedup.shingleSetsMd5(df, idCol, textCol, n)
       .select(col("id"), explode_outer(col("sh")).as("s"))
       .where(col("s").isNotNull)
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     val owner = inv.groupBy("s").agg(min("id").as("owner"))
     inv.join(owner, Seq("s"))
       .groupBy(col("id"))
@@ -819,7 +819,7 @@ object TextAnalysis {
     // LM-family noop re-measurement, SCALE.md round 15).
     val docTerm = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     val dfreq = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(
       sum(when(size(tokens(col(textCol))) > 0, 1L).otherwise(0L))
@@ -865,7 +865,7 @@ object TextAnalysis {
     val cnts = toks.groupBy("lang", "term")
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("side") =!= 0, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     jsFromCounts(cnts)
   }
 

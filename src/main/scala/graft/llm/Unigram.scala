@@ -77,7 +77,12 @@ object Unigram {
     * not been trained in this JVM yet — memoized, so encode-after-train
     * in one session pays the Viterbi-EM rounds once (the
     * WordPiece.trainVocab precedent; [[trainModel]]/[[trainUnigram]]
-    * stay unmemoized: the trainer API always trains). */
+    * stay unmemoized: the trainer API always trains).
+    *
+    * Caveat (the dropHotKeys contract at SparkEntry.queries): the memo
+    * keys on the canonicalized PLAN — rewriting the corpus files in
+    * place within one JVM serves the STALE model. Immutable inputs
+    * assumed; write to a new path for a retrain. */
   def modelFor(df: DataFrame, vocabSize: Int = 60, seedSize: Int = 500,
       maxPieceLen: Int = 6, nIter: Int = 3,
       textCol: String = "text"): Seq[(String, Long, Double)] =
@@ -98,7 +103,7 @@ object Unigram {
         explode_outer(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
 
     // Seed substring counts: every (start, len ≤ maxPieceLen) slice of
     // every dictionary word, weighted by word freq. One pass over the
@@ -239,7 +244,7 @@ object Unigram {
         explode_outer(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
 
     val subs = dict.select(col("freq"),
         explode_outer(flatten(transform(

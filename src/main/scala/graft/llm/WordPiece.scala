@@ -84,7 +84,7 @@ object WordPiece {
       .where(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), initialSymbols(col("w")).as("sym"))
-    var cur = dict.localCheckpoint(false)
+    var cur = dict.transform(graft.functions.ExprUtils.barrier)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var step = 1
     var done = false
@@ -130,7 +130,7 @@ object WordPiece {
           .withColumn("sym",
             mergeOne(col("sym"), col("__ml"), col("__mr"), col("__mm")))
           .drop("__ml", "__mr", "__mm")
-          .localCheckpoint(false)
+          .transform(graft.functions.ExprUtils.barrier)
         step += 1
       }
     }

@@ -39,15 +39,15 @@ object PageRank {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     val resid = 1.0 - damping
-    val verts = vertices.select(col("id")).localCheckpoint(false)
+    val verts = vertices.select(col("id")).transform(graft.functions.ExprUtils.barrier)
     val e = edges.select(col("u"), col("v"))
-      .repartition(col("u")).localCheckpoint(false)
+      .repartition(col("u")).transform(graft.functions.ExprUtils.barrier)
     val deg = e.groupBy("u").agg(count(lit(1)).as("dg"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     val nAgg = verts.agg(count(lit(1)).cast("double").as("nv"))
     var ranks = verts.crossJoin(broadcast(nAgg))
       .select(col("id"), (lit(1.0) / col("nv")).as("rank"))
-      .localCheckpoint(false)
+      .transform(graft.functions.ExprUtils.barrier)
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("id", "u"), Seq("u"))
@@ -59,7 +59,7 @@ object PageRank {
         .select(col("id"),
           (lit(resid) / col("nv") +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
-        .localCheckpoint(false)
+        .transform(graft.functions.ExprUtils.barrier)
     }
     ranks
   }

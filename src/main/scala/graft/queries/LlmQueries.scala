@@ -3247,7 +3247,7 @@ object LlmQueries {
     // anti-join spine. The lazy checkpoint runs the quality/lang/
     // fingerprint dedup lineage ONCE; the eager edges job fills it,
     // the anti-join reads stored blocks (round-15 NoopTime A/B).
-    val d = deduped.localCheckpoint(false)
+    val d = deduped.transform(graft.functions.ExprUtils.barrier)
     val pairs = Dedup.minhashLshPairsMd5(d, threshold = 0.5)
     val nonReps = Dedup.dedupClusters(pairs)
       .where(col("id") =!= col("cluster_rep"))

@@ -89,7 +89,19 @@ class LlmSuite extends SparkSpec {
       .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
     val chain = TextAnalysis.entropySignalsChain(docs)
       .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
-    assert(native == chain, s"native $native != chain $chain")
+    // Per-field closeness, not exact tuple equality: the two sides sum
+    // the entropy terms in different orders (native HashMap iteration
+    // vs the chain's partition-order aggregate), so a value landing
+    // within float noise of a 4dp rounding boundary could flip one
+    // side only (ADVICE r15). The hand-computed codegen asserts below
+    // stay exact.
+    assert(native.map(_._1) == chain.map(_._1),
+      s"native ids $native != chain ids $chain")
+    native.zip(chain).foreach { case (n, c) =>
+      assert(math.abs(n._2 - c._2) <= 1e-4 &&
+        math.abs(n._3 - c._3) <= 1e-4,
+        s"native $n != chain $c beyond rounding tolerance")
+    }
     // zero exchanges: per-doc entropy is per-row work now
     val plan = TextAnalysis.entropySignals(docs)
       .queryExecution.executedPlan.toString
