@@ -757,10 +757,15 @@ object Dedup {
     * minimum id of its component as `cluster_rep` (the kept
     * representative; everything else in the component is a duplicate).
     *
-    * Scale: each iteration is one keyed join + aggregate (shuffle by
+    * Scale: pair sets within `maxDriverPairs` take a bounded
+    * driver-side union-find (one probe job; labels return as a
+    * LocalRelation so downstream joins broadcast). Above the cap,
+    * each iteration is one keyed join + aggregate (shuffle by
     * id); iterations needed = O(log component-diameter) — near-dup
     * components are shallow in practice. The loop converges when no
     * label changes (exact), bounded by `maxIter` as a runaway guard.
+    * Both paths produce the identical (id, cluster_rep = component
+    * min) labels (suite-pinned).
     *
     * Memory note: the returned frame is backed by the final
     * iteration's `localCheckpoint` blocks (a checkpointed frame
@@ -770,7 +775,57 @@ object Dedup {
     * ContextCleaner; long-lived sessions holding MANY results should
     * write them out and drop the references.
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20,
+      maxDriverPairs: Int = 200000): DataFrame = {
+    // Bounded driver fast path (round 16 — the dropHotKeys
+    // bounded-probe discipline): near-dup pair tables behind LSH
+    // banding and the registered df/bucket caps are O(true
+    // duplicates), so on bounded inputs — a micro-batch, a fixture,
+    // one shard of a corpus — the whole component computation fits
+    // the driver. limit(cap+1) keeps the probe a hard memory bound
+    // (~16 B/pair): within the cap, union-find locally and return the
+    // labels as a LocalRelation (downstream label joins then
+    // BROADCAST instead of shuffling, and the iterative loop's
+    // 3-4 jobs collapse to the one probe job); above it, the
+    // distributed min-propagation loop below stays the scale path —
+    // at the price of one extra pass over the pair lineage on the
+    // pathological corpus, the same trade dropHotKeys makes. NOT
+    // memoized: labels are query RESULTS, not a reusable trained
+    // artifact — every invocation recomputes from its inputs.
+    val probe = pairs.select(col("id_a"), col("id_b"))
+      .limit(maxDriverPairs + 1).collect()
+    if (probe.length <= maxDriverPairs) {
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression (value replacement only — never
+        while (c != r) { // a structural modification of the map)
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        // attach the LARGER root under the smaller: the root is then
+        // always its component's minimum id, so find(id) IS the
+        // loop's cluster_rep (min label of the component)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+      ids.foreach { id =>
+        rows.add(org.apache.spark.sql.Row(id.longValue(), find(id))) }
+      return pairs.sparkSession.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_rep",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     // Symmetric edge list, materialized ONCE as an eager local
     // checkpoint: every iteration's plan then starts from the stored
     // blocks instead of carrying (and re-optimizing) the full near-dup

@@ -127,9 +127,10 @@ final case class StreamingFuzzyDedup(storeDir: String,
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"))
       .localCheckpoint(true)
+    // map-only explode over the checkpointed sigs, consumed once by
+    // the cross-batch probe — needs no second pin (round-16 job cut)
     val bandRows = Dedup.bandRowsFromSigs(sigs, k, bands,
-        exactBandKey = true)
-      .localCheckpoint(true)
+      exactBandKey = true)
     // 1. cross-batch drop: batch ids est-matching ANY kept doc of an
     // EARLIER batch (own partition excluded — replay idempotency).
     // Candidates dedup to pairs before the sig joins (pairs-sized,
@@ -139,11 +140,17 @@ final case class StreamingFuzzyDedup(storeDir: String,
         col("b.band") === col("s.band") &&
           col("b.band_key") === col("s.band_key"))
       .select(col("b.id").as("bid"), col("s.id").as("kid"))
+      // hash by kid ONCE (round-16 exchange cut): hash(kid) satisfies
+      // the (bid, kid) dedup's clustering (subset rule) and
+      // co-partitions the store-sig join; joining the BATCH sigs last
+      // leaves the frame hashed by bid, so the final id distinct
+      // inserts no shuffle either
+      .repartition(col("kid"))
       .dropDuplicates("bid", "kid")
     val dropIds = crossCand
-      .join(sigs.as("sa"), col("bid") === col("sa.id"))
       .join(keptSigsStore(spark, batchId).as("sb"),
         col("kid") === col("sb.id"))
+      .join(sigs.as("sa"), col("bid") === col("sa.id"))
       .where(Dedup.sigEstimate(col("sa.sig"), col("sb.sig"), k)
         >= threshold)
       .select(col("bid").as("id")).distinct()
@@ -158,6 +165,9 @@ final case class StreamingFuzzyDedup(storeDir: String,
           col("l.band_key") === col("r.band_key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      // hash(id_a) serves the pair dedup AND the sa join (subset
+      // rule, as in the cross-batch chain above)
+      .repartition(col("id_a"))
       .dropDuplicates("id_a", "id_b")
       .join(survSigs.as("sa"), col("id_a") === col("sa.id"))
       .join(survSigs.as("sb"), col("id_b") === col("sb.id"))
@@ -180,10 +190,18 @@ final case class StreamingFuzzyDedup(storeDir: String,
       .localCheckpoint(true) // pin before the store writes below
     val keptSigs = survSigs.join(keptIds, Seq("id"), "left_semi")
       .localCheckpoint(true) // consumed by BOTH store writes
+    // the two store writes are independent scans of the checkpointed
+    // keptSigs — run as concurrent jobs (guide §2.6 back-fill)
+    @volatile var sigWriteErr: Throwable = null
+    val sigWrite = new Thread(() =>
+      try keptSigs.write.mode("overwrite")
+        .parquet(s"$sigsDir/batch_id=$batchId")
+      catch { case e: Throwable => sigWriteErr = e })
+    sigWrite.start()
     Dedup.bandRowsFromSigs(keptSigs, k, bands, exactBandKey = true)
       .write.mode("overwrite").parquet(s"$bandsDir/batch_id=$batchId")
-    keptSigs.write.mode("overwrite")
-      .parquet(s"$sigsDir/batch_id=$batchId")
+    sigWrite.join()
+    if (sigWriteErr != null) throw sigWriteErr
     out
   }
 

@@ -93,6 +93,12 @@ final case class StreamingGroupTopK(storeDir: String, k: Int,
         spark.read.parquet(snapPath.toString).unionByName(batch)
       else batch
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    // Round-16 note: folding the dedup + window onto ONE exchange by
+    // hash-partitioning on the group key alone was tried and REVERTED
+    // — group keys are low-cardinality (a language, a source), so it
+    // clusters the whole raw merge onto |groups| partitions and skews
+    // the (group, id) dedup that the two-exchange plan runs well
+    // spread; the saved exchange measured as noise locally.
     val top = merged
       // a replayed batch re-sends rows the snapshot already holds;
       // collapse on the id FIRST or duplicates would occupy top-k

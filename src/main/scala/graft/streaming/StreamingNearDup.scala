@@ -43,11 +43,12 @@ import graft.llm.Dedup
   *    per-batch candidate join probes — `bands` rows per doc;
   *  - `sigs/`  (id, sig array<long>): k longs per doc for the
   *    estimate verify.
-  * Per batch: batch band rows self-join (in-batch pairs) and join the
-  * band store (cross-batch pairs) — both bucket-local; the probe side
-  * is ONE batch, bounded. At cluster scale the stores become tables
-  * bucketed by (band, band_key) and id respectively, so neither join
-  * reshuffles the store. Doc ids must be UNIQUE across batches
+  * Per batch: the batch's band/sig rows append FIRST, then the batch
+  * band rows probe the store (own rows included) — ONE bucket-local
+  * join yields in-batch and cross-batch pairs in the same pass; the
+  * probe side is ONE batch, bounded. At cluster scale the stores
+  * become tables bucketed by (band, band_key) and id respectively, so
+  * the join never reshuffles the store. Doc ids must be UNIQUE across batches
   * (append-only contract, as [[StreamingVectorIndex]]); replaying a
   * batch re-appends its band/sig rows — harmless: candidates AND the
   * verify output are pair-level deduplicated (a replayed batch
@@ -102,10 +103,10 @@ final case class StreamingNearDup(storeDir: String,
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType, containsNull = false)))))
 
-  /** Process ONE micro-batch: emit the batch's new near-dup pairs
-    * (id_a < id_b, est_jaccard ≥ threshold — in-batch AND
-    * against-store), then append the batch's band/sig rows to the
-    * store. */
+  /** Process ONE micro-batch: append the batch's band/sig rows to the
+    * store, then emit the batch's new near-dup pairs (id_a < id_b,
+    * est_jaccard ≥ threshold — in-batch AND against-store, one probe
+    * join). */
   def processBatch(batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     // heal a crashed compact() before the store reads (tmps live
@@ -114,42 +115,61 @@ final case class StreamingNearDup(storeDir: String,
     CompactSwap.recoverDir(spark, storeDir, ".compact_sigs_tmp")
     // signature pass: the ONE shared derivation (md5-long shingles +
     // exact band keys — the oracle-reproducible batch variant this
-    // twin is pinned against). The batch is re-consumed four times
-    // (self-join twice via bandRows, verify, store append) —
-    // materialize the bounded batch once.
+    // twin is pinned against). The batch is re-consumed three times
+    // (candidate probe, verify sigs, store appends) — materialize the
+    // bounded batch once. Band rows are a map-only explode over the
+    // checkpointed sigs (never re-running the shingle/minhash work),
+    // so they need no second pin of their own (round-16 job cut).
     val sigs = Dedup.sigSets(
         Dedup.shingleSetsMd5(batch, idCol, textCol, n), k, seed)
       .where(col("sig").isNotNull)
       .select(col("id"), col("sig"))
       .localCheckpoint(true)
     val bandRows = Dedup.bandRowsFromSigs(sigs, k, bands,
-        exactBandKey = true)
-      .localCheckpoint(true)
-    val stBands = storeBands(spark)
-    // in-batch pairs: the batch operator's self-join shape
-    val inBatch = bandRows.as("l")
-      .join(bandRows.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    // cross-batch pairs: batch probes the store's LSH index; pair
-    // order normalizes by id so output ids are (lo, hi) like the
-    // batch op regardless of arrival order
-    val cross = bandRows.as("b")
-      .join(stBands.as("s"),
+      exactBandKey = true)
+    // Append FIRST (round-16 job cut): with the batch's own rows in
+    // the store, ONE batch-probes-store join yields in-batch AND
+    // cross-batch pairs in the same pass (b.id =!= s.id skips the
+    // self-pair; an in-batch pair surfaces from both directions and
+    // collapses in the pair dedup) — replacing the former
+    // self-join ∪ store-join double pass. Replay semantics are
+    // unchanged: a replayed batch's rows sit in the store twice, and
+    // the candidate dedup plus the identical-row verify dedup
+    // collapse the multiplicity exactly as before (suite-pinned).
+    // The two appends are independent scans of the checkpointed
+    // sigs, so they run as concurrent jobs (guide §2.6 back-fill).
+    @volatile var sigWriteErr: Throwable = null
+    val sigWrite = new Thread(() =>
+      try sigs.write.mode("append").parquet(sigsDir)
+      catch { case e: Throwable => sigWriteErr = e })
+    sigWrite.start()
+    bandRows.write.mode("append").parquet(bandsDir)
+    sigWrite.join()
+    if (sigWriteErr != null) throw sigWriteErr
+    // candidate pairs: batch probes the store's LSH index (own rows
+    // included); pair order normalizes by id so output ids are
+    // (lo, hi) like the batch op regardless of arrival order
+    val cand = bandRows.as("b")
+      .join(storeBands(spark).as("s"),
         col("b.band") === col("s.band") &&
-          col("b.band_key") === col("s.band_key"))
+          col("b.band_key") === col("s.band_key") &&
+          col("b.id") =!= col("s.id"))
       .select(least(col("b.id"), col("s.id")).as("id_a"),
         greatest(col("b.id"), col("s.id")).as("id_b"))
-    val cand = inBatch.unionByName(cross)
-      .where(col("id_a") =!= col("id_b")) // a replayed batch vs its own store rows
+      // hash by id_a ONCE (round-16 exchange cut): hash(id_a)
+      // satisfies the (id_a, id_b) dedup's clustering (subset rule)
+      // AND co-partitions the sa join below, so neither inserts its
+      // own shuffle; the final pair dedup likewise rides the sb
+      // join's hash(id_b). Skew exposure is unchanged — the sa join
+      // already clustered by id_a.
+      .repartition(col("id_a"))
       .dropDuplicates("id_a", "id_b")
     // estimate verify: signature agreement fraction. Sig lookup joins
-    // the bounded candidate side against batch ∪ store signatures —
-    // the same build-the-pairs-side discipline as the batch verify.
-    val allSigs = sigs.unionByName(storeSigs(spark))
-    val out = cand.hint("shuffle_hash")
+    // the bounded candidate side against the store signatures (the
+    // batch's own sigs are in the store now) — the same
+    // build-the-pairs-side discipline as the batch verify.
+    val allSigs = storeSigs(spark)
+    cand.hint("shuffle_hash")
       .join(allSigs.as("sa"), col("id_a") === col("sa.id"))
       .hint("shuffle_hash")
       .join(allSigs.as("sb"), col("id_b") === col("sb.id"))
@@ -158,17 +178,15 @@ final case class StreamingNearDup(storeDir: String,
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       // pairs-sized dedup: after a REPLAY the batch's ids sit in the
-      // store too, so allSigs carries each of them twice and the two
-      // verify joins would multiply every pair row ×4 (round-14
-      // self-review catch — the rows are identical, so one survives)
+      // store twice, so the two verify joins multiply every pair row
+      // ×4 (round-14 self-review catch — the rows are identical, so
+      // one survives)
       .dropDuplicates("id_a", "id_b")
-      // out must survive the store growing below: pin it before the
-      // appends so a post-append evaluation cannot see the batch's
-      // own rows through the store scans
+      // pin the output before LATER batches grow the store: a replay
+      // harness unions every batch's frame and evaluates at the end,
+      // and an unpinned plan would then see future appends through
+      // the store scans
       .localCheckpoint(true)
-    bandRows.write.mode("append").parquet(bandsDir)
-    sigs.write.mode("append").parquet(sigsDir)
-    out
   }
 
   /** Compact both stores into one coalesced, DEDUPLICATED snapshot

@@ -88,24 +88,30 @@ final case class StreamingTokenBudget(storeDir: String,
     val budget = Sampling.budgetExpr(strataCol, budgets, defaultBudget)
     val withCum = Sampling.prefixTokens(batch, strataCol, nShards,
       idCol, tokensCol)
-    // null-safe stratum join for the same reason as the batch op:
-    // a NULL stratum is a real stratum under defaultBudget
-    val admitted = withCum
+    // ONE eager pass over the batch (round-16 job cut): every row
+    // keeps an admission FLAG instead of being filtered, so the same
+    // materialized frame serves both consumers — the admitted prefix
+    // (the filter below) and the store's per-stratum TOTALS (which
+    // count every arrival, admitted or not — the prefix rule), which
+    // previously re-tokenized the batch in a second job. Null-safe
+    // stratum join for the same reason as the batch op: a NULL
+    // stratum is a real stratum under defaultBudget.
+    val gated = withCum
       .join(broadcast(spent(spark, batchId,
           batch.schema(strataCol).dataType)),
         col(strataCol) <=> col("_strata_s"), "left")
-      .where(coalesce(col("_spent"), lit(0L)) +
+      .withColumn("_admit", coalesce(col("_spent"), lit(0L)) +
         col("_base") + col("_cum") <= budget)
       .drop("_bucket", "_shard", "_cum", "_base", "_strata_b",
         "_shard_b", "_strata_s", "_spent")
       // the store write below grows the store the admission read
-      // depends on — pin the admitted rows first
+      // depends on — pin the gated rows first
       .localCheckpoint(true)
-    batch.groupBy(col(strataCol))
+    gated.groupBy(col(strataCol))
       .agg(sum(col(tokensCol)).as("tokens"))
       .write.mode("overwrite")
       .parquet(s"$storeDir/batch_id=$batchId")
-    admitted
+    gated.where(col("_admit")).drop("_admit")
   }
 
   /** Fold all-but-the-latest batch partitions into one summed

@@ -1055,6 +1055,23 @@ class LlmSuite extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the bounded driver union-find (round 16) and the distributed
+    // min-propagation loop (forced via maxDriverPairs = 0) must
+    // produce the identical label set — the cross-implementation pin
+    val loop = Dedup.dedupClusters(pairs, maxDriverPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == labels)
+  }
+
+  test("dedup clusters: fast path equals the loop on the real pair table") {
+    val pairs = Dedup.ngramJaccardPairs(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      threshold = 0.5, maxDf = 1000000)
+    val fast = Dedup.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.dedupClusters(pairs, maxDriverPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop && fast.nonEmpty)
   }
 
   test("dedup clusters on the real pair output keep one rep per planted dup") {
